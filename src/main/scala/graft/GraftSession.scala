@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Local-mode defaults are tuned for the test harness (local[32],
+  * single JVM); the same settings scale to a real cluster because they
+  * only touch planner behavior (AQE, shuffle partitions), not
+  * deployment. AQE is on so skewed joins / small post-shuffle
+  * partitions re-plan at runtime — this is the 100 TB posture: we set
+  * a *starting* shuffle parallelism and let AQE coalesce or split.
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the events table stores timestamp[ns]; Spark has no nanosecond
+      // timestamp type — surface it as a long (nanos since epoch).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Table loading helpers for the driver's parquet fixtures. */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String) =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

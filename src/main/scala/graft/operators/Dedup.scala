@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.Hashing._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * All variants are shuffle-planned for 100 TB:
+  *  - exact: one hash-groupBy on a 128-bit digest — never groups on the
+  *    raw text (shuffling full documents would dominate I/O).
+  *  - MinHash-LSH: shingle → signature → band-bucket join. Candidate
+  *    generation is linear in corpus size (explode by band), never the
+  *    O(n²) all-pairs; the exact-Jaccard verify runs only on candidates.
+  *  - SimHash: 64-bit fingerprint, banded by 16-bit chunks for
+  *    Hamming-distance ≤ 3 candidate recall, verified by `bit_count`.
+  *  - n-gram Jaccard: the exact (quadratic-in-collisions) baseline used
+  *    to validate LSH recall at small scale; its join is on shingle
+  *    equality so cost concentrates on shared shingles only.
+  */
+object Dedup {
+
+  /** Canonical form: sanitize → tokens → single-space join. */
+  def normalizedText(text: Column): Column =
+    concat_ws(" ", tokenize(text))
+
+  /** 128-bit content digest of the canonical form. */
+  def contentHash(text: Column): Column =
+    md5(normalizedText(text).cast("binary"))
+
+  /** Exact dedup: per content-hash group, keep the smallest id.
+    * Output: one row per distinct content — `(h, keep_id, n_dups)`. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(contentHash(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: the surviving ids. */
+  def exactKeepIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+
+  /** Distinct word-`n`-gram shingles per doc: `(id, shingle)`.
+    * Tokens materialize before the n-gram lambda (see TextFunctions
+    * PERF note — computed expressions inside HOF lambdas are O(n²)). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(ngrams(col("_toks"), n)).as("shingle"))
+      .distinct()
+
+  /** Exact pairwise n-gram Jaccard over the shingle inverted index.
+    * `(a_id, b_id, jaccard)` for pairs with jaccard ≥ minJaccard.
+    * Join is on shingle equality: cost ∝ Σ_shingle df(shingle)² — fine
+    * when shingles are near-unique; use [[minHashPairs]] otherwise. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("a_id"), col("shingle"))
+    val b = sh.select(col(idCol).as("b_id"), col("shingle"))
+    val inter = a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures per doc: `(id, sig: array<long>)`. Each stage
+    * materializes before feeding the next stage's lambdas — the k=64
+    * permutation transforms each scan the bound hash array, not a
+    * re-evaluated expression tree. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
+    docs.select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_sh"))
+      .select(col(idCol), shingleHashes(col("_sh")).as("_bh"))
+      .select(col(idCol), minHashSignature(col("_bh"), k, seed).as("sig"))
+
+  /** MinHash-LSH candidate pairs + exact-Jaccard verification.
+    * bands × rowsPerBand must equal k. Returns `(a_id, b_id, jaccard)`
+    * with jaccard ≥ minJaccard, pairs from ≥1 shared LSH bucket only. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 64, bands: Int = 16,
+                   minJaccard: Double = 0.5, seed: Long = 42L,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val sig = minHashSignatures(docs, idCol, textCol, n, k, seed)
+    val banded = sig.select(col(idCol),
+        posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+    // candidate pairs: co-bucketed ids; cap pathological buckets (boilerplate
+    // shingles) so one hot bucket can't go quadratic at scale
+    val buckets = banded.groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val cand = buckets
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
+      .distinct()
+    // verify candidates with exact Jaccard over shingle sets
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("shingle").as("shingle_b")), "b_id")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** All ordered pairs (x, y), x < y, from a SORTED array attribute —
+    * as a flat array of structs, built from Catalyst built-ins. Pass a
+    * materialized column only (referenced inside the lambda bodies). */
+  private def pairCombinations(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)),
+        y => struct(x.as("_1"), y.as("_2")))))
+
+  /** SimHash fingerprints: `(id, fp: long)`. */
+  def simHashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), simHash(tokenize(col(textCol))).as("fp"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Banding: 4 chunks of 16 bits — by pigeonhole any pair within
+    * Hamming ≤ 3 shares at least one exact chunk, so candidate
+    * generation is an equi-join, never all-pairs. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only for maxHamming <= 3")
+    val fp = simHashFingerprints(docs, idCol, textCol)
+    val banded = fp.select(col(idCol), col("fp"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col(idCol).as("a_id"), col("fp").as("fp_a"), col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("b_id"), col("fp").as("fp_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hammingDist64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Tiers:
+  *  - [[bruteForceTopK]] — exact baseline. The (small) query side is
+  *    broadcast, so the corpus is scanned once with no shuffle of the
+  *    embeddings; per-pair cosine runs in the codegen'd
+  *    [[graft.functions.VectorFunctions.CosineSimilarity]] expression.
+  *    O(|corpus|·|queries|·d) compute, O(|corpus|) I/O.
+  *  - [[lshTopK]] — the scale path: signed-random-projection LSH.
+  *    Corpus and queries hash to `tables` independent bucket keys;
+  *    candidates come from bucket equi-joins (shuffle on bucket key,
+  *    never all-pairs), then exact cosine re-ranks. Recall is tunable
+  *    via (tables, bits).
+  *  - [[nearDupPairs]] — embedding near-duplicate mining: same LSH
+  *    bucketing self-joined, exact-cosine verified.
+  */
+object Similarity {
+
+  /** Deterministic ±1 random-projection hyperplanes: tables × bits
+    * planes of dimension dim. */
+  private[graft] def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  /** Bucket keys (`array<long>`, one per table) for an embedding. */
+  private[graft] def bucketKeys(vec: Column, tables: Int, bits: Int, dim: Int,
+                                seed: Long): Column = {
+    val ps = planes(tables, bits, dim, seed)
+    array((0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val plane = ps(t)(b)
+        // sign(v · plane) as one bit; dot via zip_with over a literal array
+        val dot = aggregate(
+          zip_with(vec, array(plane.map(lit): _*), (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).cast("long")
+    }: _*)
+  }
+
+  /** Exact top-k: for every query row, the k nearest corpus rows by
+    * cosine (ties broken by corpus id). Query side is broadcast.
+    * `roundAt >= 0` rounds the cosine to that many decimals BEFORE
+    * ranking, so rankings are reproducible against an external oracle
+    * computing the same rounded score. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundAt: Int = -1): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val rawCos = cosineSim(col("qvec"), col("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (if (roundAt >= 0) round(rawCos, roundAt) else rawCos).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k. Candidates = corpus rows sharing
+    * ≥1 bucket with the query in any table; exact cosine re-ranks. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, dim: Int, tables: Int = 8, bits: Int = 12,
+              seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(bucketKeys(col(vecCol), tables, bits, dim, seed))
+            .as(Seq("table", "bucket")))
+    val c = withBuckets(corpus, "neighbor_id", "cvec")
+    val q = withBuckets(queries, "query_id", "qvec")
+    val cand = c.join(q, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ minCosine, candidates from
+    * LSH bucket self-join. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   minCosine: Double, dim: Int, tables: Int = 8, bits: Int = 12,
+                   seed: Long = 42L): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      posexplode(bucketKeys(col(vecCol), tables, bits, dim, seed))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col(idCol).as("a_id"), col(vecCol).as("avec"),
+      col("table"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("bvec"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineSim(col("avec"), col("bvec")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

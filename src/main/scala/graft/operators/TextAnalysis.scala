@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token statistics, fingerprinting. All pure
+  * Catalyst built-ins — the full document scan stays in one
+  * whole-stage-codegen pass, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword-hit
+    * language-ID heuristic. Order matters: ties resolve to the earlier
+    * entry, so the list order is part of the operator's contract. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "se", "del", "por", "con", "para", "como"),
+  )
+
+  private def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+
+  /** Predicted language code from a *materialized* token column, or
+    * "und" when no marker hits at all. Pass an attribute, not a
+    * computed expression — this expression references the token array
+    * at many sites. */
+  def langIdFromTokens(toks: Column): Column = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), els) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Stopword ratio against the English marker set. */
+  def stopwordRatio(tokens: Column): Column =
+    when(size(tokens) === 0, 0.0)
+      .otherwise(markerHits(tokens, LangMarkers.head._2).cast("double") / size(tokens))
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(tokens: Column): Column =
+    when(size(tokens) === 0, 0.0)
+      .otherwise(aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(tokens))
+
+  /** Fraction of characters that are ASCII alphanumeric or space —
+    * a punctuation/noise proxy (0 for empty strings). */
+  def alnumRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double")
+        / length(text))
+
+  /** Whitespace-ish token count after sanitization. */
+  def tokenCount(text: Column): Column = size(tokenize(text)).cast("long")
+
+  /** BPE-ish subword count: word chunks of ≤4 chars + digit runs —
+    * a deterministic proxy for tokenizer cost accounting. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=\\G.{4})|[^a-z0-9]+"), t => t =!= lit("")))
+      .cast("long")
+
+  /** 128-bit content fingerprint of the canonical token stream. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokenize(text)).cast("binary"))
+
+  /** Per-document quality/statistics frame. Tokens are materialized
+    * once, then every statistic reads the bound attribute. */
+  def docStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(textCol), tokenize(col(textCol)).as("_toks"))
+      .select(
+        col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        round(meanTokenLen(col("_toks")), 4).as("mean_tok_len"),
+        round(stopwordRatio(col("_toks")), 4).as("stopword_ratio"),
+        round(alnumRatio(col(textCol)), 4).as("alnum_ratio"),
+      )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over `events`.
+  *
+  * The `ts` column is parquet `timestamp[ns]`. Spark has no nanosecond
+  * timestamp type, so the session reads it as a raw long
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`); DuckDB converts it to
+  * a microsecond TIMESTAMP by floor division. Queries therefore work in
+  * epoch-microseconds (`ts div 1000` ≡ DuckDB `epoch_us(ts)`), which
+  * keeps the two engines bit-identical.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** 30-minute inactivity gap, in microseconds. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gap-based sessionization: one shuffle on user_id, two window
+    // passes (lag → cumulative sum), then a per-session aggregate.
+    // The streaming twin lives in graft.streaming.StreamingSessionize.
+    "e01_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"))
+        .withColumn("prev", lag($"tus", 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull || $"tus" - $"prev" > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_s").over(cum))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"tus").as("session_start_us"), max($"tus").as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    "e02_type_stats" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"),
+          round(avg($"value"), 4).as("avg_value"))
+        .orderBy($"event_type")
+    }),
+
+    // Tumbling 1-hour windows with distinct-user counts.
+    "e03_hourly" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(expr("(ts div 1000) div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+          round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"hour_bucket")
+    }),
+
+    // Per-user activity profile: event span, rate, dominant type.
+    "e04_user_profile" -> ((s, dir) => {
+      import s.implicits._
+      val byType = ev(s, dir)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"user_id").orderBy($"cnt".desc, $"event_type")
+      val top = byType.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("top_type"))
+      ev(s, dir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("span_us"))
+        .join(top, "user_id")
+        .select($"user_id", $"n_events", $"span_us", $"top_type")
+        .orderBy($"user_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         |w AS (SELECT user_id, event_id, tus,
+         |        CASE WHEN lag(tus, 1) OVER win IS NULL
+         |                  OR tus - lag(tus, 1) OVER win > $SessionGapUs
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT user_id, tus,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM w)
+         |SELECT user_id, session_id, CAST(min(tus) AS BIGINT) AS session_start_us,
+         |       CAST(max(tus) AS BIGINT) AS session_end_us, count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "e02_type_stats" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value,
+        |round(avg(value),4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e03_hourly" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
+        |count(DISTINCT user_id) AS n_users, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+    "e04_user_profile" ->
+      """WITH bytype AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type),
+        |top AS (
+        |  SELECT user_id, event_type AS top_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        |    FROM bytype) r WHERE rn = 1),
+        |prof AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.n_events, p.span_us, t.top_type
+        |FROM prof p JOIN top t ON p.user_id = t.user_id
+        |ORDER BY p.user_id""".stripMargin,
+  )
+}

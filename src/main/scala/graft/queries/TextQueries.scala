@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Bigrams, TextAnalysis}
+
+/** Text-analysis queries over the `documents` table, each with a
+  * DuckDB oracle that mirrors the exact same sanitize/tokenize
+  * semantics (RE2's `\w`/`\s` are ASCII-only just like Java regex, and
+  * DuckDB's `regexp_replace` needs the 'g' flag to match Java
+  * `replaceAll`).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** DuckDB expression for the sanitized, empty-filtered token list. */
+  private val SqlToks =
+    """list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The reference's flagship computation, lifted onto the documents
+    // table: per-document records (bigrams never cross documents).
+    "t01_bigram_counts" -> ((s, dir) => {
+      import s.implicits._
+      Bigrams.counts(docs(s, dir).select($"text".as("value")))
+        .orderBy($"bigram")
+    }),
+
+    "t02_token_count" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    "t03_doc_stats" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.docStats(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+    }),
+
+    "t04_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    "t05_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", tokenize($"text").as("_toks"))
+        .select($"doc_id", TextAnalysis.langIdFromTokens($"_toks").as("pred_lang"))
+        .orderBy($"doc_id")
+    }),
+
+    "t06_source_stats" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          round(avg($"n_chars"), 2).as("avg_chars"))
+        .orderBy($"source")
+    }),
+
+    // Word trigram frequencies — the n-gram generalization.
+    "t07_trigram_top" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(tokenize($"text").as("_toks"))
+        .select(explode(ngrams($"_toks", 3)).as("trigram"))
+        .groupBy($"trigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"trigram")
+        .limit(100)
+    }),
+  )
+
+  private def langCaseSql: String = {
+    val hits = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(t, x -> list_contains($set, x)))"
+    }
+    val best = hits.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val cases = hits.map { case (lang, h) =>
+      s"WHEN $h > 0 AND $h = best THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+       |scored AS (SELECT doc_id, t, $best AS best FROM toks)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t01_bigram_counts" ->
+      s"""WITH toks AS (SELECT $SqlToks AS t FROM documents)
+         |SELECT bigram, count(*) AS count FROM (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || '+' || t[i+1])) AS bigram
+         |  FROM toks)
+         |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "t02_token_count" ->
+      s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t03_doc_stats" ->
+      s"""WITH toks AS (SELECT doc_id, text, $SqlToks AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN len(t) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) END, 4) AS mean_tok_len,
+         |  round(CASE WHEN len(t) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS DOUBLE) / len(t) END, 4) AS stopword_ratio,
+         |  round(CASE WHEN len(text) = 0 THEN 0.0
+         |    ELSE CAST(len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) END, 4) AS alnum_ratio
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string($SqlToks, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t05_lang_id" -> langCaseSql,
+
+    "t06_source_stats" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |round(avg(n_chars),2) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t07_trigram_top" ->
+      s"""WITH toks AS (SELECT $SqlToks AS t FROM documents)
+         |SELECT trigram, count(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+         |  FROM toks)
+         |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 100""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming sessionization — the streaming twin of the
+  * batch `e01_sessionize` query (same 30-minute-gap semantics).
+  *
+  * Design: event-time watermark + `flatMapGroupsWithState` keyed by
+  * user. State per user = the one open session; events that arrive
+  * within the gap extend it, a larger gap closes it (emitting the
+  * closed session) and opens a new one. Event-time timeout fires when
+  * the watermark passes `session end + gap`, flushing idle sessions.
+  *
+  * Scale posture: state is O(#active users), not O(#events); the only
+  * shuffle is the groupByKey on user_id; watermark bounds state
+  * retention so a 100 TB/day stream cannot grow state unboundedly.
+  * In-batch disorder is handled by sorting each micro-batch's group;
+  * cross-batch disorder inside the watermark merges into the open
+  * session when it overlaps, which matches the batch query for
+  * watermark-respecting streams.
+  */
+object StreamingSessionize {
+
+  case class Event(user_id: Long, event_id: Long, tus: Long)
+  case class OpenSession(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, session_start_us: Long,
+                     session_end_us: Long, n_events: Long)
+
+  val DefaultGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** events must carry an event-time `ts_micro: timestamp` column used
+    * for the watermark (build it with `timestamp_micros(tus)`). */
+  def sessionize(events: Dataset[Event], gapUs: Long = DefaultGapUs,
+                 watermarkDelay: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts_micro", timestamp_micros($"tus"))
+      .withWatermark("ts_micro", watermarkDelay)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) => flushGroup(uid, rows, state, gapUs))
+  }
+
+  private def flushGroup(uid: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+                         state: GroupState[OpenSession], gapUs: Long): Iterator[Session] = {
+    if (!rows.hasNext) {
+      // event-time timeout: the watermark passed end+gap — close out.
+      val out = state.getOption.map(s => Session(uid, s.start, s.end, s.n)).iterator
+      state.remove()
+      return out
+    }
+    val times = rows.map(_._3).toArray.sorted
+    val closed = Vector.newBuilder[Session]
+    var cur = state.getOption
+    for (t <- times) {
+      cur match {
+        case Some(s) if t - s.end <= gapUs && t >= s.start - gapUs =>
+          cur = Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+        case Some(s) =>
+          closed += Session(uid, s.start, s.end, s.n)
+          cur = Some(OpenSession(t, t, 1))
+        case None =>
+          cur = Some(OpenSession(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // flush when watermark passes the gap after session end
+      state.setTimeoutTimestamp(s.end / 1000 + gapUs / 1000)
+    }
+    closed.result().iterator
+  }
+}
