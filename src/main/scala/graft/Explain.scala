@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection + micro-profiling CLI.
+  *
+  * Usage: graft.Explain <sfDir> [queryName ...]
+  * For each query: two timed runs (cold incl. codegen, then warm) and
+  * the formatted physical plan. No args → all queries, timings only.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.get("graft-explain")
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      def timed(): Double = {
+        val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      val cold = timed(); val warm = timed()
+      println(f"== $name%-28s cold=$cold%7.2fs warm=$warm%7.2fs")
+      if (args.length > 1) println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

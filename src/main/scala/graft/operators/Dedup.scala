@@ -100,19 +100,17 @@ object Dedup {
       .select(explode(pairCombinations(col("ids"))).as("p"))
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct()
-    // verify candidates with exact Jaccard over shingle sets
-    val sh = shingles(docs, idCol, textCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col(idCol).as("b_id"), col("shingle").as("shingle_b")), "b_id")
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sa")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sb")), "b_id")
+    // verify candidates with exact Jaccard via array_intersect on the
+    // per-doc shingle SETS — candidates are few, so two hash joins on
+    // small arrays beat re-exploding the whole shingle inverted index
+    val sets = docs.select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
+    cand
+      .join(sets.select(col(idCol).as("a_id"), col("_set").as("sa")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("_set").as("sb")), "b_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .select(col("a_id"), col("b_id"),
-        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+        (col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -25,21 +26,21 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Deterministic ±1 random-projection hyperplanes: tables × bits
-    * planes of dimension dim. */
-  private[graft] def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
-  }
-
-  /** Bucket keys (`array<long>`, one per table) for an embedding. */
+  /** Bucket keys (`array<long>`, one per table) for an embedding —
+    * the native one-pass [[VectorFunctions.RandomProjectionSig]]. */
   private[graft] def bucketKeys(vec: Column, tables: Int, bits: Int, dim: Int,
-                                seed: Long): Column = {
-    val ps = planes(tables, bits, dim, seed)
+                                seed: Long): Column =
+    rpSignature(vec, tables, bits, seed)
+
+  /** Built-in-composition twin of [[bucketKeys]] (tables·bits zip_with
+    * dots) — interpreted, kept only to cross-check the native
+    * expression in tests. */
+  private[graft] def bucketKeysBuiltin(vec: Column, tables: Int, bits: Int, dim: Int,
+                                       seed: Long): Column = {
+    val ps = VectorFunctions.planesFor(tables, bits, dim, seed)
     array((0 until tables).map { t =>
       (0 until bits).map { b =>
-        val plane = ps(t)(b)
-        // sign(v · plane) as one bit; dot via zip_with over a literal array
+        val plane = ps(t * bits + b)
         val dot = aggregate(
           zip_with(vec, array(plane.map(lit): _*), (x, p) => x.cast("double") * p),
           lit(0.0), (acc, v) => acc + v)

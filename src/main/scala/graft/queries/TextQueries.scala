@@ -69,6 +69,19 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // ZIP-source roundtrip under the oracle gate: pack the first 50
+    // documents into an archive (one entry per doc), read it back
+    // through the custom ZIP-entry source, count bigrams per entry
+    // record. The oracle computes the same counts straight from the
+    // documents table — so entry splitting, byte fidelity, and record
+    // granularity are all hash-checked.
+    "t08_zip_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val zipPath = buildDocsZip(s, dir)
+      Bigrams.counts(graft.sources.ZipEntries.entryText(s, zipPath))
+        .orderBy($"bigram")
+    }),
+
     // Word trigram frequencies — the n-gram generalization.
     "t07_trigram_top" -> ((s, dir) => {
       import s.implicits._
@@ -80,6 +93,28 @@ object TextQueries {
         .limit(100)
     }),
   )
+
+  /** Deterministic test archive: first 50 docs of `dir`, one ZIP entry
+    * each, built once per (dir) under the system temp dir. */
+  private def buildDocsZip(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_docs_$tag.zip")
+    if (!java.nio.file.Files.exists(path)) {
+      val docs = Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 50).select($"doc_id", $"text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val zos = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(path))
+      try docs.foreach { case (id, text) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(f"doc_$id%05d.txt"))
+        zos.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zos.closeEntry()
+      } finally zos.close()
+    }
+    path.toString
+  }
 
   private def langCaseSql: String = {
     val hits = TextAnalysis.LangMarkers.map { case (lang, ms) =>
@@ -99,6 +134,13 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "t01_bigram_counts" ->
       s"""WITH toks AS (SELECT $SqlToks AS t FROM documents)
+         |SELECT bigram, count(*) AS count FROM (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || '+' || t[i+1])) AS bigram
+         |  FROM toks)
+         |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "t08_zip_roundtrip" ->
+      s"""WITH toks AS (SELECT $SqlToks AS t FROM documents WHERE doc_id < 50)
          |SELECT bigram, count(*) AS count FROM (
          |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || '+' || t[i+1])) AS bigram
          |  FROM toks)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a corpus with: exact dups (0,1), near-dups (2,3), distinct (4,5)
+  private lazy val corpus = Seq(
+    (0L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the QUICK brown fox, jumps over the lazy dog near the river bank today!!"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu CHANGED"),
+    (4L, "completely different content about databases and distributed query engines"),
+    (5L, "spark catalyst optimizer pushes filters below joins for scan pruning wins"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalization-equal docs collapse, min id survives") {
+    val keep = Dedup.exactKeepIds(corpus, "doc_id", "text").as[Long].collect().sorted.toSeq
+    assert(keep == Seq(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("exact groups report multiplicity") {
+    val groups = Dedup.exactGroups(corpus, "doc_id", "text")
+      .select($"keep_id", $"n_dups").as[(Long, Long)].collect().toMap
+    assert(groups(0L) == 2L)
+    assert(groups(2L) == 1L)
+  }
+
+  test("n-gram Jaccard finds exact and near pairs with correct scores") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical after sanitization
+    assert(pairs.contains((2L, 3L)) && pairs((2L, 3L)) > 0.5)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("MinHash-LSH recall: finds every pair the exact method finds (small corpus)") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minHashPairs(corpus, "doc_id", "text", n = 3, k = 64, bands = 16,
+        minJaccard = 0.5)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    // LSH verifies candidates with the same exact Jaccard → lsh ⊆ exact,
+    // and at J ≥ 0.5 with 16×4 banding recall should be total here
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    assert(exact.nonEmpty)
+  }
+
+  test("MinHash-LSH agrees with exact method on the real documents table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashPairs(docs, "doc_id", "text", n = 3, k = 64, bands = 16,
+        minJaccard = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // banding (16 bands × 4 rows): P[miss | J=0.5] = (1-0.5^4)^16 ≈ 0.36,
+    // but pairs here are mostly J≈1 dups → expect near-total recall
+    val missed = exact -- lsh
+    assert(missed.size <= math.max(1, exact.size / 5), s"missed $missed of $exact")
+  }
+
+  test("SimHash finds near-identical docs within Hamming 3") {
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical after sanitize → distance 0
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("brute-force top-k: ranks are 1..k per query, scores non-increasing") {
+    val q = emb.filter($"vec_id" < 4)
+    val res = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+    val byQuery = res.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head >= p.last))
+      assert(!rows.exists(r => r._2 == r._1)) // self excluded
+    }
+  }
+
+  test("LSH top-k recall vs brute force on real embeddings") {
+    val q = emb.filter($"vec_id" < 16)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5, dim = 64,
+        tables = 16, bits = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // random 64-dim vectors are a worst case for LSH; just require the
+    // buckets to be doing clearly better than nothing
+    assert(recall > 0.2, s"recall $recall")
+  }
+
+  test("nearDupPairs finds planted exact duplicates with cosine 1.0") {
+    val planted = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding", $"label")
+    val res = Similarity.nearDupPairs(emb.filter($"vec_id" < 100).unionByName(planted),
+        "vec_id", "embedding", minCosine = 0.99, dim = 64)
+      .select($"a_id", $"b_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(res.length == 10)
+    assert(res.forall { case (a, b, c) => b == a + 1000L && math.abs(c - 1.0) < 1e-9 })
+  }
+}

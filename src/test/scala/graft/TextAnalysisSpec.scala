@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pred(text: String): String =
+    Seq(text).toDF("text")
+      .select(tokenize($"text").as("t"))
+      .select(TextAnalysis.langIdFromTokens($"t")).as[String].head()
+
+  test("langId picks the language with most marker hits") {
+    assert(pred("the cat and the dog sat in the house, it was warm") == "en")
+    assert(pred("der Hund und die Katze, das ist nicht mit ein Problem zu den") == "de")
+    assert(pred("le chat et la maison, les enfants pour une est que") == "fr")
+    assert(pred("el perro y los gatos, las casas del pueblo por con para como") == "es")
+    assert(pred("zzz qqq xxx") == "und")
+    assert(pred("") == "und")
+  }
+
+  test("docStats: values for a known document") {
+    val df = Seq((7L, "The cat and the dog!! 12345 ...")).toDF("doc_id", "text")
+    val row = TextAnalysis.docStats(df, "doc_id", "text").collect().head
+    assert(row.getAs[Long]("n_tokens") == 6L)          // the cat and the dog 12345
+    assert(row.getAs[Double]("mean_tok_len") == 3.3333) // 20 token chars / 6 tokens
+    assert(row.getAs[Double]("stopword_ratio") == 0.5)  // the, and, the
+    // "[^A-Za-z0-9 ]" strips "!!" and "..." → keeps 26 of 31 chars
+    assert(row.getAs[Double]("alnum_ratio") == 0.8387)
+  }
+
+  test("docStats: empty doc is all zeros") {
+    val row = TextAnalysis.docStats(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(row.getAs[Long]("n_tokens") == 0L)
+    assert(row.getAs[Double]("mean_tok_len") == 0.0)
+    assert(row.getAs[Double]("stopword_ratio") == 0.0)
+    assert(row.getAs[Double]("alnum_ratio") == 0.0)
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val fps = Seq("Hello,   World!", "hello world", "HELLO... WORLD")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps.distinct.length == 1)
+    assert(fps.head.matches("[0-9a-f]{32}"))
+  }
+
+  test("token and subword counting") {
+    val df = Seq("internationalization 42 ok").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).as[Long].head() == 3L)
+    // internationalization → 5 chunks of ≤4, "42" → 1, "ok" → 1
+    assert(df.select(TextAnalysis.subwordCount($"text")).as[Long].head() == 7L)
+  }
+}
