@@ -54,7 +54,10 @@ object Dedup {
     * when shingles are near-unique; use [[minHashPairs]] otherwise. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // no .cache(): an operator can't know when to unpersist, and leaked
+    // cache blocks accumulate GC pressure across a query batch;
+    // recomputing the cheap shingle scan is the better trade
+    val sh = shingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("a_id"), col("shingle"))
     val b = sh.select(col(idCol).as("b_id"), col("shingle"))
