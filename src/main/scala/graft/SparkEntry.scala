@@ -32,12 +32,14 @@ object SparkEntry {
     * LLM-pipeline extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++
+      MultimodalQueries.queries ++ AdvancedQueries.queries
 
   /** DuckDB-equivalent SQL per query; queries absent here get the
     * driver's weaker rows-only check (hash-family-specific operators:
     * MinHash, SimHash, random-projection LSH). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ EventQueries.oracles ++
+      MultimodalQueries.oracles ++ AdvancedQueries.oracles
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Aggregators
+
+/** Advanced operator coverage: as-of join, range join, pivot, exact
+  * percentiles, JSON extraction, custom typed UDAF. Each with a DuckDB
+  * oracle mirroring the semantics exactly.
+  */
+object AdvancedQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each purchase ↔ the user's most recent click at or
+    // before it. Composed as equi-join on user + backward filter +
+    // row_number — shuffles only on user_id; per-user candidate sets
+    // are bounded, so no custom SparkPlan is needed at this shape.
+    "a01_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("tus"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("ptus"))
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"tus".as("ctus"))
+      val w = Window.partitionBy($"purchase_id")
+        .orderBy($"ctus".desc, $"click_id".desc)
+      p.join(c, "user_id")
+        .filter($"ctus" <= $"ptus")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"purchase_id", $"click_id", ($"ptus" - $"ctus").as("gap_us"))
+        .orderBy($"purchase_id")
+    }),
+
+    // Range join: views of the same user within the hour before each
+    // purchase (left join → purchases with zero views kept).
+    "a02_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("tus"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("ptus"))
+      val v = e.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"tus".as("vtus"))
+      p.join(v, p("user_id") === v("user_id") &&
+          $"vtus" >= $"ptus" - 3600000000L && $"vtus" <= $"ptus", "left")
+        .groupBy($"purchase_id")
+        .agg(count($"view_id").as("n_views_1h"))
+        .orderBy($"purchase_id")
+    }),
+
+    // Pivot: event-type counts as columns per user.
+    "a03_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = ev(s, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select($"user_id" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy($"user_id")
+    }),
+
+    // Exact interpolated percentiles per event type.
+    "a04_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy($"event_type")
+    }),
+
+    // JSON extraction from the props column.
+    "a05_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .select(get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    }),
+
+    // Custom typed UDAF (Aggregator): geometric mean of order value.
+    "a06_geomean_udaf" -> ((s, dir) => {
+      import s.implicits._
+      val geo = udaf(Aggregators.GeometricMean)
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(round(geo($"o_totalprice"), 2).as("geo_price"), count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a01_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus FROM e WHERE event_type = 'click'),
+        |j AS (SELECT purchase_id, click_id, ptus - ctus AS gap_us,
+        |        row_number() OVER (PARTITION BY purchase_id ORDER BY ctus DESC, click_id DESC) AS rn
+        |      FROM p JOIN c USING (user_id) WHERE ctus <= ptus)
+        |SELECT purchase_id, click_id, CAST(gap_us AS BIGINT) AS gap_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "a02_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, tus AS vtus FROM e WHERE event_type = 'view')
+        |SELECT p.purchase_id, count(v.view_id) AS n_views_1h
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.vtus >= p.ptus - 3600000000 AND v.vtus <= p.ptus
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
+
+    "a03_pivot" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'error') AS error,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a04_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.9), 4) AS p90,
+        |round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a05_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "a06_geomean_udaf" ->
+      """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 2) AS geo_price,
+        |count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}
