@@ -97,6 +97,62 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * assigns every corpus vector to its nearest centroid; each query
+    * probes only the `nProbe` nearest centroid lists and re-ranks those
+    * candidates with exact cosine.
+    *
+    * Scale posture: the centroid model is tiny (nLists × dim) and
+    * broadcast by MLlib's transform; the corpus is scanned once for
+    * assignment; the probe join shuffles on the centroid id, so query
+    * cost is |corpus|·(nProbe/nLists) exact cosines instead of
+    * |corpus|. Train on a sample at 100 TB — the quantizer does not
+    * need the full corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val featNamed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(featNamed.select(col("features")))
+    val centroids = model.clusterCenters
+
+    val assigned = model.transform(featNamed)
+      .select(col("neighbor_id"), col("cvec"), col("prediction").as("list_id"))
+
+    // query → its nProbe nearest centroid ids (tiny, computed per row)
+    val centB = queries.sparkSession.sparkContext.broadcast(centroids)
+    import queries.sparkSession.implicits._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, vec) =>
+        val cents: Array[Vector] = centB.value
+        cents.indices.map { i =>
+          var d = 0.0
+          val c = cents(i)
+          var j = 0
+          while (j < vec.length) { val diff = vec(j) - c(j); d += diff * diff; j += 1 }
+          (qid, vec, i, d)
+        }.sortBy(_._4).take(nProbe)
+      }.toDF("query_id", "qvec", "list_id", "dist")
+      .select(col("query_id"), col("qvec"), col("list_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(q, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ minCosine, candidates from
     * LSH bucket self-join. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

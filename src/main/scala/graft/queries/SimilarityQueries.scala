@@ -41,6 +41,17 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF ANN: KMeans coarse quantizer + probe-list re-rank (rows-only:
+    // clustering is model-specific; recall is asserted in unit tests).
+    "s05_knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val q = e.filter($"vec_id" < 8)
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Embedding near-duplicate pairs via LSH + exact verify. The raw
     // corpus has no near-dups (max pairwise cosine ≈ 0.51), so the
     // query plants exact duplicates of the first 20 vectors (id+1e6) —
