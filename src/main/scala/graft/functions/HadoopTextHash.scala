@@ -42,6 +42,15 @@ object HadoopTextHash {
     h
   }
 
+  /** Same hash over a JVM String (driver/RDD side). */
+  def compute(s: String): Int = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 1
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
   def textHash(c: Column): Column =
     ColumnBridge.column(TextHash(ColumnBridge.expression(c)))
 

@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-quality regression gates: the properties PLANS.md documents,
+  * asserted programmatically so a refactor can't silently lose
+  * pushdown, broadcast placement, or partial aggregation. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"), p.take(500))
+    assert(p.contains("GreaterThan(l_quantity,45.0)") || p.contains("l_quantity#"),
+      "quantity predicate not pushed")
+    // only the 4 needed columns + filter columns in ReadSchema
+    assert(!p.contains("l_tax"), "scan reads unneeded columns")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(300))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial+final agg pair")
+  }
+
+  test("q03: top-k plans TakeOrderedAndProject, no global sort") {
+    val p = plan("q03_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q04: small dims broadcast") {
+    val p = plan("q04_region_rollup")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q05/q06: semi and anti joins plan as such") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("t01: bigram pipeline has exactly one data shuffle pre-aggregation") {
+    val p = plan("t01_bigram_counts")
+    // shuffles: one for groupBy(bigram), one range-partitioning for the
+    // final orderBy — nothing else
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"unexpected shuffle count in:\n${p.take(800)}")
+    assert(p.contains("Generate explode"), "bigram explode missing")
+    assert(!p.toLowerCase.contains("batchevalpython"), "python udf crept in")
+  }
+
+  test("s01: brute-force ANN broadcasts the query side") {
+    val p = plan("s01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(400))
+    assert(p.contains("cosine_similarity"), "native cosine expression not in plan")
+  }
+}
