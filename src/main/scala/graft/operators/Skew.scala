@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew-mitigation primitives.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin`) already
+  * splits oversized sort-merge partitions at runtime — prefer it.
+  * These utilities cover the cases AQE doesn't reach:
+  *  - a broadcast-infeasible join whose *build* side is small enough to
+  *    replicate `saltBuckets`× but whose probe side has heavy-hitter
+  *    keys ([[saltedJoin]]);
+  *  - high-cardinality-accumulator aggregations (e.g. collect_set,
+  *    count distinct) where one hot group overwhelms a single reducer
+  *    ([[twoPhaseDistinctCount]]).
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `keys`, with the big side's rows
+    * scattered across `saltBuckets` sub-keys and the small side
+    * replicated to match — one hot key spreads over `saltBuckets`
+    * reducers instead of melting one. Result identical to the plain
+    * join. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets >= 1)
+    // deterministic per-row scatter: hash the full row (varies within a
+    // key group) rather than rand() (breaks retry idempotence)
+    val bigSalted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets))
+        .cast("int"))
+    val smallSalted = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    bigSalted.join(smallSalted, keys :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** count(DISTINCT valueCol) per group, two-phase: first collapse
+    * (group, value) pairs — spreading a hot group across reducers by
+    * the value hash — then count per group. */
+  def twoPhaseDistinctCount(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    df.select((groupCols :+ valueCol).map(col): _*)
+      .distinct() // shuffles on (group, value): hot groups spread by value
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as(s"nd_$valueCol"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewAndBucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: identical results to a plain join on a skewed key") {
+    // 90% of the big side hits one key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, s"row$i"))
+      .toDF("k", "payload")
+    val small = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (99L, "unmatched"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).as[(Long, String, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
+      .as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+    // 1800 non-multiples of 10 map to key 0, plus the 28 multiples of 70
+    assert(plain.count(_._1 == 0L) == 1828)
+  }
+
+  test("saltedJoin: left join keeps unmatched probe rows exactly once") {
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "w")
+    val res = Skew.saltedJoin(big, small, Seq("k"), 4, "left")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(res == Set((1L, "a", Some("x")), (2L, "b", None), (3L, "c", None)))
+  }
+
+  test("twoPhaseDistinctCount matches countDistinct") {
+    val df = (1 to 1000).map(i => (i % 3, s"v${i % 37}")).toDF("g", "v")
+    val expected = df.groupBy($"g").agg(countDistinct($"v").as("nd_v"))
+      .as[(Int, Long)].collect().toMap
+    val got = Skew.twoPhaseDistinctCount(df, Seq("g"), "v")
+      .as[(Int, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: SortMergeJoin, no hashpartitioning
+      // exchange on either join key
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        "bucketed join still shuffles a join side")
+      // and it still computes the right thing
+      val viaBuckets = joined.as[(String, Long)].collect().toMap
+      val direct = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count().as[(String, Long)].collect().toMap
+      assert(viaBuckets == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
