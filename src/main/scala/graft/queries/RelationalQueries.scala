@@ -277,6 +277,63 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Full outer join: per-nation customer/supplier presence.
+    "q25_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+      c.join(sup, $"c_nationkey" === $"s_nationkey", "full_outer")
+        .select(coalesce($"c_nationkey", $"s_nationkey").as("nk"),
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
+        .orderBy($"nk")
+    }),
+
+    // GROUPING SETS with grouping_id — finer than rollup/cube.
+    "q26_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+          $"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Ordered array aggregation, emitted as a string for stable compare.
+    "q27_array_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .groupBy($"n_regionkey")
+        .agg(array_join(slice(sort_array(collect_list($"n_name")), 1, 3), ",")
+          .as("first_nations"), count(lit(1)).as("n"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // Date arithmetic: ship delay in days bucketed per month.
+    "q28_date_arith" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .select(year($"o_orderdate").cast("long").as("yr"),
+          datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")).cast("long")
+            .as("delay"))
+        .groupBy($"yr")
+        .agg(count(lit(1)).as("n"), round(avg($"delay"), 4).as("avg_delay"),
+          max($"delay").as("max_delay"))
+        .orderBy($"yr")
+    }),
+
+    // Regex extraction (shared RE2/Java-compatible pattern).
+    "q29_regexp_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select(regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"))
+        .filter($"brand_num" =!= "")
+        .groupBy($"brand_num").agg(count(lit(1)).as("n"))
+        .orderBy($"brand_num")
+    }),
+
     // Join on computed key + range predicate (non-equi residual).
     "q24_theta_join" -> ((s, dir) => {
       import s.implicits._
@@ -415,6 +472,37 @@ object RelationalQueries {
     "q23_topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q25_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nk,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey ORDER BY nk""".stripMargin,
+
+    "q26_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q27_array_agg" ->
+      """SELECT n_regionkey,
+        |       array_to_string(list_sort(list(n_name))[1:3], ',') AS first_nations,
+        |       count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q28_date_arith" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+        |round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay,
+        |CAST(max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS max_delay
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q29_regexp_extract" ->
+      """SELECT brand_num, count(*) AS n FROM (
+        |  SELECT regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num FROM part) t
+        |WHERE brand_num <> '' GROUP BY brand_num ORDER BY brand_num""".stripMargin,
 
     "q24_theta_join" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
