@@ -30,7 +30,26 @@ object GraftSession {
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
+  }
+
+  /** Expose the engine's custom Catalyst expressions to SQL:
+    * `SELECT cosine_similarity(a.embedding, b.embedding)`, `simhash64`,
+    * `minhash_sig`, `rp_signature`, `hadoop_text_hash`. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      es => graft.functions.VectorFunctions.CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => graft.functions.Hashing.SimHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hadoop_text_hash",
+      es => graft.functions.HadoopTextHash.TextHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => graft.functions.Hashing.MinHashSig(es.head, 64, 42L), "scala_udf")
+    reg.createOrReplaceTempFunction("rp_signature",
+      es => graft.functions.VectorFunctions.RandomProjectionSig(es.head, 8, 12, 42L),
+      "scala_udf")
   }
 }
 

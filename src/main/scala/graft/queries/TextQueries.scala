@@ -82,6 +82,21 @@ object TextQueries {
         .orderBy($"bigram")
     }),
 
+    // The reference's own committed sample corpus, line-record mode —
+    // the exact job `WordCountV2` ran. Exact counts are asserted in
+    // BigramsSpec against the SURVEY §8.3 oracle (75,584 distinct /
+    // 647,399 total, `zu+i → 1700`); the driver's check here is
+    // rows-only, and the bench timing measures reference-corpus
+    // throughput (the reference's own cluster runs took minutes of
+    // MapReduce overhead for this workload shape).
+    "t09_reference_corpus" -> ((s, dir) => {
+      import s.implicits._
+      Bigrams.fromTextFiles(s,
+        "/root/reference/src/main/resources/sample/zuni.txt",
+        Bigrams.RecordMode.Lines)
+        .orderBy($"bigram")
+    }),
+
     // Word trigram frequencies — the n-gram generalization.
     "t07_trigram_top" -> ((s, dir) => {
       import s.implicits._
