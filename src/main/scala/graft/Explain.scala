@@ -14,7 +14,11 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.get("graft-explain")
     for (name <- names) {
-      val fn = SparkEntry.queries(name)
+      // "corpus:<path>" times the bigram pipeline over arbitrary text files
+      val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name.startsWith("corpus:"))
+          (s, _) => operators.Bigrams.fromTextFiles(s, name.stripPrefix("corpus:"))
+        else SparkEntry.queries(name)
       def timed(): Double = {
         val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
       }

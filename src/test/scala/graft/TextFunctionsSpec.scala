@@ -52,6 +52,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(uni == ts)
   }
 
+  test("native tokenize matches the regex composition on varied inputs") {
+    val cases = Seq(
+      "Hello, World!!", "foo_bar_ baz", "Zuñi", "page 42, line 7",
+      "  a   b  ", "...", "", "многа букф ok123", "a\tb\ncd",
+      "MiXeD CaSe 99Bottles", "__x__", "ñ42ñ", "end.")
+    for (s <- cases) {
+      val df = Seq(s).toDF("v")
+      val native = df.select(tokenize($"v")).as[Seq[String]].head()
+      val builtin = df.select(tokenizeBuiltin($"v")).as[Seq[String]].head()
+      assert(native == builtin, s"input '$s'")
+    }
+  }
+
+  test("native ngrams matches the built-in composition on varied inputs") {
+    val cases = Seq(
+      Seq("a", "b", "c", "d"), Seq("x"), Seq.empty[String],
+      Seq("multi", "byte", "Zuñi", "ok"), (1 to 50).map(i => s"t$i"))
+    for (ts <- cases; n <- 1 to 3) {
+      val df = Seq(ts).toDF("t")
+      val native = df.select(ngrams($"t", n)).as[Seq[String]].head()
+      val builtin = df.select(ngramsBuiltin($"t", n)).as[Seq[String]].head()
+      assert(native == builtin, s"n=$n toks=$ts")
+    }
+  }
+
   test("charShingles") {
     val sh = Seq("abcd").toDF("v").select(charShingles($"v", 3)).as[Seq[String]].head()
     assert(sh == Seq("abc", "bcd"))
