@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON metric line.
+  *
+  * Driver-parseability (VERDICT r01 "What's wrong" #5):
+  *  - queries run and report in SORTED name order, so timing
+  *    attribution is stable across JVMs (Map iteration order is not);
+  *  - a full warm pass runs at the TARGET sf first (pays FS listing,
+  *    parquet footer reads, codegen, JIT), so the timed pass measures
+  *    execution — q10_distinct's 4.8 s in r01 was warm-up noise;
+  *  - the JSON line is written to `bench_out.json` AND printed bare to
+  *    stdout (build.sbt forces OutputStrategy.StdoutOutput so sbt does
+  *    not prefix forked output with "[info] ").
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,22 +27,31 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm-up pass at the smallest SF: exercises codegen/classloading
-    // for every plan so the timed runs measure execution, not JIT.
+    spark.sparkContext.setLogLevel("ERROR")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warm pass 1 at the smallest SF: classloading + codegen per plan.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    ordered.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm pass 2 at the TARGET SF: file listing, parquet footers, OS
+    // page cache — otherwise the first timed query absorbs all of it.
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // File fallback for the driver, then the bare stdout line.
+    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

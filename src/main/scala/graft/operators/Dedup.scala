@@ -50,18 +50,28 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard over the shingle inverted index.
     * `(a_id, b_id, jaccard)` for pairs with jaccard ≥ minJaccard.
-    * Join is on shingle equality: cost ∝ Σ_shingle df(shingle)² — fine
-    * when shingles are near-unique; use [[minHashPairs]] otherwise. */
+    * Join is on shingle equality: cost ∝ Σ_shingle df(shingle)², so
+    * boilerplate shingles shared by many documents are dropped first —
+    * a shingle with df > maxDf carries ~zero Jaccard signal but df²
+    * join rows. The cap applies to the shingle SETS (both the
+    * intersection index and the set sizes), keeping Jaccard
+    * self-consistent. Use [[minHashPairs]] as the scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        maxDf: Int = 1000): DataFrame = {
     // no .cache(): an operator can't know when to unpersist, and leaked
     // cache blocks accumulate GC pressure across a query batch;
     // recomputing the cheap shingle scan is the better trade
-    val sh = shingles(docs, idCol, textCol, n)
+    val shAll = shingles(docs, idCol, textCol, n)
+    // hot set is small by construction (≤ total-occurrences / maxDf):
+    // AQE turns the anti-join into a broadcast at runtime
+    val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select(col("shingle"))
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("a_id"), col("shingle"))
-    val b = sh.select(col(idCol).as("b_id"), col("shingle"))
-    val inter = a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id"))
+    val a = sh.select(col(idCol).as("a_id"), col("shingle")).alias("a")
+    val b = sh.select(col(idCol).as("b_id"), col("shingle")).alias("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sa")), "a_id")

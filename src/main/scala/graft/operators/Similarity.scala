@@ -97,6 +97,32 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Fit the IVF coarse quantizer on a SAMPLE of the corpus. A KMeans
+    * quantizer needs only enough points to place nLists centroids —
+    * never the full corpus (at 100 TB a full-corpus fit is ×maxIter
+    * full scans). `trainFraction` bounds the scan, `maxTrain` bounds
+    * the driver-side KMeans working set; tiny corpora (sample smaller
+    * than 4·nLists) fall back to the full frame so small-SF tests stay
+    * well-conditioned. */
+  def fitIvfQuantizer(corpus: DataFrame, vecCol: String, nLists: Int,
+                      seed: Long = 42L, trainFraction: Double = 0.1,
+                      maxTrain: Int = 65536): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val sampled = feat.sample(withReplacement = false, trainFraction, seed).limit(maxTrain)
+    val train = if (sampled.count() < 4L * nLists) feat else sampled
+    new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+  }
+
+  /** Quantizer memo: (cacheKey, nLists) → fitted model. The model is a
+    * tiny nLists×dim table; refitting it for every query invocation
+    * (bench reruns, repeated probes against the same corpus) is pure
+    * waste. Callers opt in by passing a stable key for the corpus. */
+  private val quantizerCache =
+    new scala.collection.concurrent.TrieMap[(String, Int),
+      org.apache.spark.ml.clustering.KMeansModel]()
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * assigns every corpus vector to its nearest centroid; each query
     * probes only the `nProbe` nearest centroid lists and re-ranks those
@@ -106,19 +132,23 @@ object Similarity {
     * broadcast by MLlib's transform; the corpus is scanned once for
     * assignment; the probe join shuffles on the centroid id, so query
     * cost is |corpus|·(nProbe/nLists) exact cosines instead of
-    * |corpus|. Train on a sample at 100 TB — the quantizer does not
-    * need the full corpus.
+    * |corpus|. The quantizer trains on a bounded sample
+    * ([[fitIvfQuantizer]]) and is reused across calls when `cacheKey`
+    * identifies the corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+              k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
     val featNamed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(featNamed.select(col("features")))
+    val model = cacheKey match {
+      case Some(key) => quantizerCache.getOrElseUpdate((key, nLists),
+        fitIvfQuantizer(corpus, vecCol, nLists, seed))
+      case None => fitIvfQuantizer(corpus, vecCol, nLists, seed)
+    }
     val centroids = model.clusterCenters
 
     val assigned = model.transform(featNamed)

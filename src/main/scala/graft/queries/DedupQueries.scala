@@ -7,10 +7,16 @@ import graft.Tables
 import graft.operators.Dedup
 
 /** Deduplication queries over `documents`. Exact and n-gram-Jaccard
-  * variants carry DuckDB oracles (the math is rational-of-integers, so
-  * both engines produce bit-identical doubles); MinHash-LSH and
-  * SimHash are hash-family-specific and get rows-only checks — their
-  * correctness is covered by unit tests against the exact variants.
+  * variants carry DuckDB oracles directly (the math is
+  * rational-of-integers, so both engines produce bit-identical
+  * doubles). MinHash-LSH and SimHash are hash-family-specific, so
+  * their queries use the planted-duplicate construction (same pattern
+  * as s03): exact copies of known docs are unioned in, making the
+  * hash-family result deterministic — identical shingle sets give
+  * identical MinHash signatures (candidate generation is then
+  * guaranteed, not probabilistic), and the 4×16-bit SimHash banding is
+  * pigeonhole-exact for Hamming ≤ 3 — so the expected pair set is
+  * expressible as DuckDB SQL and both queries carry full oracles.
   */
 object DedupQueries {
 
@@ -43,19 +49,36 @@ object DedupQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
-    // MinHash-LSH near-dup pairs (rows-only: hash-family-specific).
+    // MinHash-LSH near-dup pairs over the corpus PLUS planted exact
+    // copies of the first 25 docs (doc_id + 1e6). Planted pairs have
+    // identical shingle sets → identical signatures → all 16 bands
+    // collide → recall is deterministic; the organic near-dup pairs
+    // (jaccard 0.9–0.99 in this corpus) band-collide with
+    // P(miss) < 4e-8 under the fixed seed, verified caught. The oracle
+    // computes exact set-Jaccard over the same planted corpus.
     "d04_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      Dedup.minHashPairs(docs(s, dir), "doc_id", "text",
+      val d = docs(s, dir)
+      val planted = d.filter($"doc_id" < 25)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+      Dedup.minHashPairs(d.unionByName(planted), "doc_id", "text",
           n = 3, k = 64, bands = 16, minJaccard = 0.5)
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }),
 
-    // SimHash near-dup pairs, Hamming ≤ 3 (rows-only).
+    // SimHash near-dup pairs, Hamming ≤ 3, over a slice with no
+    // organic near-dups (no pair within doc_id < 25 — checked against
+    // d03's exact output) plus planted exact copies. The 4×16-bit
+    // banding is pigeonhole-exact for Hamming ≤ 3, so the output is
+    // EXACTLY the planted (a, a+1e6, hamming=0) pairs — deterministic
+    // and oracle-checkable. Full-corpus SimHash recall is covered by
+    // DedupSpec unit tests against the exact-Jaccard pairs.
     "d05_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      val slice = docs(s, dir).filter($"doc_id" < 25)
+      val planted = slice.withColumn("doc_id", $"doc_id" + 1000000L)
+      Dedup.simHashPairs(slice.unionByName(planted), "doc_id", "text", maxHamming = 3)
         .select($"a_id", $"b_id", $"hamming".cast("long").as("hamming"))
         .orderBy($"a_id", $"b_id")
     }),
@@ -70,10 +93,44 @@ object DedupQueries {
       s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
          |FROM documents GROUP BY md5($SqlNorm) ORDER BY doc_id""".stripMargin,
 
+    // Same df > 1000 boilerplate-shingle cap as Dedup.ngramJaccardPairs
+    // (no-op on this corpus — max df is single digits — but formally
+    // part of the operator's semantics).
     "d03_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t
         |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Exact set-Jaccard over the planted corpus: the expected result of
+    // the (deterministic, seeded) MinHash-LSH pipeline — see the d04
+    // query comment for why recall is total on this input.
+    "d04_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
@@ -90,5 +147,13 @@ object DedupQueries {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // The slice has no organic pair at Hamming ≤ 3 (checked: no d03
+    // near-dup pair lies within doc_id < 25), so the output is exactly
+    // the planted identical-copy pairs at Hamming 0.
+    "d05_simhash" ->
+      """SELECT doc_id AS a_id, doc_id + 1000000 AS b_id,
+        |       CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 25 ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -7,9 +7,12 @@ import graft.Tables
 import graft.operators.Similarity
 
 /** Similarity-search queries over `embeddings` (64-dim `array<float>`).
-  * The brute-force variant carries a DuckDB oracle
-  * (`list_cosine_similarity`); the LSH variant is hash-family-specific
-  * → rows-only, with recall asserted against brute force in unit tests.
+  * All variants carry DuckDB oracles: brute force directly, and the
+  * LSH/IVF variants via the planted-copy construction (exact
+  * duplicates of each query vector make the approximate top-5
+  * deterministic under any hash family / quantizer model). Organic
+  * recall of the approximate paths is asserted against brute force in
+  * SimilaritySpec / IvfSpec.
   */
 object SimilarityQueries {
 
@@ -31,23 +34,38 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rank")
     }),
 
-    // LSH-bucketed ANN, same queries (rows-only check).
+    // LSH-bucketed ANN over the corpus plus 5 planted exact copies of
+    // each query vector (ids q + m·1e6, m = 1..5). Identical vectors
+    // share every LSH bucket, so the copies are guaranteed candidates;
+    // at cos = 1.0 (organic max pairwise ≈ 0.51) they occupy the whole
+    // top-5, ranked by the neighbor_id tiebreak — deterministic and
+    // oracle-checkable. Recall on organic neighbors is asserted
+    // against brute force in SimilaritySpec.
     "s02_knn_lsh" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
       val q = e.filter($"vec_id" < 8)
-      Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, dim = Dim)
+      val copies = (1 to 5).map(m =>
+        q.withColumn("vec_id", $"vec_id" + m * 1000000L)).reduce(_ unionByName _)
+      Similarity.lshTopK(e.unionByName(copies), q, "vec_id", "embedding", k = 5, dim = Dim)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rank")
         .orderBy($"query_id", $"rank")
     }),
 
-    // IVF ANN: KMeans coarse quantizer + probe-list re-rank (rows-only:
-    // clustering is model-specific; recall is asserted in unit tests).
+    // IVF ANN: KMeans coarse quantizer + probe-list re-rank, same
+    // planted construction as s02: a copy lands in the same centroid
+    // list as its original (identical vector → identical assignment),
+    // and the query's first probe IS that list, so the copies are
+    // candidates under any fitted model — deterministic top-5.
+    // Organic recall is asserted in IvfSpec.
     "s05_knn_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
       val q = e.filter($"vec_id" < 8)
-      Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+      val copies = (1 to 5).map(m =>
+        q.withColumn("vec_id", $"vec_id" + m * 1000000L)).reduce(_ unionByName _)
+      Similarity.ivfTopK(e.unionByName(copies), q, "vec_id", "embedding",
+          k = 5, nLists = 16, nProbe = 4, cacheKey = Some(s"$dir#s05"))
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rank")
         .orderBy($"query_id", $"rank")
     }),
@@ -94,6 +112,19 @@ object SimilarityQueries {
       |  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Planted-copy top-5: rank m is the copy at id q + m·1e6, cos 1.0.
+    "s02_knn_lsh" ->
+      """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,
+        |       CAST(1.0 AS DOUBLE) AS cos, CAST(m AS BIGINT) AS rank
+        |FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 6)) AS m)
+        |WHERE q.vec_id < 8 ORDER BY query_id, rank""".stripMargin,
+
+    "s05_knn_ivf" ->
+      """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,
+        |       CAST(1.0 AS DOUBLE) AS cos, CAST(m AS BIGINT) AS rank
+        |FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 6)) AS m)
+        |WHERE q.vec_id < 8 ORDER BY query_id, rank""".stripMargin,
+
     "s03_embed_neardup" ->
       """SELECT vec_id AS a_id, vec_id + 1000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings WHERE vec_id < 20 ORDER BY a_id""".stripMargin,
