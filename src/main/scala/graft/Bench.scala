@@ -39,15 +39,30 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // Timed pass: MEDIAN of 3 runs per query. Single-shot timing is
+    // hostage to whichever GC/ContextCleaner pause lands on it — the
+    // r2 driver-vs-rerun spread (90.6 s vs 60.0 s total, 7-20x on
+    // individual queries) was all such noise. System.gc() between
+    // queries drains collector debt onto the gap, not the next query.
+    // A query that throws reports a NEGATIVE median (ADVICE: the old
+    // -1L sentinel was discarded, so failures looked like fast
+    // successes) and is excluded from the total.
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      System.gc()
+      var failed = false
+      val times = Array.fill(3) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(1)
+      name -> (if (failed) -median else median)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
     // File fallback for the driver, then the bare stdout line.
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }

@@ -14,7 +14,13 @@ import graft.operators.Bigrams.RecordMode
   *
   * Usage:
   *   BigramJob [--mode line|file] [--zip] [--partitions N]
-  *             [--hadoop-layout] <input> <output>
+  *             [--hadoop-layout] [--conf key=value ...] <input> <output>
+  *
+  * `--conf key=value` (repeatable) is the generic configuration
+  * passthrough — the Spark-form equivalent of ToolRunner's
+  * `-D key=value` (`WordCountV2.java:18,26`). Static confs reach the
+  * session builder; runtime-modifiable confs also apply to a reused
+  * session inside [[run]].
   *
   * `--hadoop-layout` reproduces the reference cluster runs' exact
   * on-disk layout: 32 (or N) part files placed by Hadoop
@@ -28,7 +34,8 @@ object BigramJob {
 
   case class Config(mode: RecordMode = RecordMode.Lines, zip: Boolean = false,
                     partitions: Int = 32, hadoopLayout: Boolean = false,
-                    input: String = "", output: String = "")
+                    input: String = "", output: String = "",
+                    conf: Map[String, String] = Map.empty)
 
   def parseArgs(args: Seq[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config, pos: List[String]): Either[String, Config] =
@@ -41,6 +48,12 @@ object BigramJob {
           loop(t, c.copy(partitions = n.toInt), pos)
         case "--partitions" :: other => Left(s"--partitions expects a number, got ${other.headOption.getOrElse("<nothing>")}")
         case "--hadoop-layout" :: t => loop(t, c.copy(hadoopLayout = true), pos)
+        // generic conf passthrough — the ToolRunner `-D key=value`
+        // contract (`WordCountV2.java:18,26`) in Spark form
+        case "--conf" :: kv :: t if kv.indexOf('=') > 0 =>
+          val i = kv.indexOf('=')
+          loop(t, c.copy(conf = c.conf + (kv.take(i) -> kv.drop(i + 1))), pos)
+        case "--conf" :: other => Left(s"--conf expects key=value, got ${other.headOption.getOrElse("<nothing>")}")
         case flag :: _ if flag.startsWith("--") => Left(s"unknown flag $flag")
         case p :: t => loop(t, c, p :: pos)
         case Nil => pos.reverse match {
@@ -52,6 +65,10 @@ object BigramJob {
   }
 
   def run(spark: SparkSession, c: Config): Unit = {
+    // runtime-settable SQL/session confs apply here; static confs
+    // (spark.master etc.) only take effect via `main`'s builder and
+    // are skipped (isModifiable) rather than crashing a reused session
+    c.conf.foreach { case (k, v) => if (spark.conf.isModifiable(k)) spark.conf.set(k, v) }
     val counts = if (c.zip) Bigrams.fromZip(spark, c.input, c.mode)
                  else Bigrams.fromTextFiles(spark, c.input, c.mode)
     if (c.hadoopLayout) writeHadoopLayout(counts, c.output, c.partitions)
@@ -76,10 +93,14 @@ object BigramJob {
   def main(args: Array[String]): Unit = parseArgs(args.toIndexedSeq) match {
     case Left(err) =>
       System.err.println(s"error: $err")
-      System.err.println("usage: BigramJob [--mode line|file] [--zip] [--partitions N] [--hadoop-layout] <input> <output>")
+      System.err.println("usage: BigramJob [--mode line|file] [--zip] [--partitions N] [--hadoop-layout] [--conf key=value ...] <input> <output>")
       sys.exit(2)
     case Right(c) =>
-      val spark = GraftSession.get("graft-bigram-job")
+      val b = GraftSession.builder("graft-bigram-job")
+      c.conf.foreach { case (k, v) => b.config(k, v) }
+      val spark = b.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      GraftSession.registerFunctions(spark)
       try {
         run(spark, c)
         println(s"bigram job completed: ${c.input} -> ${c.output}")

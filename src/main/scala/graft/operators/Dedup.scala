@@ -55,10 +55,13 @@ object Dedup {
     * a shingle with df > maxDf carries ~zero Jaccard signal but df²
     * join rows. The cap applies to the shingle SETS (both the
     * intersection index and the set sizes), keeping Jaccard
-    * self-consistent. Use [[minHashPairs]] as the scale path. */
+    * self-consistent. The cap is OPT-IN (default `Int.MaxValue` = no
+    * cap): capping changes the operator's output semantics, so callers
+    * choose it deliberately (d03 passes 1000). Use [[minHashPairs]] as
+    * the scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
-                        maxDf: Int = 1000): DataFrame = {
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     // no .cache(): an operator can't know when to unpersist, and leaked
     // cache blocks accumulate GC pressure across a query batch;
     // recomputing the cheap shingle scan is the better trade
@@ -101,7 +104,20 @@ object Dedup {
                    maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val sig = minHashSignatures(docs, idCol, textCol, n, k, seed)
+    // ONE tokenize+shingle pass feeds both the signature path and the
+    // exact-Jaccard verify (through r2 the corpus was shingled twice —
+    // the dominant cost and d04's bench-variance source). The shingle-
+    // set frame is persisted MEMORY_AND_DISK because THREE plan
+    // branches consume it (banding, verify side a, verify side b) and
+    // Catalyst recomputes an uncached subtree per branch. Blocks live
+    // in evictable storage memory (spill to disk under pressure); on a
+    // cluster the equivalent for a 100 TB corpus is checkpointing the
+    // shingle frame to scratch storage instead of caching it.
+    val sets = docs.select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sets.select(col(idCol),
+      minHashSignature(shingleHashes(col("_set")), k, seed).as("sig"))
     val banded = sig.select(col(idCol),
         posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
     // candidate pairs: co-bucketed ids; cap pathological buckets (boilerplate
@@ -114,10 +130,8 @@ object Dedup {
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct()
     // verify candidates with exact Jaccard via array_intersect on the
-    // per-doc shingle SETS — candidates are few, so two hash joins on
-    // small arrays beat re-exploding the whole shingle inverted index
-    val sets = docs.select(col(idCol), tokenize(col(textCol)).as("_toks"))
-      .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
+    // (cached) per-doc shingle SETS — candidates are few, so two hash
+    // joins on small arrays beat re-exploding the shingle inverted index
     cand
       .join(sets.select(col(idCol).as("a_id"), col("_set").as("sa")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("_set").as("sb")), "b_id")

@@ -115,12 +115,18 @@ object Similarity {
     new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
   }
 
-  /** Quantizer memo: (cacheKey, nLists) → fitted model. The model is a
-    * tiny nLists×dim table; refitting it for every query invocation
+  /** Quantizer memo: (cacheKey, nLists, seed) → fitted model. The model
+    * is a tiny nLists×dim table; refitting it for every query invocation
     * (bench reruns, repeated probes against the same corpus) is pure
-    * waste. Callers opt in by passing a stable key for the corpus. */
+    * waste. Callers opt in by passing a stable key for the corpus.
+    *
+    * Staleness contract: the memo assumes `cacheKey` uniquely identifies
+    * the corpus CONTENT — if the data under a keyed path changes, the
+    * caller must change the key (e.g. key on a snapshot/version id, as
+    * s05 keys on the immutable sf directory path). Entries live for the
+    * JVM; each is nLists×dim doubles (~100 KB at nLists=16, d=768). */
   private val quantizerCache =
-    new scala.collection.concurrent.TrieMap[(String, Int),
+    new scala.collection.concurrent.TrieMap[(String, Int, Long),
       org.apache.spark.ml.clustering.KMeansModel]()
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
@@ -145,7 +151,7 @@ object Similarity {
     val featNamed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       array_to_vector(col(vecCol)).as("features"))
     val model = cacheKey match {
-      case Some(key) => quantizerCache.getOrElseUpdate((key, nLists),
+      case Some(key) => quantizerCache.getOrElseUpdate((key, nLists, seed),
         fitIvfQuantizer(corpus, vecCol, nLists, seed))
       case None => fitIvfQuantizer(corpus, vecCol, nLists, seed)
     }

@@ -44,7 +44,8 @@ object DedupQueries {
     // Exact pairwise n-gram Jaccard ≥ 0.5 via the shingle inverted index.
     "d03_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5,
+          maxDf = 1000)
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }),

@@ -5,7 +5,7 @@ import java.util.zip.ZipInputStream
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -24,23 +24,37 @@ import org.apache.spark.util.SerializableConfiguration
   * (`NYUZInputFormat.java:22-82` / `NYUZRecordReader.java:23-102`)
   * re-planned for Spark's connector API, fixing its scale bugs:
   *
-  *  - **Planning is metadata-only.** One InputPartition per archive
-  *    from a driver-side file *listing* — the reference decompressed
-  *    the entire corpus on the driver just to compute split offsets
+  *  - **Planning is metadata-only.** Entry-granular splits come from
+  *    each archive's central directory (a bounded tail read — never
+  *    decompression); the reference decompressed the entire corpus on
+  *    the driver just to compute split offsets
   *    (`NYUZInputFormat.java:24-52`).
-  *  - **Each archive is read exactly once, streamed.** The reader
-  *    walks the entry stream forward; the reference re-decompressed
-  *    the archive prefix per task — O(n²) total work
-  *    (`NYUZRecordReader.java:70-76`) — and emitted its first entry
-  *    twice (n+1 splits, `NYUZInputFormat.java:54-66`).
-  *  - **No whole-archive buffering.** Unlike the `binaryFile` route
-  *    (`graft.sources.ZipEntries`), content is materialized per
-  *    *entry*, so archive size is not bounded by the 2 GB binaryFile
-  *    cap — only entry size matters.
-  *  - **Column pruning.** A projection without `content` skips entry
-  *    materialization (names stream from the directory headers).
+  *  - **Entry-granular parallelism.** A large archive is planned as
+  *    ceil(uncompressed_bytes / maxBytesPerSplit) partitions, so a
+  *    few-huge-archives corpus does not serialize onto a few tasks.
+  *    Each task seeks directly to its entries' local headers and
+  *    inflates only its slice — each compressed byte is read exactly
+  *    once across the job. The reference re-decompressed the archive
+  *    prefix per task — O(n²) total work (`NYUZRecordReader.java:70-76`)
+  *    — and emitted its first entry twice (`NYUZInputFormat.java:54-66`).
+  *  - **`preferredLocations`.** Every split reports the HDFS block
+  *    hosts covering its compressed byte range, so tasks schedule
+  *    data-local on a real cluster.
+  *  - **No whole-archive buffering.** Content is materialized per
+  *    *entry*; only entry size is bounded (2 GB JVM array cap).
+  *  - **Column pruning.** A projection without `content` does zero
+  *    data I/O in split mode — names come from the central directory.
   *
-  * Usage: `spark.read.format("zip-entries").load(pathOrGlob)`.
+  * Archives whose central directory cannot be located (overlong
+  * comment, truncation) fall back to one streamed partition via
+  * [[ZipInputStream]] — correctness never depends on the fast path.
+  *
+  * Usage:
+  *   `spark.read.format("zip-entries").load(pathOrGlob)` — also
+  *   multi-path `.load(a, b)`. Options: `maxBytesPerSplit` (default
+  *   128 MiB of uncompressed entry bytes per split). A user-supplied
+  *   schema must be a subset of the full schema (projection); anything
+  *   else is rejected.
   */
 class ZipEntriesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zip-entries"
@@ -49,8 +63,15 @@ class ZipEntriesSource extends TableProvider with DataSourceRegister {
     ZipEntriesSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new ZipEntriesTable(CaseInsensitiveMap(properties.asScala.toMap))
+                        properties: util.Map[String, String]): Table = {
+    schema.fields.foreach { f =>
+      val known = ZipEntriesSource.Schema.fields.find(_.name == f.name)
+      require(known.exists(_.dataType == f.dataType),
+        s"zip-entries: unsupported field '${f.name}: ${f.dataType.simpleString}'; " +
+          s"the schema must be a subset of ${ZipEntriesSource.Schema.simpleString}")
+    }
+    new ZipEntriesTable(CaseInsensitiveMap(properties.asScala.toMap), schema)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -60,22 +81,24 @@ object ZipEntriesSource {
     StructField("entry_name", StringType, nullable = false),
     StructField("archive", StringType, nullable = false),
     StructField("content", BinaryType, nullable = false)))
+
+  val DefaultMaxBytesPerSplit: Long = 128L * 1024 * 1024
 }
 
-class ZipEntriesTable(options: CaseInsensitiveMap[String])
+class ZipEntriesTable(options: CaseInsensitiveMap[String], tableSchema: StructType)
     extends Table with SupportsRead {
-  override def name(): String = s"zip-entries(${options.getOrElse("path", "?")})"
-  override def schema(): StructType = ZipEntriesSource.Schema
+  override def name(): String = s"zip-entries(${options.getOrElse("path", options.getOrElse("paths", "?"))})"
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ZipScanBuilder(caseInsensitiveOptions.asScala.toMap ++ options)
+    new ZipScanBuilder(caseInsensitiveOptions.asScala.toMap ++ options, tableSchema)
 }
 
-class ZipScanBuilder(options: Map[String, String])
+class ZipScanBuilder(options: Map[String, String], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = ZipEntriesSource.Schema
+  private var required: StructType = tableSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -88,21 +111,75 @@ class ZipScan(options: Map[String, String], required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** `path` plus DataFrameReader's multi-path `paths` (a JSON array). */
+  private def configuredPaths: Seq[String] = {
+    val multi = options.get("paths").toSeq.flatMap { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]]).toSeq
+    }
+    (options.get("path").toSeq ++ multi).distinct
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val path = options.getOrElse("path",
-      throw new IllegalArgumentException("zip-entries: 'path' is required"))
-    val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val statuses = Option(fs.globStatus(hadoopPath)) match {
-      case Some(s) if s.nonEmpty => s.toSeq
-      case _ => throw new java.io.FileNotFoundException(s"zip-entries: no files match $path")
+    val paths = configuredPaths
+    require(paths.nonEmpty, "zip-entries: 'path' is required")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val maxBytes = options.get("maxbytespersplit").map(_.toLong)
+      .getOrElse(ZipEntriesSource.DefaultMaxBytesPerSplit)
+    require(maxBytes > 0, s"zip-entries: maxBytesPerSplit must be > 0, got $maxBytes")
+
+    val files: Seq[FileStatus] = paths.flatMap { p =>
+      val hadoopPath = new Path(p)
+      val fs = hadoopPath.getFileSystem(hadoopConf)
+      val statuses = Option(fs.globStatus(hadoopPath)) match {
+        case Some(s) if s.nonEmpty => s.toSeq
+        case _ => throw new java.io.FileNotFoundException(s"zip-entries: no files match $p")
+      }
+      statuses.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory) else Seq(st)
+      }
     }
-    val files = statuses.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory) else Seq(st)
-    }
-    files.map(f => ZipArchivePartition(f.getPath.toString): InputPartition).toArray
+
+    files.flatMap { st =>
+      val fs = st.getPath.getFileSystem(hadoopConf)
+      val central = {
+        val in = fs.open(st.getPath)
+        try ZipCentral.list(in, st.getLen)
+        finally in.close()
+      }
+      central match {
+        case Some(entries) =>
+          // greedy pack in archive order by UNCOMPRESSED size (the
+          // decompress work a task performs), >= 1 entry per split
+          val splits = Vector.newBuilder[Vector[ZipCentral.Entry]]
+          var cur = Vector.newBuilder[ZipCentral.Entry]
+          var curBytes = 0L; var curN = 0
+          entries.foreach { e =>
+            if (curN > 0 && curBytes + e.usize > maxBytes) {
+              splits += cur.result(); cur = Vector.newBuilder; curBytes = 0L; curN = 0
+            }
+            cur += e; curBytes += e.usize; curN += 1
+          }
+          if (curN > 0) splits += cur.result()
+          splits.result().map { es =>
+            val start = es.head.offset
+            val end = es.map(e => e.offset + e.csize).max
+            ZipSlicePartition(st.getPath.toString, es.toArray,
+              blockHosts(fs, st, start, end - start)): InputPartition
+          }
+        case None =>
+          Seq(ZipArchivePartition(st.getPath.toString,
+            blockHosts(fs, st, 0, st.getLen)): InputPartition)
+      }
+    }.toArray
   }
+
+  private def blockHosts(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus,
+                         start: Long, len: Long): Array[String] =
+    try fs.getFileBlockLocations(st, start, math.max(len, 1))
+      .flatMap(_.getHosts).distinct
+    catch { case _: Exception => Array.empty[String] }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -111,12 +188,56 @@ class ZipScan(options: Map[String, String], required: StructType)
   }
 }
 
-case class ZipArchivePartition(path: String) extends InputPartition
+/** Fallback: one streamed partition for a whole archive. */
+case class ZipArchivePartition(path: String, hosts: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
+
+/** Entry-granular split: a contiguous run of central-directory entries. */
+case class ZipSlicePartition(path: String, entries: Array[ZipCentral.Entry],
+                             hosts: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 class ZipReaderFactory(conf: SerializableConfiguration, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipEntryReader(partition.asInstanceOf[ZipArchivePartition].path, conf, required)
+    partition match {
+      case p: ZipSlicePartition => new ZipSliceReader(p.path, p.entries, conf, required)
+      case p: ZipArchivePartition => new ZipEntryReader(p.path, conf, required)
+    }
+}
+
+/** Reads its slice of entries by seeking to each local header; inflates
+  * only what the projection needs. */
+class ZipSliceReader(path: String, entries: Array[ZipCentral.Entry],
+                     conf: SerializableConfiguration, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(path)
+  private val archiveUtf8 = UTF8String.fromString(path)
+  private var idx = -1
+  // opened only if the projection actually reads content — a name-only
+  // scan over a split does zero data I/O
+  private var in: FSDataInputStream = _
+  private def stream: FSDataInputStream = {
+    if (in == null) in = hPath.getFileSystem(conf.value).open(hPath)
+    in
+  }
+
+  override def next(): Boolean = { idx += 1; idx < entries.length }
+
+  override def get(): InternalRow = {
+    val e = entries(idx)
+    val values = required.fieldNames.map {
+      case "entry_name" => UTF8String.fromString(e.name)
+      case "archive"    => archiveUtf8
+      case "content"    => ZipCentral.readEntry(stream, e)
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** Streams one archive's entries forward; materializes content only if

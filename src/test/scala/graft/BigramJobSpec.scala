@@ -20,6 +20,32 @@ class BigramJobSpec extends SparkSpec {
     assert(BigramJob.parseArgs(Seq("--frobnicate", "in", "out")).isLeft)
   }
 
+  test("--conf k=v passthrough parses, applies to the session, and rejects junk") {
+    assert(BigramJob.parseArgs(Seq("--conf", "spark.sql.shuffle.partitions=7",
+      "--conf", "spark.sql.ansi.enabled=false", "in", "out")) ==
+      Right(Config(input = "in", output = "out",
+        conf = Map("spark.sql.shuffle.partitions" -> "7",
+                   "spark.sql.ansi.enabled" -> "false"))))
+    // value may itself contain '='; key may not be empty
+    assert(BigramJob.parseArgs(Seq("--conf", "a.b=x=y", "in", "out")) ==
+      Right(Config(input = "in", output = "out", conf = Map("a.b" -> "x=y"))))
+    assert(BigramJob.parseArgs(Seq("--conf", "novalue", "in", "out")).isLeft)
+    assert(BigramJob.parseArgs(Seq("--conf", "=v", "in", "out")).isLeft)
+    assert(BigramJob.parseArgs(Seq("--conf")).isLeft)
+
+    // a runtime-modifiable conf reaches the live session during run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-conf").toString + "/bigrams"
+      BigramJob.run(spark, Config(
+        input = "/root/reference/src/main/resources/sample/zuni.txt", output = out,
+        conf = Map("spark.sql.shuffle.partitions" -> "7",
+                   // static conf: must be skipped, not crash
+                   "spark.master" -> "local[1]")))
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("hadoop-layout sink: Text.hashCode placement, sorted parts, golden key positions") {
     val out = java.nio.file.Files.createTempDirectory("graft-hl").toString + "/bigrams"
     val zuni = "/root/reference/src/main/resources/sample/zuni.txt"

@@ -62,6 +62,44 @@ class DedupSpec extends SparkSpec {
     assert(missed.size <= math.max(1, exact.size / 5), s"missed $missed of $exact")
   }
 
+  // d04's oracle is exact set-Jaccard over the planted corpus; the
+  // MinHash-LSH query equals it only with probability
+  // prod_organic_pairs (1 - (1 - j^r)^b). Planted pairs (j=1) always
+  // collide; an organic pair at moderate j is caught only
+  // probabilistically — e.g. sf0.001 has an organic (33,436) at
+  // j=0.889, P[miss] ≈ 1.5e-7. The CHECKED invariant is the total miss
+  // probability across all organic pairs, bounded at 1e-4: regenerated
+  // data with a pair in the genuinely risky band (j ≲ 0.75 →
+  // P[miss] > 1e-2) fails this test before it can flake the oracle.
+  test("d04 oracle precondition: total LSH miss probability < 1e-4 (16x4 banding)") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val organic = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+        .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect()
+      val pMiss = organic.map { case (_, _, j) => math.pow(1.0 - math.pow(j, 4), 16) }.sum
+      assert(pMiss < 1e-4,
+        s"$sf: organic pairs too dissimilar for deterministic LSH recall " +
+          s"(total P[miss]=$pMiss): ${organic.toSeq}")
+    }
+  }
+
+  // d05's oracle (exactly the planted pairs at Hamming 0) requires the
+  // bare doc_id < 25 slice to contain no organic pair at Hamming <= 3.
+  // Jaccard < 0.5 does NOT bound SimHash Hamming distance — and the
+  // slice content differs per SF: sf0.001's slice HAS an organic pair
+  // (8,12) at Hamming 2, so d05's oracle holds only at SFs where this
+  // precondition is verified. Checked at sf0.01 (the driver's verify
+  // SF, where the oracle runs) and sf0.1 (the bench SF); a data regen
+  // that plants an organic near-dup into the slice fails here first.
+  test("d05 oracle precondition: bare doc_id<25 slice has no organic Hamming<=3 pair") {
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val slice = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 25)
+      val pairs = Dedup.simHashPairs(slice, "doc_id", "text", maxHamming = 3)
+        .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)].collect()
+      assert(pairs.isEmpty, s"$sf: organic SimHash pairs break d05's oracle: ${pairs.toSeq}")
+    }
+  }
+
   test("SimHash finds near-identical docs within Hamming 3") {
     val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet

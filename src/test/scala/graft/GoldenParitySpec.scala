@@ -82,10 +82,13 @@ class GoldenParitySpec extends SparkSpec {
       }
     }
     assert(missing == 0 && smaller == 0, s"missing=$missing smaller=$smaller")
-    // the 126,637 file-mode-only keys all contain a digit (§8.5)
+    // the 126,637 file-mode-only keys split 56,530 digit-bearing
+    // (index/page-number lines fused by file-mode) vs 70,107 digit-free
+    // line-spanning word bigrams (§8.5)
     val extra = c8.keysIterator.filterNot(c9.contains).toVector
     assert(extra.size == 126637)
-    assert(extra.forall(_.exists(_.isDigit)))
+    val withDigit = extra.count(_.exists(_.isDigit))
+    assert(withDigit == 56530 && extra.size - withDigit == 70107)
   }
 
   test("engine zuni counts are contained in the goldens (all 75k keys, both modes)") {

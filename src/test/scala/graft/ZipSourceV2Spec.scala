@@ -61,4 +61,84 @@ class ZipSourceV2Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("no files match") || e.getMessage.contains("nothing-"))
   }
+
+  test("entry-granular splits: maxBytesPerSplit fans one archive out to many partitions") {
+    val many = writeZip(dir, "many.zip",
+      (1 to 10).map(i => (s"e$i.txt", s"payload number $i with some text")): _*)
+    // 1-byte budget → one entry per split
+    val df = spark.read.format("zip-entries")
+      .option("maxBytesPerSplit", "1").load(many)
+    assert(df.rdd.getNumPartitions == 10)
+    // unchanged results vs the single-partition plan
+    val sliced = df.select($"entry_name", $"content".cast("string"))
+      .as[(String, String)].collect().toMap
+    val whole = spark.read.format("zip-entries").load(many)
+      .select($"entry_name", $"content".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(df.rdd.getNumPartitions > spark.read.format("zip-entries").load(many).rdd.getNumPartitions)
+    assert(sliced == whole && sliced.size == 10)
+    assert(sliced("e7.txt") == "payload number 7 with some text")
+  }
+
+  test("splits report preferredLocations from file block hosts") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("zip-entries").option("maxBytesPerSplit", "1").load(zipA)
+    val scan = df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    val parts = scan.inputPartitions
+    assert(parts.size == 2)
+    // RawLocalFileSystem reports localhost for every block
+    assert(parts.forall(_.preferredLocations().contains("localhost")))
+  }
+
+  test("multi-path load reads every archive once") {
+    val df = spark.read.format("zip-entries").load(zipA, zipB)
+    assert(df.count() == 3)
+    val byArchive = df.groupBy($"archive").count().as[(String, Long)].collect().toMap
+    assert(byArchive.keys.map(_.split("/").last).toSet == Set("a.zip", "b.zip"))
+  }
+
+  test("user schema: subset accepted as projection, junk rejected") {
+    val names = spark.read.format("zip-entries")
+      .schema("entry_name STRING, archive STRING").load(zipA)
+    assert(names.columns.toSeq == Seq("entry_name", "archive"))
+    assert(names.select($"entry_name").as[String].collect().sorted.toSeq == Seq("x.txt", "y.txt"))
+    val e = intercept[Exception] {
+      spark.read.format("zip-entries").schema("bogus INT").load(zipA).count()
+    }
+    assert(e.getMessage.contains("unsupported field"))
+  }
+
+  test("STORED (uncompressed) entries read correctly through the sliced path") {
+    val f = new java.io.File(dir, "stored.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(f), UTF_8)
+    val payload = "uncompressed bytes here".getBytes(UTF_8)
+    val ze = new ZipEntry("s.txt")
+    ze.setMethod(ZipEntry.STORED)
+    ze.setSize(payload.length)
+    ze.setCompressedSize(payload.length)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    ze.setCrc(crc.getValue)
+    zos.putNextEntry(ze); zos.write(payload); zos.closeEntry(); zos.close()
+    val rows = spark.read.format("zip-entries")
+      .option("maxBytesPerSplit", "1").load(f.getAbsolutePath)
+      .select($"entry_name", $"content".cast("string")).as[(String, String)].collect().toMap
+    assert(rows == Map("s.txt" -> "uncompressed bytes here"))
+  }
+
+  test("ZIP64 central directory (>65535 entries) parses metadata-only") {
+    val f = new java.io.File(dir, "big64.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(f), UTF_8)
+    val n = 66000
+    (0 until n).foreach { i =>
+      zos.putNextEntry(new ZipEntry(s"d/$i")); zos.write('a' + (i % 26)); zos.closeEntry()
+    }
+    zos.close()
+    val df = spark.read.format("zip-entries").load(f.getAbsolutePath)
+    // name-only projection: zero data I/O, straight off the ZIP64 CD
+    assert(df.select($"entry_name").count() == n)
+    // spot-check content through the sliced reader
+    val sample = df.filter($"entry_name" === "d/27")
+      .select($"content".cast("string")).as[String].head()
+    assert(sample == ('a' + 1).toChar.toString)
+  }
 }
