@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * the engine as opaque `binary` columns with typed metadata structs.
   *
   * The Spark-side machinery — schema, batched per-partition decode,
-  * partitioning, metadata extraction — is real and tested. The actual
-  * codec is a STUB (this container has no image/audio libraries): a
-  * deterministic fake header format stands in for JPEG/WAV/MP4, and
-  * decode parses that header. Swapping in a real codec changes only
-  * [[FakeCodec.decodeMeta]] / [[FakeCodec.decodePixels]].
+  * partitioning, metadata extraction — is real and tested. Two codecs:
+  * [[ImageCodec]] is REAL (PNG/BMP through `javax.imageio`, decoding
+  * actual image bytes distributed — m03); [[FakeCodec]] remains the
+  * honest stand-in for formats this container has no libraries for
+  * (JPEG/WAV/MP4 — a deterministic header format, m01/m02). Swapping a
+  * real av codec in changes only the codec object, not the plumbing.
   *
   * Scale posture: decode runs in `mapPartitions` over batches, so at
   * 100 TB each task amortizes codec init across its batch (the Scala
@@ -94,6 +95,89 @@ object Multimodal {
         }
       }
     }.toDF("id", "kind", "width", "height", "n_frames", "payload_bytes")
+  }
+
+  /** REAL image codec: PNG/BMP via `javax.imageio` (JDK-built-in, zero
+    * new dependencies). PNG is lossless, so an encode→decode round trip
+    * reproduces pixels exactly — which makes decoded-pixel aggregates
+    * oracle-checkable when the source pixels are deterministic
+    * arithmetic. [[FakeCodec]] remains the stand-in for codecs this
+    * container genuinely lacks (JPEG quality loss, audio, video). */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    case class Decoded(width: Int, height: Int,
+                       sumR: Long, sumG: Long, sumB: Long)
+
+    /** Encode a width×height image whose pixel (x,y) is `rgb(x,y)`
+      * (0xRRGGBB) to `format` ("png" or "bmp") bytes. */
+    def encode(width: Int, height: Int, rgb: (Int, Int) => Int,
+               format: String = "png"): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      require(ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-sniffable format (PNG, BMP, GIF, …) and
+      * reduce to dimensions + per-channel sums — the batch-friendly
+      * shape for corpus-wide pixel statistics. Returns None on
+      * undecodable bytes (corrupt or unknown format) rather than
+      * throwing: at corpus scale decode failures are data, not bugs. */
+    def decodeStats(bytes: Array[Byte]): Option[Decoded] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(img.getWidth, img.getHeight, sr, sg, sb)
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** Deterministic synthetic PNG for doc `id`: small dims and pure-
+    * arithmetic pixels, so decoded aggregates have a closed-form
+    * oracle. r=(id+3x+7y)%256, g=(2id+5x+y)%256, b=(3id+x+11y)%256. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 24).toInt
+    val h = (8 + id % 16).toInt
+    ImageCodec.encode(w, h, (x, y) => {
+      val r = ((id + 3 * x + 7 * y) % 256).toInt
+      val g = ((2 * id + 5 * x + y) % 256).toInt
+      val b = ((3 * id + x + 11 * y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+  }
+
+  /** Distributed real-codec decode: `(id, image_bytes)` → dimensions +
+    * per-channel pixel sums. Same batched mapPartitions shape as
+    * [[extractMeta]]; ImageIO reader instances stay task-local. */
+  def decodeImageStats(ds: Dataset[(Long, Array[Byte])], batchSize: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          ImageCodec.decodeStats(bytes) match {
+            case Some(d) => (id, d.width, d.height, d.sumR, d.sumG, d.sumB)
+            case None => (id, -1, -1, -1L, -1L, -1L)
+          }
+        }
+      }
+    }.toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** Resize plumbing: rewrites header dims by `scale`, payload untouched

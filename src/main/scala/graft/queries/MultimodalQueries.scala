@@ -38,6 +38,23 @@ object MultimodalQueries {
         .groupBy($"id".as("doc_id")).agg(count(lit(1)).as("n_sampled"))
         .orderBy($"doc_id")
     }),
+
+    // REAL codec round trip: synthesize a deterministic PNG per doc,
+    // then decode the actual PNG bytes with javax.imageio distributed
+    // and aggregate per-channel pixel sums. PNG is lossless, so the
+    // decoded sums equal the source arithmetic — the DuckDB oracle
+    // recomputes that arithmetic; the Spark side moves real bytes.
+    "m03_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthPng(id)))
+      Multimodal.decodeImageStats(pngs)
+        .select($"id".as("doc_id"),
+          $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+          $"sum_r", $"sum_g", $"sum_b")
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -53,5 +70,21 @@ object MultimodalQueries {
     "m02_frame_sample" ->
       """SELECT doc_id, CAST(((1 + doc_id % 120) + 9) // 10 AS BIGINT) AS n_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle recomputes the pixel arithmetic the PNG round-trips:
+    // w=8+id%24, h=8+id%16; per-pixel channels are mods of (id, x, y)
+    "m03_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |cells AS (
+        |  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM((doc_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((2*doc_id + 5*x + y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((3*doc_id + x + 11*y) % 256) AS BIGINT) AS sum_b
+        |FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -46,4 +46,44 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Int]("frame_idx")).sorted.toSeq
     assert(idx == Seq(0, 10, 20))
   }
+
+  test("ImageCodec: real PNG and BMP bytes round-trip pixels exactly") {
+    import Multimodal.ImageCodec
+    val rgb = (x: Int, y: Int) => ((x * 11) % 256 << 16) | ((y * 17) % 256 << 8) | ((x + y) % 256)
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = ImageCodec.encode(20, 12, rgb, fmt)
+      // real container magic, not our fake header
+      if (fmt == "png") assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
+      else assert(bytes(0) == 'B' && bytes(1) == 'M')
+      val d = ImageCodec.decodeStats(bytes).get
+      assert(d.width == 20 && d.height == 12)
+      val expR = (for (y <- 0 until 12; x <- 0 until 20) yield (x * 11) % 256).sum.toLong
+      val expB = (for (y <- 0 until 12; x <- 0 until 20) yield (x + y) % 256).sum.toLong
+      assert(d.sumR == expR && d.sumB == expB, s"$fmt channel sums")
+    }
+  }
+
+  test("ImageCodec: undecodable bytes are data (None), not exceptions") {
+    import Multimodal.ImageCodec
+    assert(ImageCodec.decodeStats("certainly not an image".getBytes).isEmpty)
+    assert(ImageCodec.decodeStats(Array.empty[Byte]).isEmpty)
+    // a PNG with its body chopped off must not crash the task
+    val png = ImageCodec.encode(16, 16, (_, _) => 0xABCDEF)
+    val truncated = png.take(30)
+    assert(ImageCodec.decodeStats(truncated).isEmpty)
+  }
+
+  test("decodeImageStats: distributed decode of real PNGs matches the arithmetic") {
+    val ds = spark.range(0, 60).as[Long].map(i => (i, Multimodal.synthPng(i)))
+    val rows = Multimodal.decodeImageStats(ds, batchSize = 16).collect()
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val w = (8 + id % 24).toInt; val h = (8 + id % 16).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val expG = (for (y <- 0 until h; x <- 0 until w)
+        yield (2 * id + 5 * x + y) % 256).sum
+      assert(r.getAs[Long]("sum_g") == expG, s"id=$id green sum")
+    }
+  }
 }
