@@ -44,7 +44,16 @@ object TextFunctions {
     * scan equals the char-level regex.) One pass, zero intermediate
     * strings — vs two full-string regex passes + split + filter, which
     * dominated the pipeline on long lines. Equality with the regex
-    * composition is golden-tested against the reference corpus. */
+    * composition is golden-tested against the reference corpus.
+    *
+    * Known divergence from the reference, chosen deliberately: a
+    * VERTICAL TAB (0x0B) is `\s` to Java regex (sanitize keeps it) but
+    * NOT a default `StringTokenizer` delimiter, so the reference emits
+    * `"a\u000Bb"` as ONE token with an embedded control byte; this
+    * engine (both [[tokenize]] and the regex twin, whose `split("\s+")`
+    * does split on 0x0B) yields `a`, `b`. The golden corpus contains no
+    * 0x0B, so reference parity is unaffected; for adversarial bytes we
+    * prefer never emitting control characters inside tokens. */
   def tokenize(c: Column): Column =
     ColumnBridge.column(SanitizeTokens(ColumnBridge.expression(c)))
 

@@ -21,10 +21,20 @@ object Skew {
     * scattered across `saltBuckets` sub-keys and the small side
     * replicated to match — one hot key spreads over `saltBuckets`
     * reducers instead of melting one. Result identical to the plain
-    * join. */
+    * join.
+    *
+    * Only join types that never emit an UNMATCHED small-side row are
+    * allowed: the small side is replicated `saltBuckets`×, so
+    * right/full-outer (and right-semi/anti) would emit each unmatched
+    * small row once per replica — silently wrong results. For those,
+    * flip the sides or use AQE's skew handling. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross")(jt),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched replicated small-side rows; " +
+        "use inner/left_outer/left_semi/left_anti or flip the sides")
     // deterministic per-row scatter: hash the full row (varies within a
     // key group) rather than rand() (breaks retry idempotence)
     val bigSalted = big.withColumn("_salt",

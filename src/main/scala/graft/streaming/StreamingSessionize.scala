@@ -16,10 +16,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale posture: state is O(#active users), not O(#events); the only
   * shuffle is the groupByKey on user_id; watermark bounds state
   * retention so a 100 TB/day stream cannot grow state unboundedly.
-  * In-batch disorder is handled by sorting each micro-batch's group;
-  * cross-batch disorder inside the watermark merges into the open
-  * session when it overlaps, which matches the batch query for
-  * watermark-respecting streams.
+  *
+  * == Late-event contract (where streaming can diverge from batch) ==
+  * Batch-equality holds when each user's events are event-time ordered
+  * ACROSS micro-batches. Within one micro-batch, disorder is free
+  * (the group is sorted before folding). A CROSS-BATCH late event `t`
+  * that is still inside the watermark:
+  *  - `t >= open.start - gap`: merged into the open session (start
+  *    extends backward) — same result as batch;
+  *  - `t < open.start - gap`: the open session is emitted closed and a
+  *    NEW session opens at `t`. Batch's global sort would instead have
+  *    placed `t` first (possibly merging it with what came after), so
+  *    session boundaries and counts for that user can differ. State
+  *    holds only ONE open session per user by design (O(users) state);
+  *    callers needing exact batch parity on out-of-order streams must
+  *    widen the watermark so stragglers land in-batch, or reconcile
+  *    downstream.
+  * Events older than the watermark are dropped by Spark upstream of
+  * this operator.
   */
 object StreamingSessionize {
 

@@ -56,4 +56,34 @@ class PlanSpec extends SparkSpec {
       p.take(400))
     assert(p.contains("cosine_similarity"), "native cosine expression not in plan")
   }
+
+  // The planted-oracle queries (d04/s02/s05) earn their hash-match on a
+  // specific plan SHAPE — banded/bucketed equi-joins, never all-pairs.
+  // Pin that shape so a refactor can't silently trade it for a
+  // cartesian product (correct results, quadratic cost).
+
+  test("d04: MinHash-LSH plans equi-joins only — no cartesian, bounded shuffles") {
+    val p = plan("d04_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH candidate generation went all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "LSH verify degenerated to nested-loop")
+    assert(p.contains("minhash_sig"), "native MinHash signature expression not in plan")
+    // union of base+planted docs, banding, bucket agg, pair dedup,
+    // 2 verify joins, final sort — shuffle count stays bounded
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 8, s"shuffle explosion ($exchanges hash exchanges):\n${p.take(800)}")
+  }
+
+  test("s02: LSH ANN joins on (table, bucket) keys — no cartesian") {
+    val p = plan("s02_knn_lsh")
+    assert(!p.contains("CartesianProduct"), "bucket join went all-pairs")
+    assert(p.contains("rp_signature"), "native random-projection signature not in plan")
+    assert(p.contains("Generate posexplode"), "bucket-key explode missing")
+  }
+
+  test("s05: IVF probes centroid lists via equi-join — no cartesian") {
+    val p = plan("s05_knn_ivf")
+    assert(!p.contains("CartesianProduct"), "probe join went all-pairs")
+    assert(p.contains("list_id"), "centroid-list join key missing from plan")
+    assert(!p.toLowerCase.contains("batchevalpython"), "python udf crept in")
+  }
 }

@@ -28,6 +28,20 @@ class SkewAndBucketingSpec extends SparkSpec {
     assert(res == Set((1L, "a", Some("x")), (2L, "b", None), (3L, "c", None)))
   }
 
+  test("saltedJoin rejects join types that would duplicate replicated rows") {
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq((1L, "x"), (9L, "y")).toDF("k", "w")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, Seq("k"), 4, jt)
+      }
+      assert(e.getMessage.contains("duplicate"), s"$jt should be rejected")
+    }
+    // a right-outer done naively WOULD duplicate: the unmatched small
+    // row 9L is replicated into all 4 salt buckets
+    assert(Skew.saltedJoin(big, small, Seq("k"), 4, "left_semi").count() == 1)
+  }
+
   test("twoPhaseDistinctCount matches countDistinct") {
     val df = (1 to 1000).map(i => (i % 3, s"v${i % 37}")).toDF("g", "v")
     val expected = df.groupBy($"g").agg(countDistinct($"v").as("nd_v"))
