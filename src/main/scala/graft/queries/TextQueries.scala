@@ -83,12 +83,12 @@ object TextQueries {
     }),
 
     // The reference's own committed sample corpus, line-record mode —
-    // the exact job `WordCountV2` ran. Exact counts are asserted in
-    // BigramsSpec against the SURVEY §8.3 oracle (75,584 distinct /
-    // 647,399 total, `zu+i → 1700`); the driver's check here is
-    // rows-only, and the bench timing measures reference-corpus
-    // throughput (the reference's own cluster runs took minutes of
-    // MapReduce overhead for this workload shape).
+    // the exact job `WordCountV2` ran. Carries a full DuckDB oracle
+    // (read_text over zuni.txt, same pipeline) AND is golden-tested in
+    // BigramsSpec against SURVEY §8.3 (75,584 distinct / 647,399
+    // total, `zu+i → 1700`); the bench timing measures
+    // reference-corpus throughput (the reference's own cluster runs
+    // took minutes of MapReduce overhead for this workload shape).
     "t09_reference_corpus" -> ((s, dir) => {
       import s.implicits._
       Bigrams.fromTextFiles(s,
@@ -147,6 +147,24 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // The reference's own corpus sample, oracled end-to-end: DuckDB
+    // reads zuni.txt directly (read_text), applies the same
+    // sanitize/tokenize/bigram pipeline, and must reproduce the
+    // golden totals (75,584 distinct / 647,399 occurrences, §8.3).
+    // zuni.txt is LF-only, so chr(10) splitting equals Spark's line
+    // reader on this corpus.
+    "t09_reference_corpus" ->
+      """WITH raw AS (
+        |  SELECT content FROM read_text('/root/reference/src/main/resources/sample/zuni.txt')),
+        |lines AS (SELECT unnest(string_split(content, chr(10))) AS line FROM raw),
+        |toks AS (
+        |  SELECT list_filter(string_split_regex(lower(regexp_replace(line, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+        |  FROM lines),
+        |bigs AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || '+' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS count FROM bigs GROUP BY bigram ORDER BY bigram""".stripMargin,
+
     "t01_bigram_counts" ->
       s"""WITH toks AS (SELECT $SqlToks AS t FROM documents)
          |SELECT bigram, count(*) AS count FROM (
