@@ -50,6 +50,10 @@ object GraftSession {
     reg.createOrReplaceTempFunction("rp_signature",
       es => graft.functions.VectorFunctions.RandomProjectionSig(es.head, 8, 12, 42L),
       "scala_udf")
+    reg.createOrReplaceTempFunction("sanitize_tokens",
+      es => graft.functions.TextFunctions.SanitizeTokens(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_bigrams",
+      es => graft.functions.TextFunctions.WordNGrams(es.head, 2, "+"), "scala_udf")
   }
 }
 

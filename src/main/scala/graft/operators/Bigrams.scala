@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.sources.ZipEntries
 
 /** The reference's flagship pipeline — bigram frequency counts over a
   * text corpus (`src/main/java/WordCountV2.java`) — as one declarative
@@ -43,12 +42,20 @@ object Bigrams {
       case RecordMode.WholeFiles => spark.read.option("wholetext", "true").text(path)
     }
 
-  /** Read a ZIP corpus as records of the given granularity. */
-  def readZip(spark: SparkSession, path: String, mode: RecordMode): DataFrame =
+  /** Read a ZIP corpus as records of the given granularity — via the
+    * DSv2 `zip-entries` source: entry-granular splits planned from
+    * each archive's central directory, per-entry streamed decompress,
+    * no whole-archive buffering (the [[ZipEntries]] binaryFile route
+    * plans one partition per archive and caps archives at 2 GB). */
+  def readZip(spark: SparkSession, path: String, mode: RecordMode): DataFrame = {
+    val text = spark.read.format("zip-entries").load(path)
+      .select(decode(col("content"), "UTF-8").as("value"))
     mode match {
-      case RecordMode.Lines      => ZipEntries.entryLines(spark, path).select("value")
-      case RecordMode.WholeFiles => ZipEntries.entryText(spark, path).select("value")
+      case RecordMode.WholeFiles => text
+      case RecordMode.Lines =>
+        text.select(explode(split(col("value"), "\r?\n")).as("value"))
     }
+  }
 
   /** `records[textCol] → (bigram: string, count: long)`.
     *

@@ -23,5 +23,13 @@ class SqlFunctionsSpec extends SparkSpec {
     val sig = spark.sql("SELECT size(minhash_sig(array(1L, 2L, 3L))) AS n")
       .as[Int].head()
     assert(sig == 64)
+
+    val toks = spark.sql("SELECT sanitize_tokens('The QUICK, brown_fox!') AS t")
+      .as[Seq[String]].head()
+    assert(toks == Seq("the", "quick", "brown", "fox"))
+
+    val bigs = spark.sql("SELECT word_bigrams(sanitize_tokens('zu i people')) AS b")
+      .as[Seq[String]].head()
+    assert(bigs == Seq("zu+i", "i+people"))
   }
 }
