@@ -52,9 +52,11 @@ import org.apache.spark.util.SerializableConfiguration
   * Usage:
   *   `spark.read.format("zip-entries").load(pathOrGlob)` — also
   *   multi-path `.load(a, b)`. Options: `maxBytesPerSplit` (default
-  *   128 MiB of uncompressed entry bytes per split). A user-supplied
-  *   schema must be a subset of the full schema (projection); anything
-  *   else is rejected.
+  *   128 MiB of uncompressed entry bytes per split),
+  *   `maxEntriesPerSplit` (default 65536 — bounds per-task split
+  *   metadata for tiny-entry corpora). A user-supplied schema must be
+  *   a subset of the full schema (projection); anything else is
+  *   rejected.
   */
 class ZipEntriesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zip-entries"
@@ -151,12 +153,16 @@ class ZipScan(options: Map[String, String], required: StructType)
       central match {
         case Some(entries) =>
           // greedy pack in archive order by UNCOMPRESSED size (the
-          // decompress work a task performs), >= 1 entry per split
+          // decompress work a task performs), >= 1 entry per split.
+          // The entry cap bounds each split's serialized metadata —
+          // without it a corpus of millions of tiny entries packs them
+          // all into one task descriptor.
+          val maxEntries = options.get("maxentriespersplit").map(_.toInt).getOrElse(65536)
           val splits = Vector.newBuilder[Vector[ZipCentral.Entry]]
           var cur = Vector.newBuilder[ZipCentral.Entry]
           var curBytes = 0L; var curN = 0
           entries.foreach { e =>
-            if (curN > 0 && curBytes + e.usize > maxBytes) {
+            if (curN > 0 && (curBytes + e.usize > maxBytes || curN >= maxEntries)) {
               splits += cur.result(); cur = Vector.newBuilder; curBytes = 0L; curN = 0
             }
             cur += e; curBytes += e.usize; curN += 1

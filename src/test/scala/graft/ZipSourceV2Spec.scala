@@ -136,6 +136,11 @@ class ZipSourceV2Spec extends SparkSpec {
     val df = spark.read.format("zip-entries").load(f.getAbsolutePath)
     // name-only projection: zero data I/O, straight off the ZIP64 CD
     assert(df.select($"entry_name").count() == n)
+    // tiny entries: the per-split ENTRY cap (default 65536) bounds task
+    // descriptor size — 66000 entries → 2 splits, not 1
+    assert(df.rdd.getNumPartitions == 2)
+    assert(spark.read.format("zip-entries").option("maxEntriesPerSplit", "10000")
+      .load(f.getAbsolutePath).rdd.getNumPartitions == 7)
     // spot-check content through the sliced reader
     val sample = df.filter($"entry_name" === "d/27")
       .select($"content".cast("string")).as[String].head()
