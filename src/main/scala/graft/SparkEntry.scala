@@ -33,7 +33,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries ++ AdvancedQueries.queries
+      MultimodalQueries.queries ++ AdvancedQueries.queries ++
+      CurationQueries.queries
 
   /** DuckDB-equivalent SQL per query; queries absent here get the
     * driver's weaker rows-only check (hash-family-specific operators:
@@ -41,5 +42,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      MultimodalQueries.oracles ++ AdvancedQueries.oracles
+      MultimodalQueries.oracles ++ AdvancedQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** End-to-end training-corpus curation — the composition a real
+  * LLM-data pipeline runs over raw documents, as ONE operator:
+  *
+  *   score (lang-ID + quality) → filter → exact dedup (keep min id)
+  *     → near-dup removal (MinHash-LSH, drop the larger id of a pair)
+  *
+  * Scale shape: scoring is one whole-stage-codegen scan (tokens
+  * materialize once, every statistic reads the bound attribute);
+  * filters run BEFORE any shuffle so the expensive stages see only
+  * surviving rows; exact dedup groups on a 16-byte digest (never raw
+  * text); near-dup is the banded LSH path ([[Dedup.minHashPairs]] —
+  * linear candidate generation). Every stage is deterministic, so the
+  * whole pipeline carries an exact oracle (p01).
+  *
+  * Near-dup removal convention: for every verified pair (a < b,
+  * jaccard ≥ threshold) the LARGER id is dropped — non-transitive by
+  * design (b dropped for (a,b) does not protect c in (b,c)): the rule
+  * is a pure function of the pair set, which keeps it reproducible
+  * across partitionings and expressible in plain SQL.
+  */
+object Curation {
+
+  /** Filter thresholds; near-dup stage disabled with `nearDupJaccard = None`. */
+  case class Config(lang: String = "en", minTokens: Long = 30L,
+                    minAlnumRatio: Double = 0.5,
+                    nearDupJaccard: Option[Double] = Some(0.5))
+
+  /** `(id, text)` → surviving docs as `(id, pred_lang, n_tokens,
+    * alnum_ratio)`, one scoring scan + digest dedup + LSH near-dup. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): DataFrame = {
+    val scored = docs
+      .select(col(idCol), col(textCol).as("_text"), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_text"), col("_toks"),
+        TextAnalysis.langIdFromTokens(col("_toks")).as("pred_lang"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        TextAnalysis.alnumRatio(col("_text")).as("alnum_ratio"))
+
+    val filtered = scored.filter(
+      col("pred_lang") === cfg.lang &&
+        col("n_tokens") >= cfg.minTokens &&
+        col("alnum_ratio") >= cfg.minAlnumRatio)
+
+    // exact dedup on the canonical-content digest; min id survives.
+    // digest from the already-materialized tokens (no re-tokenize).
+    val withHash = filtered.withColumn("_h",
+      md5(concat_ws(" ", col("_toks")).cast("binary")))
+    val keepIds = withHash.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val deduped = withHash.join(keepIds, Seq(idCol), "left_semi")
+
+    val survivors = cfg.nearDupJaccard match {
+      case None => deduped
+      case Some(minJ) =>
+        val dropIds = Dedup.minHashPairs(
+            deduped.select(col(idCol), col("_text")), idCol, "_text",
+            minJaccard = minJ)
+          .select(col("b_id").as(idCol)).distinct()
+        deduped.join(dropIds, Seq(idCol), "left_anti")
+    }
+    survivors.select(col(idCol), col("pred_lang"), col("n_tokens"),
+      round(col("alnum_ratio"), 4).as("alnum_ratio"))
+  }
+}
