@@ -86,4 +86,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("list_id"), "centroid-list join key missing from plan")
     assert(!p.toLowerCase.contains("batchevalpython"), "python udf crept in")
   }
+
+  test("p01: curation pipeline stays equi-join only, scoring in one scan") {
+    val p = plan("p01_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "curation degenerated to all-pairs")
+    assert(p.contains("sanitize_tokens"), "native tokenizer not in plan")
+    // lang-ID + quality thresholds are plain expressions, not UDFs
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "scoring left codegen")
+  }
 }

@@ -125,6 +125,37 @@ class ZipSourceV2Spec extends SparkSpec {
     assert(rows == Map("s.txt" -> "uncompressed bytes here"))
   }
 
+  test("randomized archives: sliced reader equals ZipInputStream on every entry") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 8) {
+      val f = new java.io.File(dir, s"fuzz$trial.zip")
+      val zos = new ZipOutputStream(new FileOutputStream(f), UTF_8)
+      val entries = (0 until 1 + rnd.nextInt(40)).map { i =>
+        // unicode names, empty/tiny/large payloads, mixed compressibility
+        val name = if (i % 5 == 4) s"dir$i/ünï-✓$i.txt" else s"e$i.bin"
+        val payload = new Array[Byte](rnd.nextInt(if (i % 7 == 6) 200000 else 500))
+        if (i % 3 == 0) rnd.nextBytes(payload) // incompressible
+        else java.util.Arrays.fill(payload, ('a' + i % 26).toByte)
+        name -> payload
+      }
+      entries.foreach { case (n, p) =>
+        zos.putNextEntry(new ZipEntry(n)); zos.write(p); zos.closeEntry()
+      }
+      zos.close()
+
+      // force many tiny splits so the seek-inflate path is exercised
+      val got = spark.read.format("zip-entries")
+        .option("maxBytesPerSplit", "1024").load(f.getAbsolutePath)
+        .select($"entry_name", $"content").as[(String, Array[Byte])]
+        .collect().map { case (n, c) => n -> c.toSeq }.toMap
+      val expected = entries.map { case (n, p) => n -> p.toSeq }.toMap
+      assert(got.keySet == expected.keySet, s"trial $trial: entry names differ")
+      expected.foreach { case (n, p) =>
+        assert(got(n) == p, s"trial $trial: content mismatch for $n")
+      }
+    }
+  }
+
   test("ZIP64 central directory (>65535 entries) parses metadata-only") {
     val f = new java.io.File(dir, "big64.zip")
     val zos = new ZipOutputStream(new FileOutputStream(f), UTF_8)
