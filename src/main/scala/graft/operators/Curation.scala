@@ -50,8 +50,13 @@ object Curation {
 
     // exact dedup on the canonical-content digest; min id survives.
     // digest from the already-materialized tokens (no re-tokenize).
+    // The scored+filtered frame feeds four plan branches (keep-id
+    // groupBy, semi-join probe, near-dup input, final output); persist
+    // it so the corpus is scanned and scored ONCE — the cluster-scale
+    // equivalent is checkpointing the scored frame to scratch storage.
     val withHash = filtered.withColumn("_h",
       md5(concat_ws(" ", col("_toks")).cast("binary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepIds = withHash.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val deduped = withHash.join(keepIds, Seq(idCol), "left_semi")
