@@ -16,12 +16,12 @@ import java.nio.file.{Files, Paths}
   *    not prefix forked output with "[info] ").
   *
   * Methodology note: the warm passes deliberately populate process
-  * memos (the IVF quantizer cache, persisted operator frames), so the
-  * timed pass measures STEADY-STATE query cost — s05's number excludes
-  * the one-time KMeans fit, d04's and p01's exclude the first
-  * materialization of their cached frames. That is the number a
-  * repeated-probe workload sees; cold cost is `graft.Explain`'s
-  * `cold=` column.
+  * memos (the IVF quantizer cache), so the timed pass measures
+  * STEADY-STATE query cost — s05's number excludes the one-time KMeans
+  * fit. Operators no longer persist frames (r4 moved the multi-branch
+  * reuse onto exchange/shuffle reuse within each query), so every
+  * timed run pays its full compute. Cold cost incl. codegen is
+  * `graft.Explain`'s `cold=` column.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

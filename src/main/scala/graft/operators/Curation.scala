@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -50,22 +51,36 @@ object Curation {
 
     // exact dedup on the canonical-content digest; min id survives.
     // digest from the already-materialized tokens (no re-tokenize).
-    // The scored+filtered frame feeds four plan branches (keep-id
-    // groupBy, semi-join probe, near-dup input, final output); persist
-    // it so the corpus is scanned and scored ONCE — the cluster-scale
-    // equivalent is checkpointing the scored frame to scratch storage.
-    val withHash = filtered.withColumn("_h",
-      md5(concat_ws(" ", col("_toks")).cast("binary")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keepIds = withHash.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val deduped = withHash.join(keepIds, Seq(idCol), "left_semi")
+    // Shape: row_number over (_h, id) — ONE shuffle on the digest, no
+    // keep-ids join (r3 used groupBy-min + semi-join: two shuffles, a
+    // join, and a persisted frame that leaked its blocks). The window's
+    // own Exchange on _h doubles as the reuse anchor: both consumers of
+    // `deduped` (near-dup input, final output) embed the identical
+    // subtree, so ReuseExchange / AQE stage reuse scans+scores the
+    // corpus ONCE and re-reads shuffle files — zero storage blocks, and
+    // at 100 TB scratch-disk shuffle is the right medium anyway. The
+    // digest is uniform, so the window partitioning cannot skew.
+    // _text is dropped before the shuffle (alnum_ratio is already
+    // computed — raw text would double the exchange payload); the
+    // isNotNull keeps branch subtrees canonically identical once the
+    // near-dup branch infers join-key null filters.
+    val withHash = filtered.filter(col(idCol).isNotNull)
+      .select(col(idCol), col("_toks"), col("pred_lang"), col("n_tokens"),
+        col("alnum_ratio"))
+      .withColumn("_h", md5(concat_ws(" ", col("_toks")).cast("binary")))
+    val keepFirst = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    val deduped = withHash
+      .withColumn("_rn", row_number().over(keepFirst))
+      .filter(col("_rn") === 1).drop("_rn")
 
     val survivors = cfg.nearDupJaccard match {
       case None => deduped
       case Some(minJ) =>
-        val dropIds = Dedup.minHashPairs(
-            deduped.select(col(idCol), col("_text")), idCol, "_text",
+        // near-dup over the ALREADY-tokenized column: the scoring scan
+        // materialized _toks into the reused exchange, so the LSH stage
+        // must not pay the sanitize+tokenize regex a second time.
+        val dropIds = Dedup.minHashPairsFromTokens(
+            deduped.select(col(idCol), col("_toks")), idCol, "_toks",
             minJaccard = minJ)
           .select(col("b_id").as(idCol)).distinct()
         deduped.join(dropIds, Seq(idCol), "left_anti")

@@ -62,10 +62,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxDf: Int = Int.MaxValue): DataFrame = {
-    // no .cache(): an operator can't know when to unpersist, and leaked
-    // cache blocks accumulate GC pressure across a query batch;
-    // recomputing the cheap shingle scan is the better trade
+    // no .cache() — an operator can't know when to unpersist, and
+    // leaked blocks accumulate across a query batch. Instead anchor
+    // the shingle frame under an explicit shuffle on its join key:
+    // every consuming branch (df count, anti-join probe, sizes, both
+    // join sides) embeds the identical Exchange, so ReuseExchange /
+    // AQE stage reuse computes the tokenize+shingle scan ONCE and the
+    // branches re-read shuffle files (r2/r3 recomputed the scan ~5×).
+    // The isNotNull filters are semantically no-ops (explode yields no
+    // null shingles) but keep every branch's subtree canonically
+    // identical once the optimizer infers join-key null filters —
+    // without them, exchange reuse is silently defeated.
     val shAll = shingles(docs, idCol, textCol, n)
+      .filter(col(idCol).isNotNull && col("shingle").isNotNull)
+      .repartition(col("shingle"))
     // hot set is small by construction (≤ total-occurrences / maxDf):
     // AQE turns the anti-join into a broadcast at runtime
     val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
@@ -103,19 +113,56 @@ object Dedup {
                    minJaccard: Double = 0.5, seed: Long = 42L,
                    maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
     // ONE tokenize+shingle pass feeds both the signature path and the
     // exact-Jaccard verify (through r2 the corpus was shingled twice —
-    // the dominant cost and d04's bench-variance source). The shingle-
-    // set frame is persisted MEMORY_AND_DISK because THREE plan
-    // branches consume it (banding, verify side a, verify side b) and
-    // Catalyst recomputes an uncached subtree per branch. Blocks live
-    // in evictable storage memory (spill to disk under pressure); on a
-    // cluster the equivalent for a 100 TB corpus is checkpointing the
-    // shingle frame to scratch storage instead of caching it.
-    val sets = docs.select(col(idCol), tokenize(col(textCol)).as("_toks"))
+    // the dominant cost and d04's bench-variance source). THREE plan
+    // branches consume the shingle-set frame (banding, verify side a,
+    // verify side b) and Catalyst recomputes an uncached subtree per
+    // branch — so anchor the frame under an explicit repartition: the
+    // identical Exchange appears in every branch, ReuseExchange (AQE
+    // stage reuse) materializes it ONCE to shuffle files and the other
+    // branches read those files. Unlike persist() this leaves zero
+    // storage blocks behind (r3's persist here leaked blocks across
+    // invocations and regressed the bench 2.5×); shuffle files are
+    // cleaned with the normal stage lifecycle, which is also the
+    // 100 TB posture — scratch disk, not executor storage memory.
+    // The explicit isNotNull is semantically redundant (null ids never
+    // survive the verify equi-joins) but REQUIRED for reuse: without
+    // it, inferred isnotnull predicates push below the exchange on the
+    // join branches only, and the no-longer-identical subtrees defeat
+    // exchange reuse.
+    // The anchor carries TOKENS, not shingle sets: shingles are ~n×
+    // the token bytes, so shuffling tokens and recomputing the cheap
+    // codegen'd ngrams projection per branch beats shuffling sets.
+    val anchored = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .repartition(col(idCol))
+    val sets = anchored
       .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashPairsFromSets(sets, idCol, k, bands, minJaccard, seed, maxBucketSize)
+  }
+
+  /** [[minHashPairs]] over pre-tokenized docs `(id, tokens)` — skips
+    * the sanitize+tokenize scan when the caller already materialized
+    * tokens (the curation pipeline reuses its scoring tokens here). */
+  def minHashPairsFromTokens(docs: DataFrame, idCol: String, toksCol: String,
+                             n: Int = 3, k: Int = 64, bands: Int = 16,
+                             minJaccard: Double = 0.5, seed: Long = 42L,
+                             maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val anchored = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(toksCol).as("_toks"))
+      .repartition(col(idCol))
+    val sets = anchored
+      .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
+    minHashPairsFromSets(sets, idCol, k, bands, minJaccard, seed, maxBucketSize)
+  }
+
+  /** Shared LSH core over the anchored shingle-set frame `(id, _set)`. */
+  private def minHashPairsFromSets(sets: DataFrame, idCol: String, k: Int,
+                                   bands: Int, minJaccard: Double, seed: Long,
+                                   maxBucketSize: Int): DataFrame = {
+    val r = k / bands
     val sig = sets.select(col(idCol),
       minHashSignature(shingleHashes(col("_set")), k, seed).as("sig"))
     val banded = sig.select(col(idCol),
@@ -130,8 +177,9 @@ object Dedup {
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct()
     // verify candidates with exact Jaccard via array_intersect on the
-    // (cached) per-doc shingle SETS — candidates are few, so two hash
-    // joins on small arrays beat re-exploding the shingle inverted index
+    // per-doc shingle SETS (read back from the reused exchange) —
+    // candidates are few, so two hash joins beat re-exploding the
+    // shingle inverted index
     cand
       .join(sets.select(col(idCol).as("a_id"), col("_set").as("sa")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("_set").as("sb")), "b_id")

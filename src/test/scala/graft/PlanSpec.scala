@@ -87,6 +87,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython"), "python udf crept in")
   }
 
+  // The multi-branch operators (shingle frame in d03/d04, scored frame
+  // in p01) anchor their shared subtree under one Exchange and rely on
+  // ReuseExchange/AQE stage reuse to compute it once — r3 used persist()
+  // here and leaked the blocks across invocations (VERDICT r3 #1).
+  // Reuse is fragile (an asymmetric inferred filter below the anchor
+  // kills it silently), so execute and assert on the FINAL adaptive
+  // plan, and assert the storage-block ledger stays empty.
+  test("d03/d04/p01: shared subtrees reuse one exchange, zero storage blocks") {
+    for (name <- Seq("d03_ngram_jaccard", "d04_minhash_lsh", "p01_curate")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$name: exchange reuse lost — shared subtree recomputes per branch:\n${p.take(800)}")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$name left persisted blocks behind")
+    }
+  }
+
   test("p01: curation pipeline stays equi-join only, scoring in one scan") {
     val p = plan("p01_curate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
