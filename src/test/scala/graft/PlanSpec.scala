@@ -87,6 +87,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython"), "python udf crept in")
   }
 
+  test("a01: as-of join is one window pass — no join, one hash exchange") {
+    val p = plan("a01_asof_join")
+    assert(!p.contains("Join"), s"as-of regressed to a join (quadratic per user):\n${p.take(600)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one user_id shuffle, got $exchanges:\n${p.take(600)}")
+  }
+
   // The multi-branch operators (shingle frame in d03/d04, scored frame
   // in p01) anchor their shared subtree under one Exchange and rely on
   // ReuseExchange/AQE stage reuse to compute it once — r3 used persist()
