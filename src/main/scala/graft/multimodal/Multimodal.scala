@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — schema, batched per-partition decode,
   * partitioning, metadata extraction — is real and tested. Two codecs:
-  * [[ImageCodec]] is REAL (PNG/BMP through `javax.imageio`, decoding
-  * actual image bytes distributed — m03); [[FakeCodec]] remains the
-  * honest stand-in for formats this container has no libraries for
-  * (JPEG/WAV/MP4 — a deterministic header format, m01/m02). Swapping a
-  * real av codec in changes only the codec object, not the plumbing.
+  * [[ImageCodec]] is REAL (`javax.imageio`, JDK-built-in): full pixel
+  * decode for lossless PNG/BMP (m03) and header-only SOF/IHDR metadata
+  * for JPEG and friends (m01 — dimensions are exact even though JPEG
+  * pixels are lossy). [[FakeCodec]] remains the honest stand-in only
+  * for audio/video containers the JDK genuinely has no codecs for
+  * (m02). Swapping a real av codec in changes only the codec object,
+  * not the plumbing.
   *
   * Scale posture: decode runs in `mapPartitions` over batches, so at
   * 100 TB each task amortizes codec init across its batch (the Scala
@@ -127,6 +129,29 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Header-only metadata read: format name + dimensions WITHOUT
+      * decoding pixels — the reader parses just the JPEG SOF / PNG
+      * IHDR marker, so this is the cheap corpus-wide metadata pass
+      * (dimensions are exact even for lossy codecs). Returns None on
+      * unsniffable bytes: at corpus scale that is data, not a bug. */
+    def readMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: java.io.IOException => None }
+    }
+
     /** Decode any ImageIO-sniffable format (PNG, BMP, GIF, …) and
       * reduce to dimensions + per-channel sums — the batch-friendly
       * shape for corpus-wide pixel statistics. Returns None on
@@ -161,6 +186,40 @@ object Multimodal {
       val b = ((3 * id + x + 11 * y) % 256).toInt
       (r << 16) | (g << 8) | b
     })
+  }
+
+  /** Deterministic synthetic JPEG for doc `id` — REAL JPEG bytes from
+    * the JDK's built-in encoder. Pixels are a smooth gradient (JPEG is
+    * lossy, so pixel values are not oracle-checkable — but the SOF
+    * dimensions are exact, and that is what [[extractImageMeta]]
+    * reads). Dims stay small so encode cost doesn't swamp the query. */
+  def synthJpeg(id: Long): Array[Byte] = {
+    val w = (16 + (id * 7919) % 240).toInt
+    val h = (16 + (id * 104729) % 144).toInt
+    ImageCodec.encode(w, h, (x, y) => {
+      val r = (x * 255 / math.max(1, w - 1))
+      val g = (y * 255 / math.max(1, h - 1))
+      val b = ((id % 256)).toInt
+      (r << 16) | (g << 8) | b
+    }, "jpg")
+  }
+
+  /** Batched header-only metadata over REAL image bytes: `(id, bytes)`
+    * → `(id, format, width, height, n_bytes)`. Same mapPartitions
+    * batch shape as [[extractMeta]]; no pixel decode happens. */
+  def extractImageMeta(ds: Dataset[(Long, Array[Byte])], batchSize: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          ImageCodec.readMeta(bytes) match {
+            case Some((fmt, w, h)) => (id, fmt, w, h, bytes.length.toLong)
+            case None => (id, null: String, -1, -1,
+              Option(bytes).map(_.length.toLong).getOrElse(-1L))
+          }
+        }
+      }
+    }.toDF("id", "format", "width", "height", "n_bytes")
   }
 
   /** Distributed real-codec decode: `(id, image_bytes)` → dimensions +

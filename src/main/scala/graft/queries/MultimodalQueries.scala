@@ -17,15 +17,21 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // REAL JPEG metadata: encode a deterministic JPEG per doc with the
+    // JDK encoder, then read format + dimensions back from the actual
+    // SOF marker, distributed and header-only (no pixel decode). JPEG
+    // is lossy so pixel sums aren't oracle-checkable (m03 covers that
+    // with lossless PNG), but the dimensions are exact — the oracle
+    // recomputes the dimension arithmetic, the Spark side round-trips
+    // real JPEG bytes.
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
-      val withMedia = Tables.load(s, dir, "documents")
+      val jpegs = Tables.load(s, dir, "documents")
         .select($"doc_id").as[Long]
-        .map(id => (id, Multimodal.synthesize(id)))
-      Multimodal.extractMeta(withMedia)
-        .select($"id".as("doc_id"), $"kind",
-          $"width".cast("long").as("width"), $"height".cast("long").as("height"),
-          $"payload_bytes")
+        .map(id => (id, Multimodal.synthJpeg(id)))
+      Multimodal.extractImageMeta(jpegs)
+        .select($"id".as("doc_id"), $"format",
+          $"width".cast("long").as("width"), $"height".cast("long").as("height"))
         .orderBy($"doc_id")
     }),
 
@@ -58,12 +64,13 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // width = 64 + (doc_id * 7919) % 1216; height = 64 + (doc_id * 104729) % 656
+    // JPEG dims: width = 16 + (doc_id * 7919) % 240, height =
+    // 16 + (doc_id * 104729) % 144 — the Spark side reads these back
+    // from real JPEG SOF markers, the oracle recomputes the arithmetic.
     "m01_media_meta" ->
-      """SELECT doc_id, 'image' AS kind,
-        |CAST(64 + (doc_id * 7919) % 1216 AS BIGINT) AS width,
-        |CAST(64 + (doc_id * 104729) % 656 AS BIGINT) AS height,
-        |CAST(16 AS BIGINT) AS payload_bytes
+      """SELECT doc_id, 'jpeg' AS format,
+        |CAST(16 + (doc_id * 7919) % 240 AS BIGINT) AS width,
+        |CAST(16 + (doc_id * 104729) % 144 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // video frames = 1 + doc_id % 120, sampled every 10th → ceil(n/10)

@@ -73,6 +73,34 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodeStats(truncated).isEmpty)
   }
 
+  test("ImageCodec.readMeta: real JPEG bytes yield exact dims, header-only") {
+    import Multimodal.ImageCodec
+    val bytes = Multimodal.synthJpeg(37L)
+    // real JPEG magic (SOI marker), not our fake header
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+    val (fmt, w, h) = ImageCodec.readMeta(bytes).get
+    assert(fmt == "jpeg")
+    assert(w == 16 + (37L * 7919 % 240) && h == 16 + (37L * 104729 % 144))
+    // PNG sniffs too; garbage and null are None, never exceptions
+    assert(ImageCodec.readMeta(Multimodal.synthPng(5L)).get._1 == "png")
+    assert(ImageCodec.readMeta("not an image".getBytes).isEmpty)
+    assert(ImageCodec.readMeta(null).isEmpty)
+    assert(ImageCodec.readMeta(bytes.take(3)).isEmpty)
+  }
+
+  test("extractImageMeta: distributed header reads over real JPEGs") {
+    val ds = spark.range(0, 50).as[Long].map(i => (i, Multimodal.synthJpeg(i)))
+    val rows = Multimodal.extractImageMeta(ds, batchSize = 16).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[String]("format") == "jpeg")
+      assert(r.getAs[Int]("width") == 16 + (id * 7919 % 240))
+      assert(r.getAs[Int]("height") == 16 + (id * 104729 % 144))
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+
   test("decodeImageStats: distributed decode of real PNGs matches the arithmetic") {
     val ds = spark.range(0, 60).as[Long].map(i => (i, Multimodal.synthPng(i)))
     val rows = Multimodal.decodeImageStats(ds, batchSize = 16).collect()
