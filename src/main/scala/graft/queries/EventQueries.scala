@@ -44,6 +44,15 @@ object EventQueries {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // The STREAMING twin of e01, under the same oracle: drain the
+    // events table through flatMapGroupsWithState with AvailableNow
+    // and return the completed sessions. Batch equality holds because
+    // the bounded drain delivers each user's events event-time-ordered
+    // (single data batch) and the sentinel watermark push flushes every
+    // session — see StreamingJobs for the mechanics.
+    "e05_stream_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.sessionizeAvailableNow(s, dir)),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -84,6 +93,24 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "e01_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         |w AS (SELECT user_id, event_id, tus,
+         |        CASE WHEN lag(tus, 1) OVER win IS NULL
+         |                  OR tus - lag(tus, 1) OVER win > $SessionGapUs
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT user_id, tus,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM w)
+         |SELECT user_id, session_id, CAST(min(tus) AS BIGINT) AS session_start_us,
+         |       CAST(max(tus) AS BIGINT) AS session_end_us, count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // identical SQL to e01: the streaming run must reproduce the batch
+    // sessionizer exactly (same gap, same tie order, every session
+    // flushed)
+    "e05_stream_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
          |w AS (SELECT user_id, event_id, tus,
          |        CASE WHEN lag(tus, 1) OVER win IS NULL

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.StreamingSessionize.Event
+
+/** Bounded end-to-end runs of the streaming operators, for the same
+  * DuckDB-oracle gate the batch queries face: `Trigger.AvailableNow`
+  * drains a file source, the parquet sink lands the completed result,
+  * and the caller gets it back as a plain DataFrame.
+  *
+  * Flush mechanics: `flatMapGroupsWithState` emits a session only when
+  * the event-time watermark passes `session end + gap`, so sessions
+  * near the global end of a bounded corpus would stay in state forever
+  * and the streaming result would under-report vs batch. A sentinel
+  * source (one far-future user, filtered back out) pushes the final
+  * watermark beyond every real session's timeout; the engine's no-data
+  * micro-batch then fires the timeouts before AvailableNow terminates.
+  * This mirrors StreamingSessionizeSpec's sentinel technique, under the
+  * driver gate instead of a unit test.
+  *
+  * Scale posture: the real corpus streams from its ORIGINAL parquet in
+  * place (no copy); only the 2-row sentinel file and the result are
+  * written. All per-invocation scratch (sentinels, checkpoint, sink)
+  * lives under one temp dir that is wiped and rebuilt per run, so the
+  * query is a deterministic replay.
+  */
+object StreamingJobs {
+
+  /** Negative ids never occur in the generated events tables. */
+  val SentinelUser: Long = -1L
+
+  /** Streaming sessionization of `dir`'s events table, drained with
+    * AvailableNow; output matches batch e01: `(user_id, session_id,
+    * session_start_us, session_end_us, n_events)`. */
+  def sessionizeAvailableNow(s: SparkSession, dir: String,
+                             gapUs: Long = StreamingSessionize.DefaultGapUs): DataFrame = {
+    import s.implicits._
+    val work = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_e05_${java.lang.Integer.toHexString(dir.hashCode)}")
+    rmTree(work)
+    val sentinelDir = work.resolve("sentinel").toString
+    val ckptDir = work.resolve("ckpt").toString
+    val outDir = work.resolve("out").toString
+
+    val evBatch = Tables.load(s, dir, "events")
+    // scalar max event time (distributed agg, 8 bytes to the driver)
+    // positions the sentinels beyond every possible session timeout
+    val maxTus = evBatch.select(max(expr("ts div 1000"))).as[Long].head()
+    Seq((SentinelUser, -1L, (maxTus + 100 * gapUs) * 1000),
+        (SentinelUser, -2L, (maxTus + 200 * gapUs) * 1000))
+      .toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def asEvents(df: DataFrame) =
+      df.select($"user_id", $"event_id", expr("ts div 1000").as("tus"))
+    // the sf tables are single parquet FILES and a file stream source
+    // only accepts directories — stream the parent dir with a glob
+    // pinned to the events file (still zero copying of the corpus)
+    val real = asEvents(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = asEvents(s.readStream
+      .schema("user_id LONG, event_id LONG, ts LONG").parquet(sentinelDir))
+
+    val sessions = StreamingSessionize.sessionize(
+      real.union(sentinel).as[Event], gapUs)
+    val q = sessions.writeStream.format("parquet")
+      .option("checkpointLocation", ckptDir).option("path", outDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // per-user ordinal to match the batch sessionizer's output shape
+    // (sessions are disjoint per user, so start-time order is total)
+    val sid = Window.partitionBy($"user_id").orderBy($"session_start_us")
+    s.read.parquet(outDir)
+      .filter($"user_id" =!= SentinelUser)
+      .withColumn("session_id", row_number().over(sid).cast("long"))
+      .select($"user_id", $"session_id", $"session_start_us",
+        $"session_end_us", $"n_events")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}
