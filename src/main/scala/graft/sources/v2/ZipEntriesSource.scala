@@ -40,6 +40,11 @@ import org.apache.spark.util.SerializableConfiguration
   *  - **`preferredLocations`.** Every split reports the HDFS block
   *    hosts covering its compressed byte range, so tasks schedule
   *    data-local on a real cluster.
+  *  - **Planning itself scales out.** At or above
+  *    `parallelPlanningThreshold` archives (default 64), central
+  *    directories are parsed by a Spark job on executors and only the
+  *    entry metadata is collected — a 100k-archive corpus does not
+  *    serialize 100k tail reads onto the driver.
   *  - **No whole-archive buffering.** Content is materialized per
   *    *entry*; only entry size is bounded (2 GB JVM array cap).
   *  - **Column pruning.** A projection without `content` does zero
@@ -85,6 +90,37 @@ object ZipEntriesSource {
     StructField("content", BinaryType, nullable = false)))
 
   val DefaultMaxBytesPerSplit: Long = 128L * 1024 * 1024
+
+  /** Archive count at which central-directory planning moves off the
+    * driver into a Spark job (option `parallelPlanningThreshold`). */
+  val DefaultParallelPlanningThreshold: Int = 64
+}
+
+/** Planning metadata for one archive: its central directory (None when
+  * unlocatable → streamed fallback) and its HDFS block map, gathered
+  * either on the driver or by the parallel-planning job. */
+private[v2] case class ArchiveMeta(path: String, len: Long,
+    entries: Option[Vector[ZipCentral.Entry]],
+    blocks: Vector[(Long, Long, Vector[String])])
+
+private[v2] object ZipPlanning {
+  def archiveMeta(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): ArchiveMeta = {
+    val central = {
+      val in = fs.open(st.getPath)
+      try ZipCentral.list(in, st.getLen)
+      finally in.close()
+    }
+    val blocks =
+      try fs.getFileBlockLocations(st, 0, math.max(st.getLen, 1))
+        .map(b => (b.getOffset, b.getLength, b.getHosts.toVector)).toVector
+      catch { case _: Exception => Vector.empty[(Long, Long, Vector[String])] }
+    ArchiveMeta(st.getPath.toString, st.getLen, central.map(_.toVector), blocks)
+  }
+
+  /** Hosts of the blocks overlapping `[start, start+len)`. */
+  def hosts(m: ArchiveMeta, start: Long, len: Long): Array[String] =
+    m.blocks.filter { case (o, l, _) => o < start + math.max(len, 1) && o + l > start }
+      .flatMap(_._3).distinct.toArray
 }
 
 class ZipEntriesTable(options: CaseInsensitiveMap[String], tableSchema: StructType)
@@ -143,14 +179,34 @@ class ZipScan(options: Map[String, String], required: StructType)
       }
     }
 
-    files.flatMap { st =>
-      val fs = st.getPath.getFileSystem(hadoopConf)
-      val central = {
-        val in = fs.open(st.getPath)
-        try ZipCentral.list(in, st.getLen)
-        finally in.close()
+    // Per-archive metadata (central directory + block map). Below the
+    // threshold the driver reads it directly (one bounded tail read per
+    // archive); above it, a 100k-archive corpus would serialize ~100k
+    // metadata RPCs + tail reads onto the driver, so a small Spark job
+    // parses central directories ON EXECUTORS and collects only the
+    // Entry metadata — the same bytes the driver would have held anyway.
+    val parThreshold = options.get("parallelplanningthreshold").map(_.toInt)
+      .getOrElse(ZipEntriesSource.DefaultParallelPlanningThreshold)
+    val metas: Seq[ArchiveMeta] =
+      if (files.length < parThreshold) {
+        files.map(st =>
+          ZipPlanning.archiveMeta(st.getPath.getFileSystem(hadoopConf), st))
+      } else {
+        val sc = spark.sparkContext
+        val conf = new SerializableConfiguration(hadoopConf)
+        val pathLens = files.map(st => st.getPath.toString)
+        val slices = math.max(1, math.min(pathLens.length, sc.defaultParallelism * 4))
+        sc.parallelize(pathLens, slices)
+          .map { p =>
+            val hp = new Path(p)
+            val fs = hp.getFileSystem(conf.value)
+            ZipPlanning.archiveMeta(fs, fs.getFileStatus(hp))
+          }
+          .collect().toSeq.sortBy(_.path) // deterministic plan order
       }
-      central match {
+
+    metas.flatMap { m =>
+      m.entries match {
         case Some(entries) =>
           // greedy pack in archive order by UNCOMPRESSED size (the
           // decompress work a task performs), >= 1 entry per split.
@@ -171,21 +227,15 @@ class ZipScan(options: Map[String, String], required: StructType)
           splits.result().map { es =>
             val start = es.head.offset
             val end = es.map(e => e.offset + e.csize).max
-            ZipSlicePartition(st.getPath.toString, es.toArray,
-              blockHosts(fs, st, start, end - start)): InputPartition
+            ZipSlicePartition(m.path, es.toArray,
+              ZipPlanning.hosts(m, start, end - start)): InputPartition
           }
         case None =>
-          Seq(ZipArchivePartition(st.getPath.toString,
-            blockHosts(fs, st, 0, st.getLen)): InputPartition)
+          Seq(ZipArchivePartition(m.path,
+            ZipPlanning.hosts(m, 0, m.len)): InputPartition)
       }
     }.toArray
   }
-
-  private def blockHosts(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus,
-                         start: Long, len: Long): Array[String] =
-    try fs.getFileBlockLocations(st, start, math.max(len, 1))
-      .flatMap(_.getHosts).distinct
-    catch { case _: Exception => Array.empty[String] }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active

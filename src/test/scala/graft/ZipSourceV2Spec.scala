@@ -55,6 +55,32 @@ class ZipSourceV2Spec extends SparkSpec {
     assert(v2 == v1)
   }
 
+  test("parallel planning above the threshold matches driver-side planning") {
+    // 100 archives > the default threshold (64): planning runs as a
+    // Spark job parsing central directories on executors. Results must
+    // be identical to forced-sequential planning, split-for-split.
+    val many = java.nio.file.Files.createTempDirectory("graft-v2zip-many").toFile
+    (0 until 100).foreach { i =>
+      writeZip(many, f"arc_$i%03d.zip",
+        s"doc_${i}_a.txt" -> s"alpha $i content", s"doc_${i}_b.txt" -> s"beta $i")
+    }
+    def readAll(thresh: Int) = spark.read.format("zip-entries")
+      .option("parallelPlanningThreshold", thresh.toString)
+      .load(s"$many/*.zip")
+      .select($"entry_name", $"archive", $"content".cast("string").as("text"))
+      .as[(String, String, String)].collect().toSet
+    val parallel = readAll(1)                 // force the Spark-job path
+    val sequential = readAll(Int.MaxValue)    // force the driver path
+    assert(parallel == sequential)
+    assert(parallel.size == 200)
+    assert(parallel.exists { case (n, _, t) => n == "doc_42_a.txt" && t == "alpha 42 content" })
+    // default threshold (64 <= 100 archives) also takes the parallel
+    // path and plans one split per tiny archive
+    val df = spark.read.format("zip-entries").load(s"$many/*.zip")
+    assert(df.rdd.getNumPartitions == 100)
+    assert(df.count() == 200)
+  }
+
   test("missing path → clear error") {
     val e = intercept[Exception] {
       spark.read.format("zip-entries").load(s"$dir/nothing-*.zip").count()
