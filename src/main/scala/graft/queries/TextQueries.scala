@@ -77,7 +77,7 @@ object TextQueries {
     // granularity are all hash-checked.
     "t08_zip_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val zipPath = buildDocsZip(s, dir)
+      val zipPath = graft.sources.ZipFixtures.docsZip(s, dir)
       Bigrams.counts(graft.sources.ZipEntries.entryText(s, zipPath))
         .orderBy($"bigram")
     }),
@@ -108,28 +108,6 @@ object TextQueries {
         .limit(100)
     }),
   )
-
-  /** Deterministic test archive: first 50 docs of `dir`, one ZIP entry
-    * each, built once per (dir) under the system temp dir. */
-  private def buildDocsZip(s: SparkSession, dir: String): String = {
-    import s.implicits._
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_docs_$tag.zip")
-    if (!java.nio.file.Files.exists(path)) {
-      val docs = Tables.load(s, dir, "documents")
-        .filter($"doc_id" < 50).select($"doc_id", $"text")
-        .as[(Long, String)].collect().sortBy(_._1)
-      val zos = new java.util.zip.ZipOutputStream(
-        java.nio.file.Files.newOutputStream(path))
-      try docs.foreach { case (id, text) =>
-        zos.putNextEntry(new java.util.zip.ZipEntry(f"doc_$id%05d.txt"))
-        zos.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        zos.closeEntry()
-      } finally zos.close()
-    }
-    path.toString
-  }
 
   private def langCaseSql: String = {
     val hits = TextAnalysis.LangMarkers.map { case (lang, ms) =>
