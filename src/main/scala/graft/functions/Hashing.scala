@@ -69,11 +69,11 @@ object Hashing {
   }
 
   private val coeffCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+    new BoundedMemo[(Int, Long), (Array[Long], Array[Long])](64)
 
   /** Static entry point (also called from generated Java). */
   def minHashSigCompute(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
-    val (as, bs) = coeffCache.computeIfAbsent((k, seed), { key =>
+    val (as, bs) = coeffCache.getOrCompute((k, seed), { key =>
       val cs = minHashCoefficients(key._1, key._2)
       (cs.map(_._1).toArray, cs.map(_._2).toArray)
     })

@@ -104,11 +104,11 @@ object VectorFunctions {
   }
 
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Float]]]()
+    new BoundedMemo[(Int, Int, Int, Long), Array[Array[Float]]](32)
 
   /** ±1 hyperplanes, deterministic from seed; [tables*bits][dim]. */
   private[graft] def planesFor(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Float]] =
-    planeCache.computeIfAbsent((tables, bits, dim, seed), { _ =>
+    planeCache.getOrCompute((tables, bits, dim, seed), { _ =>
       val rnd = new java.util.Random(seed)
       Array.fill(tables * bits, dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
     })

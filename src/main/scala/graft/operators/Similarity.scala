@@ -123,11 +123,14 @@ object Similarity {
     * Staleness contract: the memo assumes `cacheKey` uniquely identifies
     * the corpus CONTENT — if the data under a keyed path changes, the
     * caller must change the key (e.g. key on a snapshot/version id, as
-    * s05 keys on the immutable sf directory path). Entries live for the
-    * JVM; each is nLists×dim doubles (~100 KB at nLists=16, d=768). */
+    * s05 keys on the immutable sf directory path). Each entry is
+    * nLists×dim doubles (~100 KB at nLists=16, d=768); the memo is
+    * size-capped (wholesale reset at 16 corpora), so a long-lived
+    * session probing many corpora refits instead of growing without
+    * bound. */
   private val quantizerCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Long),
-      org.apache.spark.ml.clustering.KMeansModel]()
+    new graft.functions.BoundedMemo[(String, Int, Long),
+      org.apache.spark.ml.clustering.KMeansModel](16)
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * assigns every corpus vector to its nearest centroid; each query
@@ -151,8 +154,8 @@ object Similarity {
     val featNamed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       array_to_vector(col(vecCol)).as("features"))
     val model = cacheKey match {
-      case Some(key) => quantizerCache.getOrElseUpdate((key, nLists, seed),
-        fitIvfQuantizer(corpus, vecCol, nLists, seed))
+      case Some(key) => quantizerCache.getOrCompute((key, nLists, seed),
+        _ => fitIvfQuantizer(corpus, vecCol, nLists, seed))
       case None => fitIvfQuantizer(corpus, vecCol, nLists, seed)
     }
     val centroids = model.clusterCenters
