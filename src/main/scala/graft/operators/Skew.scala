@@ -35,15 +35,20 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross")(jt),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched replicated small-side rows; " +
         "use inner/left_outer/left_semi/left_anti or flip the sides")
-    // deterministic per-row scatter: hash the full row (varies within a
-    // key group) rather than rand() (breaks retry idempotence)
-    val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets))
-        .cast("int"))
+    val bigSalted = big.withColumn("_salt", rowSalt(big, saltBuckets))
     val smallSalted = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     bigSalted.join(smallSalted, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** The deterministic per-row scatter [[saltedJoin]] salts the big
+    * side with: hash of the FULL row (varies within a key group, so a
+    * hot key spreads), never `rand()` (a task retry would re-roll the
+    * salt and break exactly-once placement). Exposed so tests and
+    * monitoring can audit the spread a given frame will get. */
+  def rowSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets))
+      .cast("int")
 
   /** count(DISTINCT valueCol) per group, two-phase: first collapse
     * (group, value) pairs — spreading a hot group across reducers by

@@ -103,13 +103,16 @@ class PlanSpec extends SparkSpec {
   // plan, and assert the storage-block ledger stays empty.
   test("d03/d04/p01: shared subtrees reuse one exchange, zero storage blocks") {
     for (name <- Seq("d03_ngram_jaccard", "d04_minhash_lsh", "p01_curate")) {
+      // other suites share this session and may cache their own frames —
+      // the property is that THESE queries add no storage blocks
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"),
         s"$name: exchange reuse lost — shared subtree recomputes per branch:\n${p.take(800)}")
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-        s"$name left persisted blocks behind")
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(added.isEmpty, s"$name left persisted blocks behind: $added")
     }
   }
 

@@ -42,6 +42,49 @@ class SkewAndBucketingSpec extends SparkSpec {
     assert(Skew.saltedJoin(big, small, Seq("k"), 4, "left_semi").count() == 1)
   }
 
+  test("saltedJoin stress: one hot key spreads across all salt buckets") {
+    // 50k rows, 92% on one hot key — the shape that melts a single
+    // reducer in a plain shuffle join
+    val buckets = 8
+    val big = spark.range(0, 50000)
+      .select((when($"id" % 12 === 0, $"id" % 5 + 1).otherwise(0L)).as("k"),
+        concat(lit("p"), $"id").as("payload"))
+    val small = (0L to 5L).map(k => (k, s"dim$k")).toDF("k", "name")
+
+    // result equivalence without collecting 50k rows: row-level
+    // checksum + count must match the plain join exactly
+    def fingerprint(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)),
+        sum(xxhash64($"k", $"payload", $"name").cast("decimal(38,0)")))
+        .as[(Long, BigDecimal)].head()
+    val plain = fingerprint(big.join(small, Seq("k")))
+    val salted = fingerprint(Skew.saltedJoin(big, small, Seq("k"), buckets))
+    assert(salted == plain)
+    assert(plain._1 == 50000L)
+
+    // the hot key's rows must land in EVERY bucket, with no bucket
+    // holding more than 2x its fair share (xxhash64 over the full row
+    // is effectively uniform; 2x on ~5.7k/bucket is a loose bound)
+    val spread = big.filter($"k" === 0L)
+      .select(Skew.rowSalt(big, buckets).as("salt"))
+      .groupBy($"salt").count().as[(Int, Long)].collect().toMap
+    assert(spread.keySet == (0 until buckets).toSet, s"buckets missing: $spread")
+    val hotRows = spread.values.sum
+    assert(spread.values.max <= 2 * hotRows / buckets,
+      s"skewed salt distribution: $spread")
+
+    // and the join's shuffle key actually includes the salt (force the
+    // shuffle path — broadcast would hide it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Skew.saltedJoin(big, small, Seq("k"), buckets)
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(k#\\d+L?, _salt".r.findFirstIn(p).isDefined,
+        s"salt missing from shuffle key:\n${p.take(600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("twoPhaseDistinctCount matches countDistinct") {
     val df = (1 to 1000).map(i => (i % 3, s"v${i % 37}")).toDF("g", "v")
     val expected = df.groupBy($"g").agg(countDistinct($"v").as("nd_v"))
