@@ -83,9 +83,20 @@ object DedupQueries {
         .select($"a_id", $"b_id", $"hamming".cast("long").as("hamming"))
         .orderBy($"a_id", $"b_id")
     }),
+
+    // The STREAMING twin of d01/d02, under the oracle gate: drain the
+    // documents table through dropDuplicatesWithinWatermark with
+    // AvailableNow. Which representative survives a digest group
+    // depends on arrival order, so the stable output is the surviving
+    // digest SET — exactly the distinct canonical contents.
+    "d06_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.dedupAvailableNow(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
+    "d06_stream_dedup" ->
+      s"""SELECT DISTINCT md5($SqlNorm) AS h FROM documents ORDER BY h""".stripMargin,
+
     "d01_exact_groups" ->
       s"""SELECT md5($SqlNorm) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY h ORDER BY h""".stripMargin,

@@ -53,6 +53,11 @@ object EventQueries {
     "e05_stream_sessionize" -> ((s, dir) =>
       graft.streaming.StreamingJobs.sessionizeAvailableNow(s, dir)),
 
+    // Streaming tumbling-window counts (the third streaming operator)
+    // under the oracle gate — same drain + sentinel-flush mechanics.
+    "e06_stream_windows" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.windowCountsAvailableNow(s, dir)),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -124,6 +129,11 @@ object EventQueries {
          |SELECT user_id, session_id, CAST(min(tus) AS BIGINT) AS session_start_us,
          |       CAST(max(tus) AS BIGINT) AS session_end_us, count(*) AS n_events
          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "e06_stream_windows" ->
+      """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+        |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e02_type_stats" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value,

@@ -87,6 +87,79 @@ object StreamingJobs {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Streaming exact dedup of the documents table, drained with
+    * AvailableNow. `dropDuplicatesWithinWatermark` keeps the FIRST
+    * arrival per digest and arrival order is partition-dependent, so
+    * the oracle-stable projection is the set of surviving content
+    * digests — exactly one per distinct canonical content, whichever
+    * representative won. No sentinel needed: dedup emits survivors
+    * immediately (the watermark only expires state). */
+  def dedupAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_d06_${java.lang.Integer.toHexString(dir.hashCode)}")
+    rmTree(work)
+    val docs = Tables.load(s, dir, "documents")
+    val stream = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // synthetic deterministic event time; +1s keeps doc 0 above the
+      // initial watermark (t=0 events are dropped against it)
+      .withColumn("ts_micro", timestamp_micros($"doc_id" + 1000000L))
+    val survivors = graft.streaming.StreamingDedup
+      .dedupByContent(stream, "text", "ts_micro")
+    val q = survivors.drop("ts_micro").writeStream.format("parquet")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .option("path", work.resolve("out").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(work.resolve("out").toString)
+      .select(graft.operators.Dedup.contentHash($"text").as("h"))
+      .orderBy($"h")
+  }
+
+  /** Watermarked tumbling-window counts over the events table, drained
+    * with AvailableNow — the streaming twin of batch e03 under the same
+    * oracle shape. Append mode only emits a window once the watermark
+    * passes its end + delay, so the same sentinel push as
+    * [[sessionizeAvailableNow]] closes every real window. */
+  def windowCountsAvailableNow(s: SparkSession, dir: String,
+                               windowLen: String = "1 hour"): DataFrame = {
+    import s.implicits._
+    val work = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_e06_${java.lang.Integer.toHexString(dir.hashCode)}")
+    rmTree(work)
+    val sentinelDir = work.resolve("sentinel").toString
+
+    val evBatch = Tables.load(s, dir, "events")
+    val maxTus = evBatch.select(max(expr("ts div 1000"))).as[Long].head()
+    val farUs = 1000L * 3600 * 1000000
+    Seq(((maxTus + farUs) * 1000, "__sentinel", 0.0),
+        ((maxTus + 2 * farUs) * 1000, "__sentinel", 0.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def shaped(df: DataFrame) =
+      df.select(expr("ts div 1000").as("tus"), $"event_type", $"value")
+    val real = shaped(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = shaped(s.readStream
+      .schema("ts LONG, event_type STRING, value DOUBLE").parquet(sentinelDir))
+
+    val counts = StreamingWindowCounts.tumblingCounts(
+      real.union(sentinel), windowLen)
+    val q = counts.writeStream.format("parquet")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .option("path", work.resolve("out").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    s.read.parquet(work.resolve("out").toString)
+      .filter($"event_type" =!= "__sentinel")
+      .select($"window_start_us", $"event_type", $"n",
+        round($"sum_value", 2).as("sum_value"))
+      .orderBy($"window_start_us", $"event_type")
+  }
+
   private def rmTree(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
