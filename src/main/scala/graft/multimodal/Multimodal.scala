@@ -194,8 +194,8 @@ object Multimodal {
     * dimensions are exact, and that is what [[extractImageMeta]]
     * reads). Dims stay small so encode cost doesn't swamp the query. */
   def synthJpeg(id: Long): Array[Byte] = {
-    val w = (16 + (id * 7919) % 240).toInt
-    val h = (16 + (id * 104729) % 144).toInt
+    val w = (16 + (id * 7919) % 48).toInt
+    val h = (16 + (id * 104729) % 32).toInt
     ImageCodec.encode(w, h, (x, y) => {
       val r = (x * 255 / math.max(1, w - 1))
       val g = (y * 255 / math.max(1, h - 1))

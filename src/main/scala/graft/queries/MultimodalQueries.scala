@@ -64,13 +64,15 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // JPEG dims: width = 16 + (doc_id * 7919) % 240, height =
-    // 16 + (doc_id * 104729) % 144 — the Spark side reads these back
+    // JPEG dims: width = 16 + (doc_id * 7919) % 48, height =
+    // 16 + (doc_id * 104729) % 32 — the Spark side reads these back
     // from real JPEG SOF markers, the oracle recomputes the arithmetic.
+    // (Dims stay small: the query measures distributed metadata reads,
+    // not fixture encode throughput.)
     "m01_media_meta" ->
       """SELECT doc_id, 'jpeg' AS format,
-        |CAST(16 + (doc_id * 7919) % 240 AS BIGINT) AS width,
-        |CAST(16 + (doc_id * 104729) % 144 AS BIGINT) AS height
+        |CAST(16 + (doc_id * 7919) % 48 AS BIGINT) AS width,
+        |CAST(16 + (doc_id * 104729) % 32 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // video frames = 1 + doc_id % 120, sampled every 10th → ceil(n/10)

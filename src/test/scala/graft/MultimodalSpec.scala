@@ -80,7 +80,7 @@ class MultimodalSpec extends SparkSpec {
     assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
     val (fmt, w, h) = ImageCodec.readMeta(bytes).get
     assert(fmt == "jpeg")
-    assert(w == 16 + (37L * 7919 % 240) && h == 16 + (37L * 104729 % 144))
+    assert(w == 16 + (37L * 7919 % 48) && h == 16 + (37L * 104729 % 32))
     // PNG sniffs too; garbage and null are None, never exceptions
     assert(ImageCodec.readMeta(Multimodal.synthPng(5L)).get._1 == "png")
     assert(ImageCodec.readMeta("not an image".getBytes).isEmpty)
@@ -95,8 +95,8 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getAs[Long]("id")
       assert(r.getAs[String]("format") == "jpeg")
-      assert(r.getAs[Int]("width") == 16 + (id * 7919 % 240))
-      assert(r.getAs[Int]("height") == 16 + (id * 104729 % 144))
+      assert(r.getAs[Int]("width") == 16 + (id * 7919 % 48))
+      assert(r.getAs[Int]("height") == 16 + (id * 104729 % 32))
       assert(r.getAs[Long]("n_bytes") > 0)
     }
   }
