@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for every left row, the single right
+  * row closest in time at-or-before it (`backward`, the default) or
+  * at-or-after it (`forward`), per key. The temporal primitive behind
+  * "most recent click before each purchase", "latest quote for each
+  * trade", "sensor reading in effect at each event".
+  *
+  * Plan shape: UNION the two sides into one per-key stream sorted by
+  * (time, side), then carry the last-seen right row forward with
+  * `last(struct, ignoreNulls)` over a running window — ONE shuffle on
+  * the keys, linear work per key. The naive composition (equi-join on
+  * key + backward filter + row_number) materializes
+  * O(|left| × |right|) candidate rows per key first; a power user with
+  * 10⁵ clicks × 10³ purchases would build 10⁸ rows. The union shape
+  * never forms pairs at all, so it survives hot keys at 100 TB.
+  *
+  * Right columns ride in ONE struct so every output column comes from
+  * the SAME matched row — carrying them individually would let a NULL
+  * field fall back to an older right row's value.
+  *
+  * Semantics (mirrors pandas `merge_asof`): left join — unmatched left
+  * rows keep NULL right columns; matches at equal timestamps count in
+  * both directions; `toleranceUs` voids matches farther than the
+  * bound; `tieBreak` orders same-timestamp right rows (the LAST one
+  * in that order wins for `backward`, mirroring "latest"), and is
+  * also the determinism guard — without it, equal-timestamp right
+  * rows resolve by partition order.
+  */
+object AsOf {
+
+  /** `left` and `right` must share exactly `keys` as common columns;
+    * right non-key columns (including `rightTime`) are appended to the
+    * left row. Time columns are epoch-comparable numerics (e.g. µs). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got '$direction'")
+    val overlap = (left.columns.toSet & right.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"asofJoin: non-key columns appear on both sides: $overlap — rename first")
+    toleranceUs.foreach(t => require(t >= 0, "asofJoin: tolerance must be >= 0"))
+
+    val leftCols = left.columns.toSeq
+    val rightPayloadCols = right.columns.toSeq.filterNot(keys.contains)
+    val backward = direction == "backward"
+
+    // one tagged stream: side 0 = right (sorts before left at equal
+    // times, so an equal-timestamp right row is visible to the left row)
+    val taggedRight = right
+      .withColumn("_side", lit(0))
+      .withColumn("_t", col(rightTime))
+      .withColumn("_payload", struct(rightPayloadCols.map(col): _*))
+      .select((keys.map(col) :+ col("_side") :+ col("_t") :+ col("_payload")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left
+      .withColumn("_side", lit(1))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_payload", lit(null).cast(taggedRight.schema("_payload").dataType))
+      .select((keys.map(col) :+ col("_side") :+ col("_t") :+ col("_payload")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    // backward: ascending time, carry the LAST right row seen.
+    // forward: descending time, same carry = the EARLIEST right ≥ left.
+    val dirSort: Column => Column = if (backward) c => c.asc else c => c.desc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((dirSort(col("_t")) +: col("_side").asc +:
+        tieBreak.map(t => dirSort(col("_payload").getField(t)))): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val withinTol = toleranceUs match {
+      case None => col("_match")
+      case Some(t) =>
+        val gap = if (backward) col("_t") - col("_match").getField(rightTime)
+                  else col("_match").getField(rightTime) - col("_t")
+        when(col("_match").isNotNull && gap <= t, col("_match"))
+    }
+
+    carried
+      .withColumn("_m", withinTol)
+      .select(leftCols.map(col) ++
+        rightPayloadCols.map(c => col("_m").getField(c).as(c)): _*)
+  }
+}

@@ -19,38 +19,23 @@ object AdvancedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // As-of join: each purchase ↔ the user's most recent click at or
-    // before it. Single-pass union+window shape: interleave clicks and
-    // purchases in one stream per user, sorted by event time, and carry
-    // the last seen click forward with last(_, ignoreNulls) — ONE
-    // shuffle on user_id, linear work per user. (r3 composed equi-join
-    // + backward filter + row_number, which materializes
-    // O(clicks × purchases) candidate rows per user before the rank-1
-    // filter — a power user with 10⁵ clicks × 10³ purchases would
-    // build 10⁸ rows. The union never forms pairs at all.)
-    // Tie rules match the join formulation: kind orders clicks before
-    // purchases at equal time (a click AT the purchase instant counts),
-    // and click_id asc makes the running last() pick the largest
-    // click_id among same-microsecond clicks.
+    // before it, via the library operator ([[graft.operators.AsOf]]):
+    // single union+window pass, ONE shuffle on user_id, linear per
+    // user — never the O(clicks × purchases) candidate blowup of the
+    // join+row_number composition. tieBreak=click_id reproduces the
+    // "largest click_id among same-microsecond clicks" rule.
     "a01_asof_join" -> ((s, dir) => {
       import s.implicits._
       val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
         expr("ts div 1000").as("tus"))
-      val c = e.filter($"event_type" === "click")
-        .select($"user_id", $"tus", lit(0).as("kind"),
-          $"event_id".as("click_id"), lit(null).cast("long").as("purchase_id"))
       val p = e.filter($"event_type" === "purchase")
-        .select($"user_id", $"tus", lit(1).as("kind"),
-          lit(null).cast("long").as("click_id"), $"event_id".as("purchase_id"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"tus", $"kind", $"click_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.unionByName(p)
-        .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
-        .withColumn("last_ctus",
-          last(when($"kind" === 0, $"tus"), ignoreNulls = true).over(w))
-        .filter($"kind" === 1 && $"last_click".isNotNull)
-        .select($"purchase_id", $"last_click".as("click_id"),
-          ($"tus" - $"last_ctus").as("gap_us"))
+        .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("ptus"))
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"tus".as("ctus"))
+      graft.operators.AsOf.asofJoin(p, c, Seq("user_id"),
+          leftTime = "ptus", rightTime = "ctus", tieBreak = Seq("click_id"))
+        .filter($"click_id".isNotNull) // inner as-of: drop clickless purchases
+        .select($"purchase_id", $"click_id", ($"ptus" - $"ctus").as("gap_us"))
         .orderBy($"purchase_id")
     }),
 
