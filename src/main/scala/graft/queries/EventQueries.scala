@@ -25,22 +25,15 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Gap-based sessionization: one shuffle on user_id, two window
-    // passes (lag → cumulative sum), then a per-session aggregate.
+    // Gap-based sessionization via the library operator
+    // ([[graft.operators.Sessionize]]): one shuffle on user_id, two
+    // window passes + the session aggregate on the same partitioning.
     // The streaming twin lives in graft.streaming.StreamingSessionize.
     "e01_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev(s, dir)
-        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"))
-        .withColumn("prev", lag($"tus", 1).over(w))
-        .withColumn("new_s",
-          when($"prev".isNull || $"tus" - $"prev" > SessionGapUs, 1L).otherwise(0L))
-        .withColumn("session_id", sum($"new_s").over(cum))
-        .groupBy($"user_id", $"session_id")
-        .agg(min($"tus").as("session_start_us"), max($"tus").as("session_end_us"),
-          count(lit(1)).as("n_events"))
+      graft.operators.Sessionize.sessions(
+          ev(s, dir).select($"user_id", $"event_id", expr("ts div 1000").as("tus")),
+          "user_id", "tus", "event_id", SessionGapUs)
         .orderBy($"user_id", $"session_id")
     }),
 

@@ -94,6 +94,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one user_id shuffle, got $exchanges:\n${p.take(600)}")
   }
 
+  test("e01: sessionize windows + session agg share one user_id shuffle") {
+    val p = plan("e01_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"lag/cumsum windows and the session aggregate should reuse one partitioning, got $exchanges:\n${p.take(600)}")
+  }
+
   // The multi-branch operators (shingle frame in d03/d04, scored frame
   // in p01) anchor their shared subtree under one Exchange and rely on
   // ReuseExchange/AQE stage reuse to compute it once — r3 used persist()
