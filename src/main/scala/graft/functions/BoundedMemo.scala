@@ -20,8 +20,15 @@ final class BoundedMemo[K, V <: AnyRef](maxEntries: Int) {
     val hit = m.get(key)
     if (hit != null) hit
     else {
-      if (m.size >= maxEntries) m.clear() // concurrent resets are benign
-      m.computeIfAbsent(key, k => f(k))
+      val v = m.computeIfAbsent(key, k => f(k))
+      // enforce AFTER the insert: a pre-insert check-then-act lets N
+      // racing inserters overshoot the cap and stay there forever on a
+      // read-heavy workload. Post-insert, the last insert to land sees
+      // any overshoot and resets, so the map is within the cap whenever
+      // no insert is in flight. Concurrent resets are benign; v is
+      // already in hand.
+      if (m.size > maxEntries) m.clear()
+      v
     }
   }
 

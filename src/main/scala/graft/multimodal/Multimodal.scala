@@ -149,7 +149,10 @@ object Multimodal {
             } finally r.dispose()
           }
         } finally iis.close()
-      } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: the JDK BMP/GIF readers throw
+      // IllegalArgument/ArrayIndexOutOfBounds and friends on corrupt-
+      // but-sniffable headers — a bad header is data, not a task death
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
     /** Decode any ImageIO-sniffable format (PNG, BMP, GIF, …) and
@@ -171,7 +174,7 @@ object Multimodal {
           y += 1
         }
         Decoded(img.getWidth, img.getHeight, sr, sg, sb)
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Deterministic synthetic PNG for doc `id`: small dims and pure-

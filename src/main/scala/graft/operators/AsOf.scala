@@ -46,6 +46,10 @@ object AsOf {
     val overlap = (left.columns.toSet & right.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"asofJoin: non-key columns appear on both sides: $overlap — rename first")
+    val reserved = Set("_side", "_t", "_payload", "_match", "_m")
+    val clash = (left.columns.toSet ++ right.columns.toSet) & reserved
+    require(clash.isEmpty,
+      s"asofJoin: column names $clash collide with internal working columns — rename first")
     toleranceUs.foreach(t => require(t >= 0, "asofJoin: tolerance must be >= 0"))
 
     val leftCols = left.columns.toSeq
@@ -53,8 +57,12 @@ object AsOf {
     val backward = direction == "backward"
 
     // one tagged stream: side 0 = right (sorts before left at equal
-    // times, so an equal-timestamp right row is visible to the left row)
+    // times, so an equal-timestamp right row is visible to the left
+    // row). A NULL-time right row can never be "at or before/after"
+    // anything (mirrors merge_asof, which rejects nulls) — drop it
+    // here, or NULLS FIRST ordering would carry it as a valid match.
     val taggedRight = right
+      .filter(col(rightTime).isNotNull)
       .withColumn("_side", lit(0))
       .withColumn("_t", col(rightTime))
       .withColumn("_payload", struct(rightPayloadCols.map(col): _*))
@@ -79,12 +87,16 @@ object AsOf {
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
+    // a NULL-time LEFT row has no point in time to match at: in the
+    // forward (desc) ordering it would sort last and see a spurious
+    // carried match, so void it explicitly (backward is safe only by
+    // accident of NULLS FIRST)
     val withinTol = toleranceUs match {
-      case None => col("_match")
+      case None => when(col("_t").isNotNull, col("_match"))
       case Some(t) =>
         val gap = if (backward) col("_t") - col("_match").getField(rightTime)
                   else col("_match").getField(rightTime) - col("_t")
-        when(col("_match").isNotNull && gap <= t, col("_match"))
+        when(col("_t").isNotNull && col("_match").isNotNull && gap <= t, col("_match"))
     }
 
     carried

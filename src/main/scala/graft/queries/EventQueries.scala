@@ -20,8 +20,10 @@ object EventQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
-  /** 30-minute inactivity gap, in microseconds. */
-  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+  /** 30-minute inactivity gap, in microseconds — aliased from the
+    * operator so batch query, streaming twin, and oracle SQL (which
+    * interpolates this value) share one definition. */
+  val SessionGapUs: Long = graft.operators.Sessionize.DefaultGapUs
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -177,7 +177,8 @@ class ZipScan(options: Map[String, String], required: StructType)
       statuses.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory) else Seq(st)
       }
-    }
+    }.sortBy(_.getPath.toString) // deterministic plan order on BOTH
+    // planning branches (glob/listStatus order is FS-dependent)
 
     // Per-archive metadata (central directory + block map). Below the
     // threshold the driver reads it directly (one bounded tail read per
@@ -202,7 +203,8 @@ class ZipScan(options: Map[String, String], required: StructType)
             val fs = hp.getFileSystem(conf.value)
             ZipPlanning.archiveMeta(fs, fs.getFileStatus(hp))
           }
-          .collect().toSeq.sortBy(_.path) // deterministic plan order
+          .collect().toSeq.sortBy(_.path) // cheap insurance: keep plan
+          // order identical to the driver branch's sorted listing
       }
 
     metas.flatMap { m =>

@@ -37,6 +37,22 @@ object StreamingJobs {
   /** Negative ids never occur in the generated events tables. */
   val SentinelUser: Long = -1L
 
+  /** Sentinel spacing: 50 years in µs — beyond any sane gap, window
+    * length, or watermark delay, so the final watermark provably
+    * passes every real session/window timeout regardless of the
+    * parameters the caller picked (the margin must NOT scale with
+    * gapUs: a small gap with the default 30-minute delay would
+    * otherwise leave the watermark short of every timeout and
+    * silently drop all tail sessions). Stays far below the timestamp
+    * range limit even added twice. */
+  private val SentinelSpacingUs: Long = 50L * 365 * 24 * 3600 * 1000000
+
+  /** Scalar max of `ts div 1000`, or None for an empty table. */
+  private def maxTusOf(df: DataFrame): Option[Long] = {
+    import df.sparkSession.implicits._
+    df.select(max(expr("ts div 1000"))).as[Option[Long]].head()
+  }
+
   /** Streaming sessionization of `dir`'s events table, drained with
     * AvailableNow; output matches batch e01: `(user_id, session_id,
     * session_start_us, session_end_us, n_events)`. */
@@ -52,10 +68,17 @@ object StreamingJobs {
 
     val evBatch = Tables.load(s, dir, "events")
     // scalar max event time (distributed agg, 8 bytes to the driver)
-    // positions the sentinels beyond every possible session timeout
-    val maxTus = evBatch.select(max(expr("ts div 1000"))).as[Long].head()
-    Seq((SentinelUser, -1L, (maxTus + 100 * gapUs) * 1000),
-        (SentinelUser, -2L, (maxTus + 200 * gapUs) * 1000))
+    // positions the sentinels beyond every possible session timeout;
+    // an empty corpus sessionizes to an empty result (batch parity)
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None =>
+        return Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("user_id", "session_id", "session_start_us",
+            "session_end_us", "n_events")
+    }
+    Seq((SentinelUser, -1L, (maxTus + SentinelSpacingUs) * 1000),
+        (SentinelUser, -2L, (maxTus + 2 * SentinelSpacingUs) * 1000))
       .toDF("user_id", "event_id", "ts")
       .coalesce(1).write.parquet(sentinelDir)
 
@@ -100,6 +123,7 @@ object StreamingJobs {
       s"graft_d06_${java.lang.Integer.toHexString(dir.hashCode)}")
     rmTree(work)
     val docs = Tables.load(s, dir, "documents")
+    if (docs.isEmpty) return Seq.empty[String].toDF("h")
     val stream = s.readStream.schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       // synthetic deterministic event time; +1s keeps doc 0 above the
@@ -131,10 +155,14 @@ object StreamingJobs {
     val sentinelDir = work.resolve("sentinel").toString
 
     val evBatch = Tables.load(s, dir, "events")
-    val maxTus = evBatch.select(max(expr("ts div 1000"))).as[Long].head()
-    val farUs = 1000L * 3600 * 1000000
-    Seq(((maxTus + farUs) * 1000, "__sentinel", 0.0),
-        ((maxTus + 2 * farUs) * 1000, "__sentinel", 0.0))
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None =>
+        return Seq.empty[(Long, String, Long, Double)]
+          .toDF("window_start_us", "event_type", "n", "sum_value")
+    }
+    Seq(((maxTus + SentinelSpacingUs) * 1000, "__sentinel", 0.0),
+        ((maxTus + 2 * SentinelSpacingUs) * 1000, "__sentinel", 0.0))
       .toDF("ts", "event_type", "value")
       .coalesce(1).write.parquet(sentinelDir)
 

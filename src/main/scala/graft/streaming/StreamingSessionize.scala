@@ -42,7 +42,10 @@ object StreamingSessionize {
   case class Session(user_id: Long, session_start_us: Long,
                      session_end_us: Long, n_events: Long)
 
-  val DefaultGapUs: Long = 30L * 60 * 1000 * 1000
+  /** Single source of truth for the gap lives with the batch operator —
+    * e01 (batch), e05 (streaming), and their shared oracle all key off
+    * the same constant, so the twins cannot silently diverge. */
+  val DefaultGapUs: Long = graft.operators.Sessionize.DefaultGapUs
 
   /** events must carry an event-time `ts_micro: timestamp` column used
     * for the watermark (build it with `timestamp_micros(tus)`). */

@@ -69,6 +69,25 @@ class AsOfSpec extends SparkSpec {
     assert(row == ((8L, 100L))) // not 7 (tie), not 3 (older)
   }
 
+  test("null times never match: null-time right rows are ignored, null-time left rows get no match") {
+    val l = Seq((1L, Some(100L)), (2L, None))
+      .map { case (id, t) => (1L, id, t) }.toDF("k", "trade_id", "t_time")
+    val r = Seq((5L, None), (6L, Some(40L)))
+      .map { case (id, t) => (1L, id, t) }.toDF("k", "quote_id", "q_time")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOf.asofJoin(l, r, Seq("k"), "t_time", "q_time",
+          direction = dir, tieBreak = Seq("quote_id"))
+        .select($"trade_id", $"quote_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got(2L).isEmpty, s"$dir: null-time left row matched ${got(2L)}")
+      assert(got(1L) != Some(5L), s"$dir: null-time right row was matched")
+    }
+    // and the non-null backward case still matches the real quote
+    val bk = AsOf.asofJoin(l, r, Seq("k"), "t_time", "q_time", tieBreak = Seq("quote_id"))
+      .filter($"trade_id" === 1L).select($"quote_id").as[Option[Long]].head()
+    assert(bk == Some(6L))
+  }
+
   test("plan: one hash exchange, no join operator") {
     val p = run("backward").queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"as-of planned a join:\n${p.take(500)}")

@@ -17,7 +17,7 @@ class BoundedMemoSpec extends AnyFunSuite {
     assert(calls.get() == 1)
   }
 
-  test("size never exceeds the cap; evicted keys recompute") {
+  test("size never exceeds the cap; evicted keys recompute, live keys don't") {
     val calls = new AtomicInteger(0)
     val memo = new BoundedMemo[Int, Integer](4)
     (0 until 10).foreach { i =>
@@ -25,11 +25,17 @@ class BoundedMemoSpec extends AnyFunSuite {
       assert(memo.size <= 4, s"cap breached at insert $i: size=${memo.size}")
     }
     assert(calls.get() == 10) // all distinct keys computed once
-    // key 9 survived the last reset window; key 0 was evicted
-    memo.getOrCompute(9, _ => { calls.incrementAndGet(); Integer.valueOf(-1) })
-    assert(calls.get() == 10, "live key recomputed")
-    memo.getOrCompute(0, _ => { calls.incrementAndGet(); Integer.valueOf(0) })
-    assert(calls.get() == 11, "evicted key should recompute")
+    // exactly at the cap no reset happens: fill a fresh memo to 4 —
+    // all four stay live, the 5th insert resets wholesale
+    val calls2 = new AtomicInteger(0)
+    val memo2 = new BoundedMemo[Int, Integer](4)
+    (0 until 4).foreach(i => memo2.getOrCompute(i, _ => { calls2.incrementAndGet(); Integer.valueOf(i) }))
+    (0 until 4).foreach(i => memo2.getOrCompute(i, _ => { calls2.incrementAndGet(); Integer.valueOf(-i) }))
+    assert(calls2.get() == 4, "keys at-cap should all be live hits")
+    memo2.getOrCompute(4, _ => { calls2.incrementAndGet(); Integer.valueOf(4) })
+    assert(memo2.size <= 4)
+    memo2.getOrCompute(0, _ => { calls2.incrementAndGet(); Integer.valueOf(0) })
+    assert(calls2.get() == 6, "evicted key should recompute")
   }
 
   test("concurrent access stays within the cap and returns correct values") {
