@@ -59,10 +59,24 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokenize(text)).cast("long")
 
   /** BPE-ish subword count: word chunks of ≤4 chars + digit runs —
-    * a deterministic proxy for tokenizer cost accounting. */
+    * a deterministic proxy for tokenizer cost accounting. (Uses Java's
+    * \G anchor, so it carries no SQL oracle; [[bpeTokenCount]] is the
+    * oracle-portable variant.) */
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "(?<=\\G.{4})|[^a-z0-9]+"), t => t =!= lit("")))
       .cast("long")
+
+  /** GPT-2-style pre-tokenization classes: letter runs, SINGLE digits,
+    * punctuation runs. Deliberately restricted to constructs Java
+    * regex and RE2 interpret identically, so the count carries an
+    * exact DuckDB oracle (t10). */
+  val BpeTokenPattern: String = """[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"""
+
+  /** BPE-ish regex token count — the cost-accounting number an LLM
+    * data pipeline budgets by when the real tokenizer is too slow to
+    * run corpus-wide. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
 
   /** 128-bit content fingerprint of the canonical token stream. */
   def fingerprint(text: Column): Column =

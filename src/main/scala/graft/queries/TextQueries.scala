@@ -97,6 +97,18 @@ object TextQueries {
         .orderBy($"bigram")
     }),
 
+    // Token-cost accounting both ways: whitespace tokens (sanitize
+    // pipeline) and the BPE-ish regex classes — the two counts a
+    // training-data pipeline budgets by.
+    "t10_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount($"text").as("n_bpe_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // Word trigram frequencies — the n-gram generalization.
     "t07_trigram_top" -> ((s, dir) => {
       import s.implicits._
@@ -159,6 +171,11 @@ object TextQueries {
 
     "t02_token_count" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_bpe_tokens" ->
+      s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_ws_tokens,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t03_doc_stats" ->

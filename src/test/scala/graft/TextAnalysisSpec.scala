@@ -53,4 +53,12 @@ class TextAnalysisSpec extends SparkSpec {
     // internationalization → 5 chunks of ≤4, "42" → 1, "ok" → 1
     assert(df.select(TextAnalysis.subwordCount($"text")).as[Long].head() == 7L)
   }
+
+  test("bpeTokenCount: letter runs, single digits, punct runs") {
+    // "Hello, world 42!!" -> [Hello][,][world][4][2][!!] = 6
+    val df = Seq("Hello, world 42!!").toDF("text")
+    assert(df.select(TextAnalysis.bpeTokenCount($"text")).as[Long].head() == 6L)
+    assert(Seq("").toDF("text")
+      .select(TextAnalysis.bpeTokenCount($"text")).as[Long].head() == 0L)
+  }
 }
