@@ -21,7 +21,12 @@ class AsOfSpec extends SparkSpec {
     ).toDF("k", "quote_id", "q_time")
 
   /** Brute-force oracle: join + rank — O(n²) but obviously correct. */
-  private def brute(direction: String, tol: Option[Long]): DataFrame = {
+  private def brute(direction: String, tol: Option[Long]): DataFrame =
+    bruteOn(trades, quotes, direction, tol)
+
+  private def bruteOn(l: DataFrame, r: DataFrame,
+                      direction: String, tol: Option[Long]): DataFrame = {
+    val trades = l; val quotes = r
     val cond = if (direction == "backward") $"q_time" <= $"t_time" else $"q_time" >= $"t_time"
     val tolCond = tol.map { t =>
       if (direction == "backward") $"t_time" - $"q_time" <= t else $"q_time" - $"t_time" <= t
@@ -86,6 +91,24 @@ class AsOfSpec extends SparkSpec {
     val bk = AsOf.asofJoin(l, r, Seq("k"), "t_time", "q_time", tieBreak = Seq("quote_id"))
       .filter($"trade_id" === 1L).select($"quote_id").as[Option[Long]].head()
     assert(bk == Some(6L))
+  }
+
+  test("randomized fuzz: both directions and tolerance match the brute oracle") {
+    val rnd = new scala.util.Random(20260812L)
+    // dense key space + coarse time grid → plenty of equal-timestamp
+    // ties, empty keys, and hot keys
+    val l = Seq.tabulate(400)(i => (rnd.nextInt(12).toLong, 10000L + i, rnd.nextInt(50) * 100L))
+      .toDF("k", "trade_id", "t_time")
+    val r = Seq.tabulate(250)(i => (rnd.nextInt(14).toLong, 20000L + i, rnd.nextInt(50) * 100L))
+      .toDF("k", "quote_id", "q_time")
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(700L))) {
+      val got = asSet(AsOf.asofJoin(l, r, Seq("k"), "t_time", "q_time",
+        direction = dir, toleranceUs = tol, tieBreak = Seq("quote_id"))
+        .select($"k", $"trade_id", $"t_time", $"quote_id", $"q_time"))
+      val want = asSet(bruteOn(l, r, dir, tol)
+        .select($"k", $"trade_id", $"t_time", $"quote_id", $"q_time"))
+      assert(got == want, s"direction=$dir tolerance=$tol")
+    }
   }
 
   test("plan: one hash exchange, no join operator") {
