@@ -69,8 +69,10 @@ object TextAnalysis {
   /** GPT-2-style pre-tokenization classes: letter runs, SINGLE digits,
     * punctuation runs. Deliberately restricted to constructs Java
     * regex and RE2 interpret identically, so the count carries an
-    * exact DuckDB oracle (t10). */
-  val BpeTokenPattern: String = """[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"""
+    * exact DuckDB oracle (t10). The whitespace class is spelled out
+    * because `\s` itself is NOT identical across the engines: Java
+    * includes vertical tab (U+000B), RE2 does not. */
+  val BpeTokenPattern: String = """[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]+"""
 
   /** BPE-ish regex token count — the cost-accounting number an LLM
     * data pipeline budgets by when the real tokenizer is too slow to

@@ -175,7 +175,7 @@ object TextQueries {
 
     "t10_bpe_tokens" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_ws_tokens,
-         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t03_doc_stats" ->

@@ -60,5 +60,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(TextAnalysis.bpeTokenCount($"text")).as[Long].head() == 6L)
     assert(Seq("").toDF("text")
       .select(TextAnalysis.bpeTokenCount($"text")).as[Long].head() == 0L)
+    // vertical tab counts as whitespace on BOTH engines (the class is
+    // spelled out; Java's \s includes U+000B, RE2's does not)
+    assert(Seq("a\u000Bb").toDF("text")
+      .select(TextAnalysis.bpeTokenCount($"text")).as[Long].head() == 2L)
   }
 }
