@@ -242,8 +242,49 @@ object Multimodal {
     }.toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
-  /** Resize plumbing: rewrites header dims by `scale`, payload untouched
-    * (stub for the real resampling kernel). */
+  /** REAL image resize: decode any ImageIO format, nearest-neighbor
+    * sample with pure integer arithmetic (`sx = x·srcW/dstW`, floor —
+    * no filtering, no float rounding), re-encode lossless PNG. The
+    * deterministic kernel is what makes a resize→decode round trip
+    * carry an exact closed-form oracle (m04). */
+  def resizeImageNearest(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    require(dstW > 0 && dstH > 0, "resize target must be positive")
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * sh / dstH
+        var x = 0
+        while (x < dstW) { out.setRGB(x, y, img.getRGB(x * sw / dstW, sy)); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched distributed resize over real image bytes; undecodable
+    * payloads pass through unchanged (decode failures are data). */
+  def resizeImages(ds: Dataset[(Long, Array[Byte])], dstW: Int, dstH: Int,
+                   batchSize: Int = 256): Dataset[(Long, Array[Byte])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          (id, resizeImageNearest(bytes, dstW, dstH).getOrElse(bytes))
+        }
+      }
+    }
+  }
+
+  /** Resize plumbing for the STUB header format (audio/video stand-in):
+    * rewrites header dims by `scale`, payload untouched. Real image
+    * resampling lives in [[resizeImageNearest]]. */
   def resize(ds: Dataset[(Long, Array[Byte])], scale: Double): Dataset[(Long, Array[Byte])] = {
     import ds.sparkSession.implicits._
     ds.map { case (id, bytes) =>

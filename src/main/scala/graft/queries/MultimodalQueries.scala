@@ -61,9 +61,40 @@ object MultimodalQueries {
           $"sum_r", $"sum_g", $"sum_b")
         .orderBy($"doc_id")
     }),
+    // REAL resize round trip: synth PNG → nearest-neighbor resize to
+    // 16×12 (integer sampling, re-encoded lossless PNG) → distributed
+    // decode → per-channel sums. The oracle replays the sampling
+    // arithmetic: dst pixel (x,y) reads source pixel
+    // (x·w/16, y·h/12), whose channels are the synthPng formulas.
+    "m04_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthPng(id)))
+      Multimodal.decodeImageStats(Multimodal.resizeImages(pngs, 16, 12))
+        .select($"id".as("doc_id"),
+          $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+          $"sum_r", $"sum_g", $"sum_b")
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "m04_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, 16)) AS x FROM dims),
+        |cells AS (
+        |  SELECT doc_id, w, h, x, unnest(range(0, 12)) AS y FROM xs),
+        |sampled AS (
+        |  SELECT doc_id, (x * w) // 16 AS sx, (y * h) // 12 AS sy FROM cells)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  CAST(SUM((doc_id + 3*sx + 7*sy) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((2*doc_id + 5*sx + sy) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((3*doc_id + sx + 11*sy) % 256) AS BIGINT) AS sum_b
+        |FROM sampled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // JPEG dims: width = 16 + (doc_id * 7919) % 48, height =
     // 16 + (doc_id * 104729) % 32 — the Spark side reads these back
     // from real JPEG SOF markers, the oracle recomputes the arithmetic.

@@ -101,6 +101,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImageNearest: integer sampling is exact through the PNG round trip") {
+    import Multimodal.ImageCodec
+    val id = 11L
+    val w = (8 + id % 24).toInt; val h = (8 + id % 16).toInt
+    val resized = Multimodal.resizeImageNearest(Multimodal.synthPng(id), 16, 12).get
+    val d = ImageCodec.decodeStats(resized).get
+    assert(d.width == 16 && d.height == 12)
+    val expected = for (y <- 0 until 12; x <- 0 until 16) yield {
+      val sx = x * w / 16; val sy = y * h / 12
+      ((id + 3 * sx + 7 * sy) % 256, (2 * id + 5 * sx + sy) % 256, (3 * id + sx + 11 * sy) % 256)
+    }
+    assert(d.sumR == expected.map(_._1).sum)
+    assert(d.sumG == expected.map(_._2).sum)
+    assert(d.sumB == expected.map(_._3).sum)
+    // undecodable bytes pass through resizeImages unchanged
+    val junk = "not an image".getBytes
+    val out = Multimodal.resizeImages(Seq((1L, junk)).toDS(), 4, 4).collect().head
+    assert(out._2.toSeq == junk.toSeq)
+  }
+
   test("decodeImageStats: distributed decode of real PNGs matches the arithmetic") {
     val ds = spark.range(0, 60).as[Long].map(i => (i, Multimodal.synthPng(i)))
     val rows = Multimodal.decodeImageStats(ds, batchSize = 16).collect()
