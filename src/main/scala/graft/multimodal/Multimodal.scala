@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * the engine as opaque `binary` columns with typed metadata structs.
   *
   * The Spark-side machinery — schema, batched per-partition decode,
-  * partitioning, metadata extraction — is real and tested. Two codecs:
+  * partitioning, metadata extraction — is real and tested. Codecs:
   * [[ImageCodec]] is REAL (`javax.imageio`, JDK-built-in): full pixel
-  * decode for lossless PNG/BMP (m03) and header-only SOF/IHDR metadata
+  * decode for lossless PNG/BMP (m03), header-only SOF/IHDR metadata
   * for JPEG and friends (m01 — dimensions are exact even though JPEG
-  * pixels are lossy). [[FakeCodec]] remains the honest stand-in only
-  * for audio/video containers the JDK genuinely has no codecs for
-  * (m02). Swapping a real av codec in changes only the codec object,
-  * not the plumbing.
+  * pixels are lossy), and a deterministic nearest-neighbor resize
+  * kernel (m04). [[AudioCodec]] is REAL too (`javax.sound.sampled`):
+  * PCM WAV encode/decode with exact sample round trips (m05).
+  * [[FakeCodec]] remains the honest stand-in ONLY for video
+  * containers, which the JDK genuinely has no codecs for (m02).
+  * Swapping a real video codec in changes only the codec object, not
+  * the plumbing.
   *
   * Scale posture: decode runs in `mapPartitions` over batches, so at
   * 100 TB each task amortizes codec init across its batch (the Scala
@@ -189,6 +192,85 @@ object Multimodal {
       val b = ((3 * id + x + 11 * y) % 256).toInt
       (r << 16) | (g << 8) | b
     })
+  }
+
+  /** REAL audio codec: PCM WAV through `javax.sound.sampled`
+    * (JDK-built-in, zero new dependencies). PCM is lossless, so an
+    * encode→decode round trip reproduces samples exactly — decoded
+    * aggregates are oracle-checkable when the samples are
+    * deterministic arithmetic. With this, [[FakeCodec]] stands in
+    * ONLY for video containers, which the JDK genuinely lacks. */
+  object AudioCodec {
+    import java.io.{BufferedInputStream, ByteArrayInputStream}
+    import javax.sound.sampled.AudioSystem
+
+    case class AudioStats(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                          nFrames: Long, sumSamples: Long)
+
+    /** Mono 16-bit little-endian PCM WAV (hand-rolled RIFF header —
+      * fully deterministic bytes). */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                  // PCM
+        .putShort(1)                  // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)       // byte rate
+        .putShort(2)                  // block align
+        .putShort(16)                 // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Decode via the real AudioSystem parser and reduce to format
+      * metadata + the signed-sample sum. None on unparseable bytes —
+      * at corpus scale a bad container is data, not a task death. */
+    def decodeStats(bytes: Array[Byte]): Option[AudioStats] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new BufferedInputStream(new ByteArrayInputStream(bytes)))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+          else {
+            val data = ais.readAllBytes()
+            val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+            var sum = 0L
+            while (bb.remaining() >= 2) sum += bb.getShort
+            Some(AudioStats(f.getSampleRate.toInt, f.getChannels, 16,
+              data.length / f.getFrameSize, sum))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic synthetic WAV for doc `id`: mono 16-bit PCM whose
+    * sample i is `((id·31 + i·17) mod 4096) − 2048` — closed-form, so
+    * the decoded sample sum has an exact oracle. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = (100 + id % 400).toInt
+    val samples = Array.tabulate(n)(i => (((id * 31 + i * 17) % 4096) - 2048).toShort)
+    AudioCodec.encodeWavPcm16(8000, samples)
+  }
+
+  /** Batched distributed audio decode: `(id, wav_bytes)` → format
+    * metadata + sample sum. Same mapPartitions batch shape. */
+  def decodeAudioStats(ds: Dataset[(Long, Array[Byte])], batchSize: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          AudioCodec.decodeStats(bytes) match {
+            case Some(a) => (id, a.sampleRate, a.channels, a.nFrames, a.sumSamples)
+            case None => (id, -1, -1, -1L, 0L)
+          }
+        }
+      }
+    }.toDF("id", "sample_rate", "channels", "n_frames", "sum_samples")
   }
 
   /** Deterministic synthetic JPEG for doc `id` — REAL JPEG bytes from

@@ -61,6 +61,23 @@ object MultimodalQueries {
           $"sum_r", $"sum_g", $"sum_b")
         .orderBy($"doc_id")
     }),
+    // REAL audio round trip: deterministic mono 16-bit PCM WAV per doc
+    // → javax.sound.sampled decode, distributed → format metadata +
+    // signed sample sum. PCM is lossless, so the oracle replays the
+    // sample arithmetic exactly.
+    "m05_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthWav(id)))
+      Multimodal.decodeAudioStats(wavs)
+        .select($"id".as("doc_id"),
+          $"sample_rate".cast("long").as("sample_rate"),
+          $"channels".cast("long").as("channels"),
+          $"n_frames", $"sum_samples")
+        .orderBy($"doc_id")
+    }),
+
     // REAL resize round trip: synth PNG → nearest-neighbor resize to
     // 16×12 (integer sampling, re-encoded lossless PNG) → distributed
     // decode → per-channel sums. The oracle replays the sampling
@@ -80,6 +97,15 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // n = 100 + id % 400 samples; sample i = ((id*31 + i*17) % 4096) - 2048
+    "m05_audio_decode" ->
+      """WITH n AS (SELECT doc_id, 100 + doc_id % 400 AS nf FROM documents),
+        |s AS (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM n)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(SUM((doc_id*31 + i*17) % 4096 - 2048) AS BIGINT) AS sum_samples
+        |FROM s GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
+
     "m04_image_resize" ->
       """WITH dims AS (
         |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h

@@ -101,6 +101,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AudioCodec: real WAV bytes round-trip samples exactly via javax.sound") {
+    import Multimodal.AudioCodec
+    val id = 23L
+    val bytes = Multimodal.synthWav(id)
+    // real RIFF/WAVE magic, not our fake header
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val a = AudioCodec.decodeStats(bytes).get
+    val n = (100 + id % 400).toInt
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.nFrames == n)
+    val expSum = (0 until n).map(i => ((id * 31 + i * 17) % 4096) - 2048).sum
+    assert(a.sumSamples == expSum)
+    // garbage is data, not an exception
+    assert(AudioCodec.decodeStats("certainly not audio".getBytes).isEmpty)
+    assert(AudioCodec.decodeStats(bytes.take(20)).isEmpty)
+  }
+
+  test("decodeAudioStats: distributed decode over real WAVs") {
+    val ds = spark.range(0, 40).as[Long].map(i => (i, Multimodal.synthWav(i)))
+    val rows = Multimodal.decodeAudioStats(ds, batchSize = 8).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("n_frames") == 100 + id % 400)
+    }
+  }
+
   test("resizeImageNearest: integer sampling is exact through the PNG round trip") {
     import Multimodal.ImageCodec
     val id = 11L
