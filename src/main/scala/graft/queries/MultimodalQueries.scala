@@ -35,13 +35,20 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     }),
 
+    // REAL video-stream frame sampling: deterministic MJPEG streams
+    // (1 + id%24 genuine JPEG frames), frame boundaries recovered by
+    // JPEG marker scanning, every 10th frame's dims decoded from its
+    // real SOF header. The oracle recomputes the arithmetic.
     "m02_frame_sample" -> ((s, dir) => {
       import s.implicits._
       val vids = Tables.load(s, dir, "documents")
         .select($"doc_id").as[Long]
-        .map(id => (id, Multimodal.synthesize(id, Multimodal.Kind.Video)))
-      Multimodal.frameSample(vids, everyK = 10)
-        .groupBy($"id".as("doc_id")).agg(count(lit(1)).as("n_sampled"))
+        .map(id => (id, Multimodal.synthMjpeg(id)))
+      Multimodal.sampleMjpegFrames(vids, everyK = 10)
+        .groupBy($"id".as("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max($"width").cast("long").as("frame_w"),
+          max($"height").cast("long").as("frame_h"))
         .orderBy($"doc_id")
     }),
 
@@ -132,9 +139,11 @@ object MultimodalQueries {
         |CAST(16 + (doc_id * 104729) % 32 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // video frames = 1 + doc_id % 120, sampled every 10th → ceil(n/10)
+    // video frames = 1 + doc_id % 24, sampled every 10th → ceil(n/10);
+    // every frame is 16×12
     "m02_frame_sample" ->
-      """SELECT doc_id, CAST(((1 + doc_id % 120) + 9) // 10 AS BIGINT) AS n_sampled
+      """SELECT doc_id, CAST(((1 + doc_id % 24) + 9) // 10 AS BIGINT) AS n_sampled,
+        |CAST(16 AS BIGINT) AS frame_w, CAST(12 AS BIGINT) AS frame_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the oracle recomputes the pixel arithmetic the PNG round-trips:

@@ -101,6 +101,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("VideoCodec: MJPEG marker scan recovers every frame; sampling decodes real headers") {
+    import Multimodal.VideoCodec
+    val id = 17L
+    val n = (1 + id % 24).toInt
+    val stream = Multimodal.synthMjpeg(id)
+    val slices = VideoCodec.frameSlices(stream)
+    assert(slices.length == n)
+    // slices tile the stream exactly: contiguous, full coverage
+    assert(slices.head._1 == 0)
+    assert(slices.map(s => s._1 + s._2).last == stream.length)
+    slices.sliding(2).foreach { case Vector((o1, l1), (o2, _)) => assert(o1 + l1 == o2); case _ => }
+    // every frame decodes to 16x12 via the real JPEG reader
+    slices.foreach { s =>
+      val Some((fmt, w, h)) = VideoCodec.frameMeta(stream, s)
+      assert(fmt == "jpeg" && w == 16 && h == 12)
+    }
+    // truncated tail frame is dropped, not crashed on
+    assert(VideoCodec.frameSlices(stream.dropRight(3)).length == n - 1)
+    assert(VideoCodec.frameSlices("junk".getBytes).isEmpty)
+  }
+
+  test("sampleMjpegFrames: every k-th frame with decoded dims, distributed") {
+    val ds = spark.range(0, 30).as[Long].map(i => (i, Multimodal.synthMjpeg(i)))
+    val rows = Multimodal.sampleMjpegFrames(ds, everyK = 10).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 10 == 0)
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 12)
+    }
+    val counts = rows.groupBy(_.getAs[Long]("id")).view.mapValues(_.length)
+    (0L until 30L).foreach { id =>
+      val n = (1 + id % 24).toInt
+      assert(counts(id) == (n + 9) / 10, s"id=$id")
+    }
+  }
+
   test("AudioCodec: real WAV bytes round-trip samples exactly via javax.sound") {
     import Multimodal.AudioCodec
     val id = 23L
