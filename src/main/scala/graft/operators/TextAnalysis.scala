@@ -80,6 +80,38 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
 
+  /** Top-`k` salient terms per document — the TF-IDF-family scoring a
+    * corpus pipeline uses for keyword extraction and quality signals.
+    *
+    * Scoring is tf · (N − df + 0.5)/(df + 0.5): the BM25 idf SHAPE
+    * with the log deliberately dropped. log is monotone, so per-doc
+    * ranking is unchanged — and the score stays a ratio of small
+    * integers, which IEEE double division rounds identically in every
+    * engine. That makes the rank (and the hash-matched oracle) exact;
+    * a log-based score differs by ulps across libm implementations
+    * and can flip near-tied ranks.
+    *
+    * Plan: one tokenize scan → (doc, term, tf) agg → df agg on term →
+    * join back (df table is vocabulary-sized — broadcastable at any
+    * corpus scale) → per-doc top-k window. Ties break by term asc. */
+  def topSalientTerms(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokenize(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("salience",
+        col("tf") * (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("salience").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        round(col("salience"), 4).as("salience"))
+  }
+
   /** 128-bit content fingerprint of the canonical token stream. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenize(text)).cast("binary"))

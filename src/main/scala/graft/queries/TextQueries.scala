@@ -109,6 +109,15 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Keyword extraction: top-3 salient terms per doc, log-free
+    // BM25-shaped idf (rational arithmetic → bit-identical ranking
+    // across engines; see TextAnalysis.topSalientTerms).
+    "t11_salient_terms" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.topSalientTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // Word trigram frequencies — the n-gram generalization.
     "t07_trigram_top" -> ((s, dir) => {
       import s.implicits._
@@ -172,6 +181,24 @@ object TextQueries {
     "t02_token_count" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 0.5e0 keeps the arithmetic in DOUBLE (a bare 0.5 is DECIMAL in
+    // DuckDB, which would diverge from Spark's double division)
+    "t11_salient_terms" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf * (n - df + 0.5e0) / (df + 0.5e0) AS salience
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN nn),
+         |ranked AS (
+         |  SELECT doc_id, term, salience,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(salience, 4) AS salience
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "t10_bpe_tokens" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_ws_tokens,

@@ -54,6 +54,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(TextAnalysis.subwordCount($"text")).as[Long].head() == 7L)
   }
 
+  test("topSalientTerms: rare terms outrank common ones; ties break by term") {
+    val docs = Seq(
+      (1L, "shared shared unique1 unique1 unique1"),
+      (2L, "shared unique2"),
+      (3L, "shared shared shared")).toDF("doc_id", "text")
+    val got = TextAnalysis.topSalientTerms(docs, "doc_id", "text", k = 2)
+      .orderBy($"doc_id", $"rank")
+      .select($"doc_id", $"rank", $"term").as[(Long, Long, String)].collect().toSeq
+    // N=3; df(shared)=3 → idf=(3-3+0.5)/3.5; df(uniqueX)=1 → idf=(3-1+0.5)/1.5
+    // doc1: unique1 tf=3 beats shared tf=2; doc3 has only one term
+    assert(got == Seq(
+      (1L, 1L, "unique1"), (1L, 2L, "shared"),
+      (2L, 1L, "unique2"), (2L, 2L, "shared"),
+      (3L, 1L, "shared")))
+  }
+
   test("bpeTokenCount: letter runs, single digits, punct runs") {
     // "Hello, world 42!!" -> [Hello][,][world][4][2][!!] = 6
     val df = Seq("Hello, world 42!!").toDF("text")
