@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed scratch file per encode/decode
+  // stream — per-image file I/O that dominates batch codec work. All
+  // payloads here are in-memory byte arrays, so cache in memory. Set
+  // at the OUTER object so every entry point (ImageCodec, resize,
+  // MJPEG sampling) initializes it — Scala initializes the enclosing
+  // object before any nested one is touched.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val Magic: Int = 0x47524654 // "GRFT"
 
   sealed abstract class Kind(val code: Byte)
@@ -115,10 +123,6 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
-    // ImageIO defaults to a DISK-backed scratch file per encode/decode
-    // stream — per-image file I/O that dominates batch codec work.
-    // All our payloads are in-memory byte arrays; cache in memory.
-    ImageIO.setUseCache(false)
 
     case class Decoded(width: Int, height: Int,
                        sumR: Long, sumG: Long, sumB: Long)
@@ -205,8 +209,9 @@ object Multimodal {
     * (JDK-built-in, zero new dependencies). PCM is lossless, so an
     * encode→decode round trip reproduces samples exactly — decoded
     * aggregates are oracle-checkable when the samples are
-    * deterministic arithmetic. With this, [[FakeCodec]] stands in
-    * ONLY for video containers, which the JDK genuinely lacks. */
+    * deterministic arithmetic. [[FakeCodec]] keeps standing in for
+    * COMPRESSED formats the JDK genuinely lacks (Opus/MP3 audio,
+    * MP4/H.264 video). */
   object AudioCodec {
     import java.io.{BufferedInputStream, ByteArrayInputStream}
     import javax.sound.sampled.AudioSystem
@@ -282,35 +287,68 @@ object Multimodal {
 
   /** REAL video-stream handling: MJPEG (Motion JPEG) elementary
     * streams — the concatenated-JPEG format webcams and IP cameras
-    * emit. Frame boundaries come from real JPEG marker scanning (an
-    * FF byte inside entropy-coded data is always escaped as FF00 or a
-    * restart marker, so an unescaped FFD9 EOI reliably terminates a
-    * frame — caveat: frames with embedded EOI-bearing thumbnails
-    * would split early; our encoder emits none). Compressed MP4/H.264
-    * containers remain outside the JDK — [[FakeCodec]] still stands
-    * in for those. */
+    * emit. Frame boundaries come from a real JPEG SEGMENT WALK, not a
+    * raw byte scan: length-bearing segments (APPn/COM/DQT/DHT/SOF…)
+    * are skipped by their declared length — so an EXIF thumbnail's
+    * embedded EOI inside an APP1 payload cannot split a frame early —
+    * and entropy-coded data after SOS is scanned with the FF-escape
+    * rule (FF00 = literal, FFD0–D7 = restart, anything else = marker).
+    * Compressed MP4/H.264 containers remain outside the JDK —
+    * [[FakeCodec]] still stands in for those. */
   object VideoCodec {
 
     /** Concatenate JPEG frames into an MJPEG elementary stream. */
     def encodeMjpeg(frames: Seq[Array[Byte]]): Array[Byte] =
       frames.toArray.flatten
 
-    /** `(offset, length)` of every frame, by SOI/EOI marker scan. */
+    /** End offset (exclusive) of the JPEG frame starting at `start`,
+      * or -1 if truncated/malformed. Walks the segment structure. */
+    private def frameEnd(b: Array[Byte], start: Int): Int = {
+      val n = b.length
+      def u8(i: Int) = b(i) & 0xFF
+      if (start + 1 >= n || u8(start) != 0xFF || u8(start + 1) != 0xD8) return -1
+      var i = start + 2
+      while (i + 1 < n) {
+        if (u8(i) != 0xFF) return -1 // expected a marker
+        val m = u8(i + 1)
+        m match {
+          case 0xD8 => i += 2                       // stray SOI (tolerated)
+          case 0xD9 => return i + 2                 // EOI — frame ends
+          case x if x >= 0xD0 && x <= 0xD7 => i += 2 // RSTn (no length)
+          case 0x01 | 0xFF => i += 2                // TEM / fill byte
+          case 0xDA =>                              // SOS: entropy data
+            if (i + 3 >= n) return -1
+            var j = i + 2 + ((u8(i + 2) << 8) | u8(i + 3))
+            // scan entropy-coded bytes honoring the FF-escape rule
+            while (j + 1 < n) {
+              if (u8(j) == 0xFF) {
+                val mm = u8(j + 1)
+                if (mm == 0xD9) return j + 2
+                else if (mm == 0x00 || (mm >= 0xD0 && mm <= 0xD7)) j += 2
+                else if (mm == 0xFF) j += 1
+                else return -1 // other markers can't appear mid-scan here
+              } else j += 1
+            }
+            return -1
+          case _ =>                                 // length-bearing segment
+            if (i + 3 >= n) return -1
+            i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+        }
+      }
+      -1
+    }
+
+    /** `(offset, length)` of every complete frame; a truncated or
+      * malformed tail is dropped, never thrown on. */
     def frameSlices(bytes: Array[Byte]): Vector[(Int, Int)] = {
       if (bytes == null) return Vector.empty
       val out = Vector.newBuilder[(Int, Int)]
       var i = 0
       while (i + 1 < bytes.length) {
         if ((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xD8) {
-          val start = i
-          var j = i + 2
-          var end = -1
-          while (end < 0 && j + 1 < bytes.length) {
-            if ((bytes(j) & 0xFF) == 0xFF && (bytes(j + 1) & 0xFF) == 0xD9) end = j + 2
-            j += 1
-          }
-          if (end < 0) return out.result() // truncated tail frame: drop
-          out += ((start, end - start))
+          val end = frameEnd(bytes, i)
+          if (end < 0) return out.result()
+          out += ((i, end - i))
           i = end
         } else i += 1
       }
@@ -325,7 +363,7 @@ object Multimodal {
   }
 
   /** Deterministic synthetic MJPEG "video" for doc `id`:
-    * `1 + id mod 24` real 16×12 JPEG frames whose pixel gradient
+    * `1 + id mod 12` real 16×12 JPEG frames whose pixel gradient
     * varies per frame. */
   def synthMjpeg(id: Long): Array[Byte] = {
     val n = (1 + id % 12).toInt

@@ -91,17 +91,31 @@ object TextAnalysis {
     * a log-based score differs by ulps across libm implementations
     * and can flip near-tied ranks.
     *
-    * Plan: one tokenize scan → (doc, term, tf) agg → df agg on term →
-    * join back (df table is vocabulary-sized — broadcastable at any
-    * corpus scale) → per-doc top-k window. Ties break by term asc. */
+    * Plan: ONE tokenize scan — the tf frame feeds both the df
+    * aggregation and the join probe, and both branches embed the
+    * identical Exchange under the (doc, term) groupBy, so
+    * ReuseExchange/AQE stage reuse materializes the scan once (the
+    * explicit isNotNull keeps the subtrees canonically identical once
+    * the join infers a term null filter — same trick as the dedup
+    * anchors). N is a count over the source frame, which parquet
+    * serves from footer metadata without scanning rows. The df table
+    * is vocabulary-sized — broadcastable at any corpus scale; the
+    * top-k window shuffles once on the doc id. Ties break by term. */
   def topSalientTerms(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
     val tf = docs
       .select(col(idCol), explode(tokenize(col(textCol))).as("term"))
+      .filter(col(idCol).isNotNull && col("term").isNotNull)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf > 0 is always true (a group has >= 1 row) but the optimizer
+    // cannot prove it, so it blocks column pruning from rewriting this
+    // branch's copy of the tf aggregate into a count-less distinct —
+    // which would make the two exchange subtrees differ and silently
+    // defeat the scan reuse documented above.
+    val df = tf.where(col("tf") > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "term")
       .withColumn("salience",
         col("tf") * (lit(n) - col("df") + 0.5) / (col("df") + 0.5))

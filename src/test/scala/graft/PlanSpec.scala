@@ -108,8 +108,9 @@ class PlanSpec extends SparkSpec {
   // Reuse is fragile (an asymmetric inferred filter below the anchor
   // kills it silently), so execute and assert on the FINAL adaptive
   // plan, and assert the storage-block ledger stays empty.
-  test("d03/d04/p01: shared subtrees reuse one exchange, zero storage blocks") {
-    for (name <- Seq("d03_ngram_jaccard", "d04_minhash_lsh", "p01_curate")) {
+  test("d03/d04/p01/t11: shared subtrees reuse one exchange, zero storage blocks") {
+    for (name <- Seq("d03_ngram_jaccard", "d04_minhash_lsh", "p01_curate",
+                     "t11_salient_terms")) {
       // other suites share this session and may cache their own frames —
       // the property is that THESE queries add no storage blocks
       val before = spark.sparkContext.getPersistentRDDs.keySet
