@@ -126,6 +126,57 @@ object TextAnalysis {
         round(col("salience"), 4).as("salience"))
   }
 
+  /** PII scrubbing — the standard pre-training redaction pass.
+    * Patterns are deliberately Java/RE2-portable (explicit classes, no
+    * `\w`/`\s`), so redaction output and match counts carry exact
+    * DuckDB oracles (t13). */
+  val EmailPattern: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Pattern: String = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** Emails → `<EMAIL>`, dotted-quad IPs → `<IP>`. Email first: an
+    * address's host part would otherwise feed the IP pattern. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Matches that [[redactPii]] would scrub, for audit columns. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))).cast("long")
+
+  /** Gopher-style repetition signals per document: the fraction of
+    * tokens taken by the single most frequent token, and the fraction
+    * of duplicate word-trigrams. High values flag boilerplate/spam for
+    * curation filtering.
+    *
+    * Plan: ONE tokenize scan anchored under an Exchange on the id —
+    * the token-frequency branch and the trigram branch both embed the
+    * identical subtree, so stage reuse materializes it once (same
+    * pattern as the dedup anchors; per-row HOF counting would be the
+    * O(n²)-per-document trap). The final spine join reads only the id
+    * column of the source. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .repartition(col(idCol))
+    val tfc = base.select(col(idCol), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tok = tfc.groupBy(col(idCol))
+      .agg(max(col("tf")).as("top_tf"), sum(col("tf")).as("n_tokens"))
+    val trc = base.select(col(idCol), explode(ngrams(col("_toks"), 3)).as("tg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tg"), countDistinct(col("tg")).as("n_dtg"))
+    docs.select(col(idCol))
+      .join(tok, Seq(idCol), "left")
+      .join(trc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("top_tf").cast("double") / col("n_tokens"), lit(0.0)), 4)
+          .as("top_tok_ratio"),
+        round(coalesce(lit(1.0) - col("n_dtg").cast("double") / col("n_tg"), lit(0.0)), 4)
+          .as("dup_trigram_ratio"))
+  }
+
   /** 128-bit content fingerprint of the canonical token stream. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenize(text)).cast("binary"))

@@ -118,6 +118,33 @@ object TextQueries {
         .orderBy($"doc_id", $"rank")
     }),
 
+    // Gopher-style repetition/boilerplate signals over the real corpus.
+    "t12_repetition" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // PII redaction: the corpus carries no organic emails/IPs, so a
+    // deterministic contact string is planted per doc (presence varies
+    // by id) and scrubbed — the oracle replants and re-scrubs with the
+    // same RE2-portable patterns, so counts AND redacted lengths must
+    // agree exactly.
+    "t13_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 =!= 0,
+            concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+          when($"doc_id" % 2 === 0,
+            concat(lit(" from 10.0."), $"doc_id" % 256, lit("."), $"doc_id" % 100))
+            .otherwise(lit(""))).as("ptext"))
+      planted.select($"doc_id",
+          TextAnalysis.piiCount($"ptext").as("n_pii"),
+          length(TextAnalysis.redactPii($"ptext")).cast("long").as("len_redacted"))
+        .orderBy($"doc_id")
+    }),
+
     // Word trigram frequencies — the n-gram generalization.
     "t07_trigram_top" -> ((s, dir) => {
       import s.implicits._
@@ -199,6 +226,42 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(salience, 4) AS salience
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t12_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |tok AS (SELECT doc_id, max(tf) AS top_tf, CAST(sum(tf) AS BIGINT) AS n_tokens
+         |        FROM tfc GROUP BY doc_id),
+         |tris AS (SELECT doc_id,
+         |           unnest(list_transform(range(1, len(t) - 1),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+         |         FROM toks),
+         |trc AS (SELECT doc_id, count(*) AS n_tg, count(DISTINCT tg) AS n_dtg
+         |        FROM tris GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(tok.n_tokens, 0) AS n_tokens,
+         |  round(coalesce(tok.top_tf / CAST(tok.n_tokens AS DOUBLE), 0.0e0), 4) AS top_tok_ratio,
+         |  round(coalesce(1.0e0 - trc.n_dtg / CAST(trc.n_tg AS DOUBLE), 0.0e0), 4) AS dup_trigram_ratio
+         |FROM documents d LEFT JOIN tok USING (doc_id) LEFT JOIN trc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "t13_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 <> 0
+         |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END
+         |    AS ptext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |     + len(regexp_extract_all(ptext, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_pii,
+         |  CAST(len(regexp_replace(regexp_replace(ptext,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS BIGINT) AS len_redacted
+         |FROM planted ORDER BY doc_id""".stripMargin,
 
     "t10_bpe_tokens" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_ws_tokens,

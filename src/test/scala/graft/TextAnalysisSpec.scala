@@ -54,6 +54,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(TextAnalysis.subwordCount($"text")).as[Long].head() == 7L)
   }
 
+  test("redactPii scrubs emails and IPs; piiCount matches") {
+    val df = Seq("mail a.b+c@ex-ample.co.uk or 192.168.0.1, not 1.2.3.4.5 digits")
+      .toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text")).as[String].head()
+    assert(out.contains("<EMAIL>") && out.contains("<IP>"))
+    assert(!out.contains("@") && !out.contains("192.168"))
+    // 1.2.3.4.5 — \b boundaries still match a dotted-quad prefix; the
+    // pattern is a scrubber, not a validator (documented behavior)
+    val n = df.select(TextAnalysis.piiCount($"text")).as[Long].head()
+    assert(n >= 2L)
+    // no alpha TLD → not an email; the dotted quad still scrubs
+    val ipHost = Seq("x@1.2.3.4").toDF("text")
+    assert(ipHost.select(TextAnalysis.redactPii($"text")).as[String].head() == "x@<IP>")
+    // email runs first: a dotted-quad-looking host with a TLD stays one
+    // <EMAIL>, not a mangled u@<IP>.com
+    val e = Seq("u@1.2.3.4.com").toDF("text")
+    assert(e.select(TextAnalysis.redactPii($"text")).as[String].head() == "<EMAIL>")
+  }
+
+  test("repetitionStats: boilerplate scores high, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),           // one token repeated
+      (2L, "alpha beta gamma delta epsilon zeta"),     // all distinct
+      (3L, "")                                          // empty → zeros
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows(0) == ((1L, 6L, 1.0, 0.75)))  // 4 identical trigrams → 3 dup of 4
+    assert(rows(1)._3 < 0.2 && rows(1)._4 == 0.0)
+    assert(rows(2) == ((3L, 0L, 0.0, 0.0)))
+  }
+
   test("topSalientTerms: rare terms outrank common ones; ties break by term") {
     val docs = Seq(
       (1L, "shared shared unique1 unique1 unique1"),
