@@ -156,8 +156,15 @@ object TextAnalysis {
     * O(n²)-per-document trap). The final spine join reads only the id
     * column of the source. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the _toks filter mirrors what InferFiltersFromGenerate derives
+    // for the term branch's explode — stated explicitly so BOTH
+    // branches' subtrees below the anchor stay canonically identical
+    // (otherwise the inferred filter pushes below the exchange on one
+    // branch only and silently defeats the reuse). Zero-token docs are
+    // restored with zero ratios by the left-join spine.
     val base = docs.filter(col(idCol).isNotNull)
       .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .filter(col("_toks").isNotNull && size(col("_toks")) > 0)
       .repartition(col(idCol))
     val tfc = base.select(col(idCol), explode(col("_toks")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
