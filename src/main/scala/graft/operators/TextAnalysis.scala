@@ -139,10 +139,16 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
       Ipv4Pattern, "<IP>")
 
-  /** Matches that [[redactPii]] would scrub, for audit columns. */
-  def piiCount(text: Column): Column =
+  /** Exactly the number of replacements [[redactPii]] performs: IPs
+    * are counted on the email-scrubbed text, mirroring the sequential
+    * passes — counting both patterns on the ORIGINAL text would
+    * double-count an email whose host contains a dotted quad
+    * (`u@1.2.3.4.com` is ONE redaction, not two). */
+  def piiCount(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
     (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
-      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))).cast("long")
+      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0)))).cast("long")
+  }
 
   /** Gopher-style repetition signals per document: the fraction of
     * tokens taken by the single most frequent token, and the fraction

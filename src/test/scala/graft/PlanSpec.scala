@@ -102,13 +102,14 @@ class PlanSpec extends SparkSpec {
   }
 
   // The multi-branch operators (shingle frame in d03/d04, scored frame
-  // in p01) anchor their shared subtree under one Exchange and rely on
-  // ReuseExchange/AQE stage reuse to compute it once — r3 used persist()
-  // here and leaked the blocks across invocations (VERDICT r3 #1).
-  // Reuse is fragile (an asymmetric inferred filter below the anchor
-  // kills it silently), so execute and assert on the FINAL adaptive
-  // plan, and assert the storage-block ledger stays empty.
-  test("d03/d04/p01/t11: shared subtrees reuse one exchange, zero storage blocks") {
+  // in p01, tokenize frame in t11/t12) anchor their shared subtree
+  // under one Exchange and rely on ReuseExchange/AQE stage reuse to
+  // compute it once — r3 used persist() here and leaked the blocks
+  // across invocations (VERDICT r3 #1). Reuse is fragile (an
+  // asymmetric inferred/pruned subtree below the anchor kills it
+  // silently), so execute and assert on the FINAL adaptive plan, and
+  // assert the storage-block ledger stays empty.
+  test("d03/d04/p01/t11/t12: shared subtrees reuse one exchange, zero storage blocks") {
     for (name <- Seq("d03_ngram_jaccard", "d04_minhash_lsh", "p01_curate",
                      "t11_salient_terms", "t12_repetition")) {
       // other suites share this session and may cache their own frames —

@@ -68,9 +68,11 @@ class TextAnalysisSpec extends SparkSpec {
     val ipHost = Seq("x@1.2.3.4").toDF("text")
     assert(ipHost.select(TextAnalysis.redactPii($"text")).as[String].head() == "x@<IP>")
     // email runs first: a dotted-quad-looking host with a TLD stays one
-    // <EMAIL>, not a mangled u@<IP>.com
+    // <EMAIL>, not a mangled u@<IP>.com — and piiCount agrees it is
+    // ONE redaction (IPs are counted on the email-scrubbed text)
     val e = Seq("u@1.2.3.4.com").toDF("text")
     assert(e.select(TextAnalysis.redactPii($"text")).as[String].head() == "<EMAIL>")
+    assert(e.select(TextAnalysis.piiCount($"text")).as[Long].head() == 1L)
   }
 
   test("repetitionStats: boilerplate scores high, varied text low") {
