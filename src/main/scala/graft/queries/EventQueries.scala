@@ -73,6 +73,13 @@ object EventQueries {
     }),
 
     // Per-user activity profile: event span, rate, dominant type.
+    // Deliberately TWO pruned scans, not a shared reuse-anchor: each
+    // branch reads disjoint columns (user+ts vs user+type) from the
+    // columnar store and partial-aggregates BEFORE its shuffle, so the
+    // exchanges carry tiny combined rows. An anchor exchange would
+    // shuffle raw events — the reuse-anchor pattern pays only when the
+    // shared subtree is expensive compute (tokenize), not a cheap
+    // column-pruned scan.
     "e04_user_profile" -> ((s, dir) => {
       import s.implicits._
       val byType = ev(s, dir)
