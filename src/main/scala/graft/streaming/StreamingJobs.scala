@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,10 +27,35 @@ import graft.streaming.StreamingSessionize.Event
   * Scale posture: the real corpus streams from its ORIGINAL parquet in
   * place (no copy); only the 2-row sentinel file and the result are
   * written. All per-invocation scratch (sentinels, checkpoint, sink)
-  * lives under one temp dir that is wiped and rebuilt per run, so the
-  * query is a deterministic replay.
+  * lives under one work dir that is wiped and rebuilt per run, so the
+  * query is a deterministic replay. The work dir comes from
+  * configuration ([[WorkDirKey]]) and is addressed through the Hadoop
+  * filesystem API, so on a real cluster it can point at HDFS/S3/NFS —
+  * storage the driver AND every executor can reach. Driver-local tmp
+  * is only the fallback in local mode, where driver and executors
+  * share one machine.
   */
 object StreamingJobs {
+
+  /** Conf key: shared-filesystem root for per-run streaming scratch
+    * (sentinel source, checkpoint, sink). Any Hadoop-resolvable URI
+    * (`hdfs://…`, `s3a://…`, `file:/…`). Precedence: this key, then
+    * the session's `spark.sql.streaming.checkpointLocation`, then —
+    * in local mode ONLY — `java.io.tmpdir`. Off local mode with
+    * neither conf set, the drains refuse to run rather than write
+    * scratch executors cannot see. */
+  val WorkDirKey = "spark.graft.streaming.workDir"
+
+  /** Shuffle/state partitions inside the drains. A streaming state
+    * store commits EVERY partition in EVERY micro-batch regardless of
+    * row volume, so the session default (32) pays 32 store commits per
+    * batch for a key space of a few thousand users — pure constant
+    * factor. The state partition count is locked into the checkpoint
+    * at first start; the drains wipe their checkpoint per run, so the
+    * override always applies cleanly. A genuinely large deployment
+    * overrides [[DrainShufflePartitionsKey]] instead of editing code. */
+  val DrainShufflePartitionsKey = "spark.graft.streaming.drainPartitions"
+  val DefaultDrainPartitions = "8"
 
   /** Negative ids never occur in the generated events tables. */
   val SentinelUser: Long = -1L
@@ -47,6 +70,45 @@ object StreamingJobs {
     * range limit even added twice. */
   private val SentinelSpacingUs: Long = 50L * 365 * 24 * 3600 * 1000000
 
+  /** Per-run scratch dir for `job` over corpus `dir`: `<root>/graft_
+    * <job>_<md5(dir)>`. The tag is a FULL digest of the corpus path —
+    * a 32-bit `hashCode` could collide two corpora onto one scratch
+    * dir, silently mixing checkpoints. */
+  private[streaming] def workRoot(s: SparkSession, job: String, dir: String): HPath = {
+    val root = s.conf.getOption(WorkDirKey)
+      .orElse(s.conf.getOption("spark.sql.streaming.checkpointLocation"))
+      .getOrElse {
+        require(s.sparkContext.isLocal,
+          s"streaming drains need $WorkDirKey (or " +
+            "spark.sql.streaming.checkpointLocation) pointing at shared " +
+            "storage when not in local mode — executors cannot read " +
+            "driver-local tmp")
+        System.getProperty("java.io.tmpdir")
+      }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new HPath(root, s"graft_${job}_$tag")
+  }
+
+  /** Recursively delete `p` on whatever filesystem it resolves to. */
+  private def wipe(s: SparkSession, p: HPath): Unit = {
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Run `body` (a drain: start + awaitTermination) with the small
+    * drain partition count, restoring the session default after. The
+    * streaming query captures the conf at `.start()`, so the override
+    * never leaks into the caller's batch plans. */
+  private def withDrainPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key,
+      s.conf.getOption(DrainShufflePartitionsKey).getOrElse(DefaultDrainPartitions))
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Scalar max of `ts div 1000`, or None for an empty table. */
   private def maxTusOf(df: DataFrame): Option[Long] = {
     import df.sparkSession.implicits._
@@ -59,12 +121,11 @@ object StreamingJobs {
   def sessionizeAvailableNow(s: SparkSession, dir: String,
                              gapUs: Long = StreamingSessionize.DefaultGapUs): DataFrame = {
     import s.implicits._
-    val work = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_e05_${java.lang.Integer.toHexString(dir.hashCode)}")
-    rmTree(work)
-    val sentinelDir = work.resolve("sentinel").toString
-    val ckptDir = work.resolve("ckpt").toString
-    val outDir = work.resolve("out").toString
+    val work = workRoot(s, "e05", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
+    val ckptDir = new HPath(work, "ckpt").toString
+    val outDir = new HPath(work, "out").toString
 
     val evBatch = Tables.load(s, dir, "events")
     // scalar max event time (distributed agg, 8 bytes to the driver)
@@ -94,10 +155,12 @@ object StreamingJobs {
 
     val sessions = StreamingSessionize.sessionize(
       real.union(sentinel).as[Event], gapUs)
-    val q = sessions.writeStream.format("parquet")
-      .option("checkpointLocation", ckptDir).option("path", outDir)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withDrainPartitions(s) {
+      val q = sessions.writeStream.format("parquet")
+        .option("checkpointLocation", ckptDir).option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
 
     // per-user ordinal to match the batch sessionizer's output shape
     // (sessions are disjoint per user, so start-time order is total)
@@ -119,9 +182,8 @@ object StreamingJobs {
     * immediately (the watermark only expires state). */
   def dedupAvailableNow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_d06_${java.lang.Integer.toHexString(dir.hashCode)}")
-    rmTree(work)
+    val work = workRoot(s, "d06", dir)
+    wipe(s, work)
     val docs = Tables.load(s, dir, "documents")
     if (docs.isEmpty) return Seq.empty[String].toDF("h")
     val stream = s.readStream.schema(docs.schema)
@@ -131,12 +193,15 @@ object StreamingJobs {
       .withColumn("ts_micro", timestamp_micros($"doc_id" + 1000000L))
     val survivors = graft.streaming.StreamingDedup
       .dedupByContent(stream, "text", "ts_micro")
-    val q = survivors.drop("ts_micro").writeStream.format("parquet")
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .option("path", work.resolve("out").toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.read.parquet(work.resolve("out").toString)
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = survivors.drop("ts_micro").writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
       .select(graft.operators.Dedup.contentHash($"text").as("h"))
       .orderBy($"h")
   }
@@ -149,10 +214,9 @@ object StreamingJobs {
   def windowCountsAvailableNow(s: SparkSession, dir: String,
                                windowLen: String = "1 hour"): DataFrame = {
     import s.implicits._
-    val work = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_e06_${java.lang.Integer.toHexString(dir.hashCode)}")
-    rmTree(work)
-    val sentinelDir = work.resolve("sentinel").toString
+    val work = workRoot(s, "e06", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
 
     val evBatch = Tables.load(s, dir, "events")
     val maxTus = maxTusOf(evBatch) match {
@@ -175,22 +239,19 @@ object StreamingJobs {
 
     val counts = StreamingWindowCounts.tumblingCounts(
       real.union(sentinel), windowLen)
-    val q = counts.writeStream.format("parquet")
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .option("path", work.resolve("out").toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = counts.writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
 
-    s.read.parquet(work.resolve("out").toString)
+    s.read.parquet(outDir)
       .filter($"event_type" =!= "__sentinel")
       .select($"window_start_us", $"event_type", $"n",
         round($"sum_value", 2).as("sum_value"))
       .orderBy($"window_start_us", $"event_type")
   }
-
-  private def rmTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** The drains' scratch-dir contract: configurable shared-FS root
+  * (cluster-safe), full-digest per-corpus tags (collision-proof), and
+  * an end-to-end drain proving the override is honored and the
+  * partition override never leaks into the session. */
+class StreamingJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("workRoot honors the graft workDir conf over everything else") {
+    spark.conf.set(StreamingJobs.WorkDirKey, "/shared/graft-work")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", "/other/ckpt")
+    try {
+      val p = StreamingJobs.workRoot(spark, "e05", "/data/corpusA")
+      assert(p.toString ==
+        s"/shared/graft-work/graft_e05_${md5hex("/data/corpusA")}")
+    } finally {
+      spark.conf.unset(StreamingJobs.WorkDirKey)
+      spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    }
+  }
+
+  test("workRoot falls back to the session checkpoint location") {
+    spark.conf.set("spark.sql.streaming.checkpointLocation", "hdfs://nn/ckpt")
+    try {
+      val p = StreamingJobs.workRoot(spark, "d06", "/data/corpusA")
+      assert(p.toString ==
+        s"hdfs://nn/ckpt/graft_d06_${md5hex("/data/corpusA")}")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
+  test("workRoot tmp fallback exists only in local mode, tags are full digests") {
+    // this suite runs local, so the fallback must engage
+    val p = StreamingJobs.workRoot(spark, "e06", "/data/corpusA")
+    assert(p.toString.endsWith(s"graft_e06_${md5hex("/data/corpusA")}"))
+    // full 32-hex md5 tag — not a 32-bit hashCode that can collide
+    val tag = p.getName.stripPrefix("graft_e06_")
+    assert(tag.length == 32 && tag.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    val q = StreamingJobs.workRoot(spark, "e06", "/data/corpusB")
+    assert(p.toString != q.toString, "distinct corpora must get distinct scratch dirs")
+  }
+
+  test("sessionize drain runs under an overridden work root and restores confs") {
+    val Min = 60L * 1000000
+    val base = 1440 * Min
+    // user 1: two sessions (35-min gap splits); user 2: one session
+    val rows = Seq(
+      (1L, 1L, (base + 0 * Min) * 1000, "click", 0.0),
+      (1L, 2L, (base + 10 * Min) * 1000, "click", 0.0),
+      (1L, 3L, (base + 60 * Min) * 1000, "click", 0.0),
+      (2L, 4L, (base + 5 * Min) * 1000, "view", 0.0))
+
+    // the file stream glob wants a single FILE named events.parquet
+    val corpus = Files.createTempDirectory("graft-jobs-corpus")
+    val tmpOut = Files.createTempDirectory("graft-jobs-write").resolve("ev")
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(tmpOut.toString)
+    val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, corpus.resolve("events.parquet"))
+
+    val workOverride = Files.createTempDirectory("graft-jobs-work")
+    spark.conf.set(StreamingJobs.WorkDirKey, workOverride.toString)
+    try {
+      val got = StreamingJobs
+        .sessionizeAvailableNow(spark, corpus.toString, gapUs = 30 * Min)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, 1L, base, base + 10 * Min, 2L),
+        (1L, 2L, base + 60 * Min, base + 60 * Min, 1L),
+        (2L, 1L, base + 5 * Min, base + 5 * Min, 1L)))
+      // scratch landed under the override, tagged with the corpus digest
+      val scratch = workOverride.resolve(s"graft_e05_${md5hex(corpus.toString)}")
+      assert(Files.isDirectory(scratch), s"no scratch at $scratch")
+      assert(Files.isDirectory(scratch.resolve("ckpt")))
+      // no stray java.io.tmpdir scratch for this corpus
+      val tmpStray = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_e05_${md5hex(corpus.toString)}")
+      assert(!Files.exists(tmpStray), "drain wrote to tmp despite the override")
+      // the drain partition override must not leak into the session
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+    } finally spark.conf.unset(StreamingJobs.WorkDirKey)
+  }
+}
