@@ -40,7 +40,12 @@ object AdvancedQueries {
     }),
 
     // Range join: views of the same user within the hour before each
-    // purchase (left join → purchases with zero views kept).
+    // purchase, via the library operator ([[graft.operators.RangeJoin]]):
+    // hour-bucketed equi-join on (user_id, bucket), so a hot user's
+    // candidates are the views in each purchase's TWO buckets — never
+    // the O(purchases × views) blowup of join-then-band-filter. The
+    // left-outer shape (purchases with zero views kept at 0) composes
+    // as aggregate + join back on the purchase spine.
     "a02_range_join" -> ((s, dir) => {
       import s.implicits._
       val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
@@ -49,10 +54,14 @@ object AdvancedQueries {
         .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("ptus"))
       val v = e.filter($"event_type" === "view")
         .select($"user_id", $"event_id".as("view_id"), $"tus".as("vtus"))
-      p.join(v, p("user_id") === v("user_id") &&
-          $"vtus" >= $"ptus" - 3600000000L && $"vtus" <= $"ptus", "left")
-        .groupBy($"purchase_id")
+      val pairs = graft.operators.RangeJoin.rangeJoin(p, v, Seq("user_id"),
+        leftTime = "ptus", rightTime = "vtus",
+        lowerUs = -3600000000L, upperUs = 0L)
+      val counts = pairs.groupBy($"purchase_id")
         .agg(count($"view_id").as("n_views_1h"))
+      p.select($"purchase_id")
+        .join(counts, Seq("purchase_id"), "left")
+        .select($"purchase_id", coalesce($"n_views_1h", lit(0L)).as("n_views_1h"))
         .orderBy($"purchase_id")
     }),
 

@@ -94,6 +94,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one user_id shuffle, got $exchanges:\n${p.take(600)}")
   }
 
+  test("a02: range join equi-joins on the time bucket, band as residual") {
+    val p = plan("a02_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join went all-pairs")
+    // the hour bucket must be IN the equi-join keys — joining on
+    // user_id alone then band-filtering is the hot-key quadratic shape
+    // (one power user pairs all their purchases x all their views)
+    val joinsOnBucket = p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("_bucket"))
+    assert(joinsOnBucket, s"_bucket missing from join keys:\n${p.take(800)}")
+  }
+
   test("e01: sessionize windows + session agg share one user_id shuffle") {
     val p = plan("e01_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
