@@ -97,14 +97,19 @@ object TextAnalysis {
     * ReuseExchange/AQE stage reuse materializes the scan once (the
     * explicit isNotNull keeps the subtrees canonically identical once
     * the join infers a term null filter — same trick as the dedup
-    * anchors). N is a count over the source frame, which parquet
-    * serves from footer metadata without scanning rows. The df table
-    * is vocabulary-sized — broadcastable at any corpus scale; the
-    * top-k window shuffles once on the doc id. Ties break by term. */
+    * anchors). N rides along as a one-row aggregate cross-joined in
+    * (always broadcastable), so the operator is a single job — no
+    * separate driver-side count action, and a non-parquet source pays
+    * one scan, not two. The df side of the term join carries NO
+    * broadcast hint: at sf scale the vocabulary is tiny and AQE
+    * broadcasts it at runtime; a web-scale corpus's vocabulary
+    * (URLs, typos, code) runs to billions of rows, where a forced
+    * broadcast OOMs the driver but a shuffled join degrades
+    * gracefully. The top-k window shuffles once on the doc id. Ties
+    * break by term. */
   def topSalientTerms(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
     val tf = docs
       .select(col(idCol), explode(tokenize(col(textCol))).as("term"))
       .filter(col(idCol).isNotNull && col("term").isNotNull)
@@ -116,9 +121,10 @@ object TextAnalysis {
     // defeat the scan reuse documented above.
     val df = tf.where(col("tf") > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
+    val nDf = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDf))
       .withColumn("salience",
-        col("tf") * (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+        col("tf") * (col("_n") - col("df") + 0.5) / (col("df") + 0.5))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("salience").desc, col("term"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
