@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Mp4, Multimodal}
 
 /** Multimodal-plumbing queries: documents get deterministic synthetic
   * media payloads (seeded by doc_id), which flow through the binary
@@ -101,9 +101,39 @@ object MultimodalQueries {
           $"sum_r", $"sum_g", $"sum_b")
         .orderBy($"doc_id")
     }),
+    // REAL MP4 (ISO-BMFF) container metadata: a deterministic MP4 is
+    // built box-by-box per doc — mixing v0/v1 full-box layouts and
+    // largesize mdat encodings — and the pure-JDK box walker recovers
+    // brand, track count, dimensions, frame count and duration from
+    // the actual moov/trak/stbl structure. This is the metadata layer
+    // a demuxer dependency (jcodec) would provide; only the coded
+    // H.264 samples inside mdat are beyond the JDK. The oracle
+    // recomputes the closed-form arithmetic.
+    "m06_mp4_meta" -> ((s, dir) => {
+      import s.implicits._
+      val vids = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Mp4.synthMp4(id)))
+      Mp4.extractMp4Meta(vids)
+        .select($"id".as("doc_id"), $"brand",
+          $"n_tracks".cast("long").as("n_tracks"),
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"n_frames", $"duration_ms")
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // closed-form MP4 fixture arithmetic (see Mp4.synthMp4): the Spark
+    // side walks real ISO-BMFF boxes, the oracle replays the formulas
+    "m06_mp4_meta" ->
+      """SELECT doc_id, 'isom' AS brand, CAST(1 AS BIGINT) AS n_tracks,
+        |CAST(160 + 4 * (doc_id % 32) AS BIGINT) AS width,
+        |CAST(90 + 2 * (doc_id % 18) AS BIGINT) AS height,
+        |CAST(1 + doc_id % 48 AS BIGINT) AS n_frames,
+        |CAST(40 * (1 + doc_id % 48) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // n = 100 + id % 400 samples; sample i = ((id*31 + i*17) % 4096) - 2048
     "m05_audio_decode" ->
       """WITH n AS (SELECT doc_id, 100 + doc_id % 400 AS nf FROM documents),
