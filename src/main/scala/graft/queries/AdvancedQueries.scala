@@ -65,6 +65,25 @@ object AdvancedQueries {
         .orderBy($"purchase_id")
     }),
 
+    // Forward as-of with tolerance: each click ↔ the user's NEXT
+    // purchase within two hours (or NULL). Exercises the library
+    // operator's forward direction + tolerance voiding under the
+    // driver oracle — same single-shuffle union+window plan as a01.
+    "a07_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("tus"))
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"tus".as("ctus"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("ptus"))
+      graft.operators.AsOf.asofJoin(c, p, Seq("user_id"),
+          leftTime = "ctus", rightTime = "ptus", direction = "forward",
+          toleranceUs = Some(7200000000L), tieBreak = Seq("purchase_id"))
+        .select($"click_id", $"purchase_id", ($"ptus" - $"ctus").as("gap_us"))
+        .orderBy($"click_id")
+    }),
+
     // Pivot: event-type counts as columns per user.
     "a03_pivot" -> ((s, dir) => {
       import s.implicits._
@@ -127,6 +146,20 @@ object AdvancedQueries {
         |FROM p LEFT JOIN v ON p.user_id = v.user_id
         |  AND v.vtus >= p.ptus - 3600000000 AND v.vtus <= p.ptus
         |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
+
+    // forward as-of: earliest qualifying purchase wins, smallest id on
+    // ties (mirrors the operator's forward tie-break contract)
+    "a07_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT click_id, purchase_id, ptus - ctus AS gap_us,
+        |        row_number() OVER (PARTITION BY click_id ORDER BY ptus ASC, purchase_id ASC) AS rn
+        |      FROM c JOIN p USING (user_id)
+        |      WHERE ptus >= ctus AND ptus - ctus <= 7200000000)
+        |SELECT c.click_id, j.purchase_id, CAST(j.gap_us AS BIGINT) AS gap_us
+        |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1
+        |ORDER BY c.click_id""".stripMargin,
 
     "a03_pivot" ->
       """SELECT user_id,

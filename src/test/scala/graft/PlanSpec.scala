@@ -87,11 +87,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython"), "python udf crept in")
   }
 
-  test("a01: as-of join is one window pass — no join, one hash exchange") {
-    val p = plan("a01_asof_join")
-    assert(!p.contains("Join"), s"as-of regressed to a join (quadratic per user):\n${p.take(600)}")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected exactly one user_id shuffle, got $exchanges:\n${p.take(600)}")
+  test("a01/a07: as-of joins are one window pass — no join, one hash exchange") {
+    for (name <- Seq("a01_asof_join", "a07_asof_forward")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name regressed to a join (quadratic per user):\n${p.take(600)}")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$name: expected exactly one user_id shuffle, got $exchanges:\n${p.take(600)}")
+    }
   }
 
   test("a02: range join equi-joins on the time bucket, band as residual") {
