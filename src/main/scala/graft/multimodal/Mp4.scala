@@ -82,9 +82,15 @@ object Mp4 {
         typ match {
           case "ftyp" if pe - p >= 4 =>
             brand = fourCC(bytes, p)
-          case "mvhd" if pe - p >= 20 =>
+          case "mvhd" =>
+            // strict per-version minimum lengths: a v1 box truncated
+            // below its 64-bit layout must NOT fall through to v0
+            // offsets (that would return plausible-looking garbage
+            // instead of the malformed-input None)
+            if (pe - p < 20) return false
             val v = bytes(p) & 0xFF
-            if (v == 1 && pe - p >= 32) { // 64-bit creation/mod/duration
+            if (v == 1) { // 64-bit creation/mod/duration
+              if (pe - p < 32) return false
               mvhdTimescale = u32(p + 20); mvhdDuration = u64(p + 24)
             } else {
               mvhdTimescale = u32(p + 12); mvhdDuration = u32(p + 16)

@@ -98,9 +98,11 @@ object TextAnalysis {
     * explicit isNotNull keeps the subtrees canonically identical once
     * the join infers a term null filter — same trick as the dedup
     * anchors). N rides along as a one-row aggregate cross-joined in
-    * (always broadcastable), so the operator is a single job — no
-    * separate driver-side count action, and a non-parquet source pays
-    * one scan, not two. The df side of the term join carries NO
+    * (always broadcastable), so the operator is a single job with no
+    * separate driver-side count action. (The count is still its own
+    * scan subtree of the source — parquet serves it from footer
+    * metadata; other sources pay that extra scan inside the job.)
+    * The df side of the term join carries NO
     * broadcast hint: at sf scale the vocabulary is tiny and AQE
     * broadcasts it at runtime; a web-scale corpus's vocabulary
     * (URLs, typos, code) runs to billions of rows, where a forced
