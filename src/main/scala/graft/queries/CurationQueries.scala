@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Curation, TextAnalysis}
@@ -26,6 +27,43 @@ object CurationQueries {
       Curation.curate(Tables.load(s, dir, "documents"), "doc_id", "text",
           Curation.Config(lang = "en", minTokens = 30L, minAlnumRatio = 0.5,
             nearDupJaccard = Some(0.5)))
+        .orderBy($"doc_id")
+    }),
+
+    // Publish-prep pipeline: plant deterministic PII (same corpus
+    // convention as t13) → redact → Gopher repetition signals over the
+    // REDACTED text → one publish row per doc: redaction count, token
+    // budget, repetition signals, keep decision, content fingerprint.
+    // Annotate-then-filter: every doc keeps its row and `keep` IS the
+    // curation decision — the auditable shape a real pipeline lands
+    // before physically dropping rows. Two passes over the redacted
+    // text by design (the anchored tokenize scan inside
+    // repetitionStats, plus one cheap codegen projection for
+    // piiCount+fingerprint): carrying the md5 through the repetition
+    // anchor would widen every shuffle row for a value only the final
+    // join needs.
+    "p02_curate_publish" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Tables.load(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 =!= 0,
+            concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 2 === 0,
+            concat(lit(" from 10.0."), $"doc_id" % 256, lit("."), $"doc_id" % 100))
+            .otherwise(lit(""))).as("ptext"))
+      val redacted = planted.select($"doc_id",
+        TextAnalysis.redactPii($"ptext").as("rtext"),
+        TextAnalysis.piiCount($"ptext").as("n_pii"))
+      val rep = TextAnalysis.repetitionStats(redacted, "doc_id", "rtext")
+      redacted
+        .select($"doc_id", $"n_pii", TextAnalysis.fingerprint($"rtext").as("fp"))
+        .join(rep, Seq("doc_id"))
+        .select($"doc_id", $"n_pii", $"n_tokens",
+          $"top_tok_ratio", $"dup_trigram_ratio",
+          ($"n_tokens" >= 40 && $"top_tok_ratio" <= 0.11 &&
+            $"dup_trigram_ratio" <= 0.05).cast("long").as("keep"),
+          $"fp")
         .orderBy($"doc_id")
     }),
   )
@@ -77,5 +115,60 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("p01_curate" -> oracleSql)
+  /** Token-list SQL over the redacted column (the oracle-portable
+    * twin of `tokenize(rtext)`). */
+  private val SqlRtoks =
+    """list_filter(string_split_regex(lower(regexp_replace(rtext, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '')"""
+
+  /** p02: t13's plant/redact composed with t12's repetition shape over
+    * the redacted text, plus fingerprint and the keep decision. The
+    * threshold literals use exponent form (0.11e0) so DuckDB compares
+    * in DOUBLE like Spark, not DECIMAL. */
+  private def publishOracleSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 <> 0
+       |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0
+       |         THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END
+       |    AS ptext
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(ptext,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS rtext,
+       |    CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |       + len(regexp_extract_all(
+       |           regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_pii
+       |  FROM planted),
+       |toks AS (SELECT doc_id, n_pii, $SqlRtoks AS t FROM red),
+       |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       |tok AS (SELECT doc_id, max(tf) AS top_tf, CAST(sum(tf) AS BIGINT) AS n_tokens
+       |        FROM tfc GROUP BY doc_id),
+       |tris AS (SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) - 1),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+       |         FROM toks),
+       |trc AS (SELECT doc_id, count(*) AS n_tg, count(DISTINCT tg) AS n_dtg
+       |        FROM tris GROUP BY doc_id),
+       |rep AS (
+       |  SELECT r.doc_id,
+       |    coalesce(tok.n_tokens, 0) AS n_tokens,
+       |    round(coalesce(tok.top_tf / CAST(tok.n_tokens AS DOUBLE), 0.0e0), 4) AS top_tok_ratio,
+       |    round(coalesce(1.0e0 - trc.n_dtg / CAST(trc.n_tg AS DOUBLE), 0.0e0), 4) AS dup_trigram_ratio
+       |  FROM red r LEFT JOIN tok USING (doc_id) LEFT JOIN trc USING (doc_id))
+       |SELECT t.doc_id, t.n_pii, rep.n_tokens, rep.top_tok_ratio, rep.dup_trigram_ratio,
+       |  CAST(CASE WHEN rep.n_tokens >= 40 AND rep.top_tok_ratio <= 0.11e0
+       |              AND rep.dup_trigram_ratio <= 0.05e0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |  md5(array_to_string(t.t, ' ')) AS fp
+       |FROM toks t JOIN rep ON t.doc_id = rep.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "p01_curate" -> oracleSql,
+    "p02_curate_publish" -> publishOracleSql,
+  )
 }
