@@ -66,6 +66,35 @@ object CurationQueries {
           $"fp")
         .orderBy($"doc_id")
     }),
+
+    // Corpus-publish sink under the driver gate: write the documents
+    // table as a source-partitioned parquet corpus through CorpusSink
+    // (co-located, salted for hot partitions), read the directory tree
+    // back, and aggregate per source. The oracle aggregates the
+    // ORIGINAL table, so partition-directory encoding, file routing,
+    // and byte fidelity of every row all sit under the hash check —
+    // the sink twin of t08's ZIP-source roundtrip. The write lands in
+    // tmp scratch wiped per run (the write IS the operator under
+    // test; local scratch is fine for a local gate — cluster corpus
+    // writes target a shared-FS path the caller picks).
+    "p03_sink_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), s"graft_p03_$tag")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(out, true)
+      graft.sources.CorpusSink.writeParquet(
+        Tables.load(s, dir, "documents"), out.toString, Seq("source"),
+        filesPerPart = 2)
+      s.read.parquet(out.toString)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("total_text_chars"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"source")
+    }),
   )
 
   private def oracleSql: String = {
@@ -170,5 +199,12 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "p01_curate" -> oracleSql,
     "p02_curate_publish" -> publishOracleSql,
+    // aggregates the ORIGINAL table — equality proves the partitioned
+    // write+read round trip lost and altered nothing
+    "p03_sink_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
+        |CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }
