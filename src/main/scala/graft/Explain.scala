@@ -24,8 +24,16 @@ object Explain {
       }
       val cold = timed(); val warm = timed()
       println(f"== $name%-28s cold=$cold%7.2fs warm=$warm%7.2fs")
-      if (args.length > 1) println(fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      if (args.length > 1) {
+        // execute THIS QueryExecution first, then print its FINAL
+        // adaptive plan: ReusedExchange / AQE join rewrites only exist
+        // after execution (the pre-run print says isFinalPlan=false
+        // and hides exactly the properties worth auditing)
+        val df = fn(spark, sfDir)
+        df.collect()
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }
