@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Central SparkSession factory for the graft engine.
   *
@@ -34,26 +35,33 @@ object GraftSession {
     spark
   }
 
-  /** Expose the engine's custom Catalyst expressions to SQL:
-    * `SELECT cosine_similarity(a.embedding, b.embedding)`, `simhash64`,
-    * `minhash_sig`, `rp_signature`, `hadoop_text_hash`. */
+  /** name → builder for every custom Catalyst expression the engine
+    * exposes to SQL. Single source of truth for the per-session
+    * registration below AND the [[graft.GraftExtensions]] injection
+    * path — the two surfaces cannot drift apart. */
+  private[graft] val SqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" ->
+      (es => graft.functions.VectorFunctions.CosineSimilarity(es(0), es(1))),
+    "simhash64" -> (es => graft.functions.Hashing.SimHash(es.head)),
+    "hadoop_text_hash" -> (es => graft.functions.HadoopTextHash.TextHash(es.head)),
+    "minhash_sig" -> (es => graft.functions.Hashing.MinHashSig(es.head, 64, 42L)),
+    "rp_signature" ->
+      (es => graft.functions.VectorFunctions.RandomProjectionSig(es.head, 8, 12, 42L)),
+    "sanitize_tokens" -> (es => graft.functions.TextFunctions.SanitizeTokens(es.head)),
+    "word_bigrams" -> (es => graft.functions.TextFunctions.WordNGrams(es.head, 2, "+")),
+  )
+
+  /** Expose the engine's custom Catalyst expressions to SQL on an
+    * existing session: `SELECT cosine_similarity(a.embedding,
+    * b.embedding)`, `simhash64`, `minhash_sig`, `rp_signature`,
+    * `hadoop_text_hash`, …. For sessions the library never touches
+    * (pure-SQL deployments), [[graft.GraftExtensions]] injects the
+    * same table via `spark.sql.extensions`. */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      es => graft.functions.VectorFunctions.CosineSimilarity(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => graft.functions.Hashing.SimHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("hadoop_text_hash",
-      es => graft.functions.HadoopTextHash.TextHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => graft.functions.Hashing.MinHashSig(es.head, 64, 42L), "scala_udf")
-    reg.createOrReplaceTempFunction("rp_signature",
-      es => graft.functions.VectorFunctions.RandomProjectionSig(es.head, 8, 12, 42L),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("sanitize_tokens",
-      es => graft.functions.TextFunctions.SanitizeTokens(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("word_bigrams",
-      es => graft.functions.TextFunctions.WordNGrams(es.head, 2, "+"), "scala_udf")
+    SqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
 
