@@ -37,20 +37,32 @@ object CorpusSink {
 
   /** Write `df` under `path` as `partitionCols`-keyed parquet dirs
     * (`col=value/…`). Deterministic layout: the salt is a pure
-    * function of the row, so reruns place rows identically. */
+    * function of the row, so reruns place rows identically.
+    *
+    * `sortBy` orders rows INSIDE each file (a task-local sort — no
+    * extra shuffle: the partition-column sort the dynamic-partition
+    * writer needs anyway is extended with these keys). Parquet keeps
+    * min/max statistics per row group, so sorting by the columns
+    * readers filter on (doc ids, timestamps) turns those filters into
+    * row-group skips — the query-aligned layout that matters once a
+    * partition holds thousands of files. */
   def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String],
                    filesPerPart: Int = 1,
                    maxRecordsPerFile: Long = 1000000L,
+                   sortBy: Seq[String] = Nil,
                    mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(partitionCols.nonEmpty, "corpus writes need partition columns")
-    require(partitionCols.forall(df.columns.contains),
-      s"partition columns ${partitionCols.filterNot(df.columns.contains)} not in frame")
+    val missing = (partitionCols ++ sortBy).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns $missing not in frame")
     require(filesPerPart >= 1 && maxRecordsPerFile >= 1)
     val routed =
       if (filesPerPart == 1) df.repartition(partitionCols.map(col): _*)
       else df.repartition((partitionCols.map(col) :+
         pmod(hash(df.columns.map(col): _*), lit(filesPerPart))): _*)
-    routed.write.mode(mode)
+    val laid =
+      if (sortBy.isEmpty) routed
+      else routed.sortWithinPartitions((partitionCols ++ sortBy).map(col): _*)
+    laid.write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)

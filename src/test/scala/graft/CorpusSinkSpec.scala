@@ -66,6 +66,22 @@ class CorpusSinkSpec extends SparkSpec {
     assert(spark.read.parquet(out.toString).count() == 1000)
   }
 
+  test("sortBy lays rows out ordered inside every file") {
+    val out = Files.createTempDirectory("graft-sink4")
+    CorpusSink.writeParquet(skewed, out.toString, Seq("lang"),
+      maxRecordsPerFile = 100L, sortBy = Seq("doc_id"))
+    // every individual FILE must be internally sorted — that is what
+    // gives parquet row-group min/max stats their pruning power
+    val allFiles = partDirs(out).values.flatten
+    assert(allFiles.nonEmpty)
+    allFiles.foreach { f =>
+      val ids = spark.read.parquet(f.toString)
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(ids == ids.sorted, s"$f is not sorted by doc_id")
+    }
+    assert(spark.read.parquet(out.toString).count() == 1000)
+  }
+
   test("rejects missing partition columns") {
     intercept[IllegalArgumentException](
       CorpusSink.writeParquet(skewed, "/tmp/never", Seq("nope")))
