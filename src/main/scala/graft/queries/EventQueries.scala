@@ -53,6 +53,15 @@ object EventQueries {
     "e06_stream_windows" -> ((s, dir) =>
       graft.streaming.StreamingJobs.windowCountsAvailableNow(s, dir)),
 
+    // STREAM-STREAM range join: streaming purchases ⋈ streaming views
+    // within the hour band, aggregated to a02's exact shape and
+    // checked against a02's EXACT oracle — batch and streaming range
+    // joins must agree row-for-row. Inner matches emit on arrival (no
+    // sentinel); the band condition doubles as the state-eviction
+    // bound (see StreamingRangeJoin).
+    "e07_stream_range_join" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.rangeJoinAvailableNow(s, dir)),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -136,6 +145,10 @@ object EventQueries {
       """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
         |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // literally a02's oracle: the streaming range join must reproduce
+    // the batch range join exactly
+    "e07_stream_range_join" -> AdvancedQueries.oracles("a02_range_join"),
 
     "e02_type_stats" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value,

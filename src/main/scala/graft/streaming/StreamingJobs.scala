@@ -206,6 +206,49 @@ object StreamingJobs {
       .orderBy($"h")
   }
 
+  /** Stream-stream range join over the events table, drained with
+    * AvailableNow: streaming purchases ⋈ streaming views of the same
+    * user within the hour before each purchase, then aggregated to
+    * the EXACT shape (and oracle) of batch a02 — views counted per
+    * purchase, zero-view purchases kept. Inner matches emit on
+    * arrival, so no sentinel flush is needed; the band condition on
+    * both event-time columns is what lets the join evict state (see
+    * [[StreamingRangeJoin]]). */
+  def rangeJoinAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "e07", dir)
+    wipe(s, work)
+    val evBatch = Tables.load(s, dir, "events")
+    def typed(df: DataFrame, t: String, idAs: String, tusAs: String) =
+      df.filter($"event_type" === t)
+        .select($"user_id", $"event_id".as(idAs), expr("ts div 1000").as(tusAs))
+    def stream() = s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val purchases = typed(stream(), "purchase", "purchase_id", "ptus")
+    val views = typed(stream(), "view", "view_id", "vtus")
+    val pairs = StreamingRangeJoin.rangeJoin(purchases, views, Seq("user_id"),
+      leftTime = "ptus", rightTime = "vtus",
+      lowerUs = -3600000000L, upperUs = 0L)
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = pairs.select($"purchase_id", $"view_id").writeStream
+        .format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // a02's exact output shape: zero-view purchases restored via the
+    // batch purchase spine
+    val counts = s.read.parquet(outDir)
+      .groupBy($"purchase_id").agg(count($"view_id").as("n_views_1h"))
+    typed(evBatch, "purchase", "purchase_id", "ptus")
+      .select($"purchase_id")
+      .join(counts, Seq("purchase_id"), "left")
+      .select($"purchase_id", coalesce($"n_views_1h", lit(0L)).as("n_views_1h"))
+      .orderBy($"purchase_id")
+  }
+
   /** Watermarked tumbling-window counts over the events table, drained
     * with AvailableNow — the streaming twin of batch e03 under the same
     * oracle shape. Append mode only emits a window once the watermark
