@@ -21,6 +21,20 @@ object CurationQueries {
   private val SqlToks =
     """list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '')"""
 
+  /** Wiped-per-run local scratch dir for a sink-roundtrip query:
+    * `<tmp>/graft_<job>_<md5(dir)>` (full digest — corpora must never
+    * collide). The write is the operator under test; local scratch is
+    * fine for a local gate, cluster corpus writes target a shared-FS
+    * path the caller picks. */
+  private def sinkScratch(s: SparkSession, job: String, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), s"graft_${job}_$tag")
+    out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+    out.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curate" -> ((s, dir) => {
       import s.implicits._
@@ -79,21 +93,38 @@ object CurationQueries {
     // writes target a shared-FS path the caller picks).
     "p03_sink_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val out = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), s"graft_p03_$tag")
-      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(out, true)
+      val out = sinkScratch(s, "p03", dir)
       graft.sources.CorpusSink.writeParquet(
-        Tables.load(s, dir, "documents"), out.toString, Seq("source"),
+        Tables.load(s, dir, "documents"), out, Seq("source"),
         filesPerPart = 2)
-      s.read.parquet(out.toString)
+      s.read.parquet(out)
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("total_text_chars"),
           sum($"doc_id").as("sum_ids"))
         .orderBy($"source")
+    }),
+
+    // JSONL round trip: gzip'd JSON-lines is the lingua-franca corpus
+    // interchange format. Write the documents table as compressed
+    // JSONL, read it back with an explicit schema (inference pays a
+    // second scan and can drift types), aggregate per language with an
+    // md5-prefix content checksum — the oracle runs on the ORIGINAL
+    // table, so JSON escaping, gzip framing, and the schema'd re-parse
+    // must transit every row byte-exactly. (12 hex chars = 48 bits per
+    // row keeps the ANSI long sum far from overflow at bench scale.)
+    "p04_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = sinkScratch(s, "p04", dir)
+      val docs = Tables.load(s, dir, "documents")
+      docs.write.option("compression", "gzip").json(out)
+      s.read.schema(docs.schema).json(out)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("total_text_chars"),
+          sum(conv(substring(md5($"text"), 1, 12), 16, 10).cast("long"))
+            .as("text_sum"))
+        .orderBy($"lang")
     }),
   )
 
@@ -206,5 +237,13 @@ object CurationQueries {
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
         |CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // original-table aggregate with an md5-prefix checksum: the JSONL
+    // transit must preserve every text byte
+    "p04_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
+        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
