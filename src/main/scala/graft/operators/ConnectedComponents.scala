@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation — the iterative
+  * operator a dedup pipeline needs to turn near-duplicate PAIRS into
+  * duplicate CLUSTERS. Pair-at-a-time conventions (drop the larger id
+  * of each pair, as d04/p01 use) are deliberately non-transitive; when
+  * the policy is "keep exactly one representative per duplicate
+  * cluster", the cluster is the connected component of the pair graph,
+  * and its minimum id is the canonical representative.
+  *
+  * Algorithm: every vertex starts labeled with its own id; each round,
+  * a vertex takes the minimum of its label and its neighbors' labels;
+  * fixpoint = component minima. Labels only decrease and are bounded,
+  * so convergence is guaranteed in at most `diameter` rounds — and
+  * near-dup graphs are shallow (clusters of re-posts and mirrors, not
+  * long chains), so rounds stay in the single digits.
+  *
+  * Scale shape: one round = one equi-join (labels onto the symmetric
+  * edge list, shuffled on vertex id) + one min-aggregation — all
+  * hash-partitioned, no driver-side graph. The per-round driver action
+  * is a single changed-row count (8 bytes). The edge list and each
+  * round's labels are truncated with `localCheckpoint` (the iterative
+  * idiom GraphX uses), or each round re-executes the whole upstream
+  * plan — including whatever expensive self-join produced the edges.
+  * For adversarial diameters (long chains at
+  * billions of edges) the literature's large-star/small-star
+  * alternating rounds bound the round count by log² n; this operator
+  * keeps the simpler shape because its domain (near-dup clusters) is
+  * shallow.
+  */
+object ConnectedComponents {
+
+  /** Label every vertex of `vertices` with the minimum vertex id
+    * reachable through undirected `edges`. Output: `(idCol,
+    * component)`; isolated vertices label themselves. Ids must be
+    * orderable (numeric/string). */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+                 vertices: DataFrame, idCol: String,
+                 maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1)
+    // Materialize the (possibly expensive) edge subtree ONCE, BEFORE
+    // symmetrizing: the union reads the edge plan twice, so an
+    // un-truncated upstream (e.g. a shingle self-join) would execute
+    // twice here and then again every round.
+    val once = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint()
+    val sym = once.union(once.select(col("v"), col("u")))
+      .distinct()
+      .localCheckpoint()
+
+    // Only edge endpoints can ever change label — isolated vertices
+    // are their own component by definition. Iterate over the (far
+    // smaller) endpoint set and stitch the isolated vertices back in
+    // with one left join at the end: at corpus scale this is the
+    // difference between shuffling every document id per round and
+    // shuffling only the near-dup subgraph.
+    var labels = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("label").as("vlabel")), "v")
+        .groupBy("u").agg(min("vlabel").as("nmin"))
+      // Eagerly materialize each round: the changed-count action and
+      // the next round both read the stored blocks instead of
+      // re-executing this round's join (which would double every
+      // round's work and stack lineage).
+      val updated = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("dropped"))
+        .localCheckpoint()
+      changed = updated.filter(col("dropped")).count()
+      labels = updated.select(col("u"), col("nlabel").as("label"))
+      iter += 1
+    }
+    vertices.select(col(idCol))
+      .join(labels.withColumnRenamed("u", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("component"))
+  }
+}

@@ -50,6 +50,23 @@ object DedupQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // Duplicate CLUSTERS: d03's near-dup pairs closed into connected
+    // components by iterative min-label propagation — every document
+    // labeled with the minimum doc id transitively reachable through
+    // the pair graph (itself when isolated). The pair-drop convention
+    // (d04/p01) is deliberately non-transitive; this is the transitive
+    // "one representative per cluster" view. Oracle: DuckDB recursive
+    // CTE computes the same closure.
+    "d07_dup_components" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+        minJaccard = 0.5, maxDf = 1000)
+      graft.operators.ConnectedComponents.components(pairs, "a_id", "b_id",
+          d.select($"doc_id"), "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // MinHash-LSH near-dup pairs over the corpus PLUS planted exact
     // copies of the first 25 docs (doc_id + 1e6). Planted pairs have
     // identical shingle sets → identical signatures → all 16 bands
@@ -94,6 +111,42 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // d03's pair computation closed into components with a recursive
+    // walk: every doc labeled with the least id it can reach
+    "d07_dup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |e2 AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |       UNION SELECT b_id, a_id FROM pairs),
+        |walk(u, v) AS (
+        |  SELECT u, v FROM e2
+        |  UNION
+        |  SELECT w.u, e.v FROM walk w JOIN e2 e ON w.v = e.u),
+        |minreach AS (SELECT u, min(v) AS mv FROM walk GROUP BY u)
+        |SELECT d.doc_id,
+        |  CAST(least(d.doc_id, coalesce(m.mv, d.doc_id)) AS BIGINT) AS component
+        |FROM documents d LEFT JOIN minreach m ON m.u = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "d06_stream_dedup" ->
       s"""SELECT DISTINCT md5($SqlNorm) AS h FROM documents ORDER BY h""".stripMargin,
 
