@@ -71,10 +71,34 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
-    // File fallback for the driver, then the bare stdout line.
+    // Full-precision record for humans/judges, and an early stdout copy.
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
     println(line)
+    // The driver parses the metric line out of the LAST 2000 chars of
+    // stdout (BENCH_r04/r05 recorded parsed:null once the full line grew
+    // past that window, with sbt's "[success] Total time" trailer eating
+    // ~80 more). So the final printed line must stay under ~1800 chars:
+    // round per-query secs to 3 decimals, and if the query set has grown
+    // past what fits, keep the slowest queries (the ones worth reading)
+    // and report how many were elided — full detail stays in
+    // bench_out.json.
+    def fmt(v: Double): String = f"$v%.3f"
+    def renderLine(entries: Seq[(String, Double)], elided: Int): String = {
+      val body = entries.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val el = if (elided > 0) s""","elided":$elided""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body$el,"failed":$nFailed,"sf":"$sfDir"}"""
+    }
+    val budget = 1800
+    var keep = results.sortBy { case (_, v) => -math.abs(v) }
+    var compact = renderLine(keep, 0)
+    while (compact.length > budget && keep.nonEmpty) {
+      keep = keep.dropRight(1)
+      compact = renderLine(keep, results.size - keep.size)
+    }
+    println(compact)
     spark.stop()
   }
 }

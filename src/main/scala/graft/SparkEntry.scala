@@ -20,6 +20,9 @@ import graft.queries._
   *    profiles.
   *  - [[queries.MultimodalQueries]] — binary media columns with
   *    batched decode plumbing.
+  *  - [[queries.PipelineQueries]] — corpus composition: benchmark
+  *    decontamination, deterministic sampling/mixing, sequence
+  *    packing, bloom-pruned novelty.
   */
 object SparkEntry {
 
@@ -34,7 +37,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ PipelineQueries.queries
 
   /** DuckDB-equivalent SQL per query; queries absent here get the
     * driver's weaker rows-only check (hash-family-specific operators:
@@ -43,5 +46,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MultimodalQueries.oracles ++ AdvancedQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ PipelineQueries.oracles
 }

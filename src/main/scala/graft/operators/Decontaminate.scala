@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Benchmark decontamination — the training-data operator that keeps
+  * evaluation benchmarks out of a pretraining corpus: flag (or drop)
+  * every document whose word-n-gram shingles overlap an eval set's
+  * shingles beyond a threshold.
+  *
+  * Scale shape (the 100 TB posture):
+  *  - The corpus side is shingled in ONE pass. The distinct shingle-SET
+  *    frame `(id, set)` is anchored under an id-partitioned Exchange,
+  *    so both consuming branches (per-doc set size; hit counting) read
+  *    the same shuffle files instead of re-running tokenize+shingle
+  *    (see Dedup.minHashPairs for the reuse preconditions).
+  *  - The BENCHMARK side is small by the operator's contract — eval
+  *    sets are thousands of documents, not billions — so its distinct
+  *    shingle set is broadcast and the hit count is a map-side
+  *    broadcast-hash join + a partial-aggregated count. The corpus
+  *    (the 100 TB side) is never shuffled on shingle; the only wide
+  *    exchange is the id-partitioned anchor.
+  *  - The hit aggregation groups on the id the anchor already
+  *    partitioned by, so it introduces no additional shuffle, and the
+  *    final size↔hit join is co-partitioned.
+  *
+  * Contamination score = |shingles(doc) ∩ shingles(benchmark)| /
+  * |shingles(doc)| — the containment of the doc in the pooled
+  * benchmark shingle set (the standard n-gram-overlap
+  * decontamination decision rule; containment, not Jaccard, because
+  * the benchmark pool is orders of magnitude larger than any one
+  * document).
+  */
+object Decontaminate {
+
+  /** Per-document contamination counts against `benchmark`:
+    * `(idCol, n_hit, n_sh, overlap)` for every document with at least
+    * one shingle (n_sh >= 1). `n_hit` counts distinct doc shingles
+    * that appear anywhere in the benchmark; `overlap` = n_hit / n_sh.
+    * Documents shorter than `n` tokens have no shingles and are absent
+    * (nothing to match on — callers treat them as clean). */
+  def overlapScores(docs: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // One tokenize+shingle pass over the (huge) corpus, anchored.
+    val sets = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), array_distinct(ngrams(tokenize(col(textCol)), n)).as("_set"))
+      .repartition(col(idCol))
+    // The pooled benchmark shingle set — distinct, then broadcast.
+    val benchSh = benchmark
+      .select(explode(array_distinct(ngrams(tokenize(col(textCol)), n))).as("shingle"))
+      .distinct()
+    val hits = sets
+      .select(col(idCol), explode(col("_set")).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    sets
+      .select(col(idCol), size(col("_set")).cast("long").as("n_sh"))
+      .filter(col("n_sh") >= 1)
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_sh"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh")).as("overlap"))
+  }
+
+  /** The decontaminated corpus: documents whose overlap stays BELOW
+    * `maxOverlap` (shingle-less short docs are kept — they cannot
+    * match). Returns `docs` rows unchanged. */
+  def clean(docs: DataFrame, benchmark: DataFrame, idCol: String,
+            textCol: String, n: Int = 3, maxOverlap: Double = 0.1): DataFrame = {
+    val dirty = overlapScores(docs, benchmark, idCol, textCol, n)
+      .filter(col("overlap") >= maxOverlap)
+      .select(col(idCol))
+    docs.join(dirty, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus composition operators — deterministic sampling, source
+  * mixing, and sequence packing for assembling a training mix out of
+  * heterogeneous corpora.
+  *
+  * All three are built on a SEEDED CONTENT-ADDRESSED coin: the first 8
+  * hex digits of `md5(key || ':' || salt)` compared lexicographically
+  * against a rate-derived threshold string. Unlike `rand(seed)` this is
+  * stable under repartitioning, retries, and engine changes (any
+  * engine with md5 reproduces the exact sample — which is also what
+  * makes the operators oracle-checkable), and a document keeps or
+  * loses membership independent of what happens to every other
+  * document, so incremental corpus refreshes don't reshuffle the
+  * sample.
+  *
+  * Scale shape: sampling is a pure map-side filter (no shuffle, no
+  * driver state — the predicate pushes into the scan's codegen span);
+  * mixing is one window shuffle partitioned by source; packing is one
+  * window shuffle partitioned by the pack-group columns. None of them
+  * ever materializes anything driver-side.
+  */
+object Mixing {
+
+  /** Lowercase-hex threshold: an 8-hex-digit md5 prefix is uniform on
+    * [0, 16^8); `prefix < threshold(rate)` keeps `rate` of keys.
+    * Lexicographic compare of equal-length lowercase hex IS numeric
+    * compare, so no hex→int conversion is needed (DuckDB and Spark
+    * then agree byte-for-byte). rate >= 1 keeps everything ('g' sorts
+    * above every hex digit); rate <= 0 drops everything. */
+  private[graft] def rateThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) ""
+    else f"${math.round(rate * 4294967296.0)}%08x"
+
+  /** The deterministic coin for `key`: first 8 hex chars of
+    * md5(key:salt). */
+  private def coin(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
+
+  /** Uniform deterministic sample: keep each row iff its coin lands
+    * under `rate`. */
+  def sampleUniform(df: DataFrame, keyCol: String, rate: Double,
+                    salt: String = "graft"): DataFrame =
+    df.filter(coin(col(keyCol), salt) < lit(rateThreshold(rate)))
+
+  /** Stratified deterministic sample: per-stratum rates (strata absent
+    * from `rates` fall back to `defaultRate`). The rate table rides
+    * along as a literal MAP expression — never a join, never a
+    * broadcast variable — so the whole predicate stays one codegen'd
+    * filter over the scan. */
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 0.0,
+                       salt: String = "graft"): DataFrame = {
+    val entries = rates.toSeq.sortBy(_._1)
+      .flatMap { case (k, r) => Seq(lit(k), lit(rateThreshold(r))) }
+    val thresholds = map(entries: _*)
+    val th = coalesce(element_at(thresholds, col(strataCol)),
+      lit(rateThreshold(defaultRate)))
+    df.filter(coin(col(keyCol), salt) < th)
+  }
+
+  /** Mix sources to target counts: per source, rank rows by the
+    * deterministic coin (ties broken by key) and keep the first
+    * `quota(source)` (sources absent from `quotas` contribute
+    * `defaultQuota`). One shuffle, partitioned by source; within a
+    * partition the rank is a single sort. Emits `_rank` (1-based,
+    * BIGINT) alongside the input columns so downstream stages can
+    * subset further without re-hashing.
+    *
+    * Skew note: a quota cap means only the first `quota` rows per
+    * source survive, but the SORT still sees every row of the hottest
+    * source in one partition. At real scale pre-filter with
+    * [[sampleUniform]] at a rate that overshoots the quota by a safe
+    * margin (e.g. 2× quota / est_count) before ranking — the coin is
+    * shared, so pre-filtering never changes which rows win. */
+  def mixSources(df: DataFrame, keyCol: String, sourceCol: String,
+                 quotas: Map[String, Long], defaultQuota: Long = 0L,
+                 salt: String = "graft"): DataFrame = {
+    val entries = quotas.toSeq.sortBy(_._1)
+      .flatMap { case (k, q) => Seq(lit(k), lit(q)) }
+    val quotaOf = coalesce(element_at(map(entries: _*), col(sourceCol)),
+      lit(defaultQuota))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(coin(col(keyCol), salt), col(keyCol))
+    df.withColumn("_rank", row_number().over(w).cast("long"))
+      .filter(col("_rank") <= quotaOf)
+  }
+
+  /** Pack documents into fixed token-budget bins ("context windows"):
+    * within each `groupCol` partition, walk documents in `orderCol`
+    * order and assign each to pack `floor(tokens_before / budget)` at
+    * offset `tokens_before % budget` — the streaming-concatenation
+    * layout a sequence-packing data loader consumes. A document longer
+    * than the budget spans packs (its offset records where it starts);
+    * callers wanting hard truncation filter on `n_tok`.
+    *
+    * Deterministic by construction (no greedy bin search, which would
+    * be order-sensitive and unverifiable), expressible as one
+    * cumulative-sum window — so it scales as a single shuffle on
+    * `groupCol` and oracles exactly. Parallelism is per group (source,
+    * shard, …): pick grouping columns with enough cardinality that no
+    * single group dominates — a global pack order would serialize the
+    * corpus through one partition. */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokensCol)).over(w), lit(0L))
+    df.withColumn("_before", before)
+      .withColumn("pack", floor(col("_before") / lit(budget)).cast("long"))
+      .withColumn("pack_offset", (col("_before") % lit(budget)).cast("long"))
+      .drop("_before")
+  }
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{BloomJoin, Decontaminate, Dedup, Mixing}
+
+/** Corpus-composition queries (`x` group): the operators that turn a
+  * deduplicated document pool into a training mix — benchmark
+  * decontamination, deterministic (stratified) sampling, source
+  * mixing to target counts, token-budget sequence packing, and
+  * Bloom-pruned novelty filtering for incremental ingest.
+  *
+  * Everything here is content-addressed (md5 coins, digest keys), so
+  * every query carries a full DuckDB oracle: the sample/mix/pack
+  * decisions are bit-reproducible in any engine with md5 — that
+  * determinism is a FEATURE of the operators (resumable, auditable
+  * pipelines), not a test convenience.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val SqlToks =
+    """list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '')"""
+
+  private val SqlNorm =
+    """array_to_string(list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> ''), ' ')"""
+
+  /** DuckDB twin of the deterministic md5 coin in [[Mixing]]. */
+  private def sqlCoin(keyExpr: String, salt: String): String =
+    s"substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 8)"
+
+  // The benchmark slice for x01: every 40th doc starting at 7. The
+  // PLANTED leaks (benchmark docs re-inserted as corpus members at
+  // doc_id + 2e6) make full containment rows deterministic, same
+  // convention as d04/d05's planted duplicates.
+  private val BenchPred = "doc_id % 40 = 7"
+
+  // x02 stratified sampling rates / x03 source quotas — exercised over
+  // the corpus's real strata (5 langs, 20 sources).
+  private val Rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125)
+  private val Quotas = Map("src0" -> 10L, "src3" -> 5L, "src7" -> 17L, "src12" -> 25L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: trigram containment of each corpus
+    // doc in the pooled benchmark shingle set; report every doc that
+    // shares at least one shingle. Plants exact leaks of all
+    // benchmark docs → those rows surface at overlap = 1.0.
+    "x01_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val bench = d.filter(expr(BenchPred))
+      val corpus = d.filter(!expr(BenchPred))
+        .unionByName(bench.withColumn("doc_id", $"doc_id" + 2000000L))
+      Decontaminate.overlapScores(corpus, bench.select($"text"), "doc_id", "text", n = 3)
+        .filter($"n_hit" > 0)
+        .select($"doc_id", $"n_hit", $"n_sh", round($"overlap", 4).as("overlap"))
+        .orderBy($"doc_id")
+    }),
+
+    // Stratified deterministic sample by language: one codegen'd
+    // map-side filter, no shuffle (the ORDER BY here is only for the
+    // oracle compare).
+    "x02_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.sampleStratified(docs(s, dir), "doc_id", "lang", Rates,
+          defaultRate = 0.0, salt = "s42")
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Source mixing: down-sample each source to its target count by
+    // deterministic-coin rank; unlisted sources drop to zero.
+    "x03_mix_sources" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.mixSources(docs(s, dir), "doc_id", "source", Quotas,
+          defaultQuota = 0L, salt = "m42")
+        .select($"doc_id", $"source", $"_rank".as("rnk"))
+        .orderBy($"doc_id")
+    }),
+
+    // Sequence packing: per-source doc_id-ordered token cumsum into
+    // 512-token context windows; each doc reports its pack index and
+    // starting offset.
+    "x04_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val withToks = docs(s, dir)
+        .select($"doc_id", $"source",
+          graft.operators.TextAnalysis.tokenCount($"text").as("n_tok"))
+      Mixing.packSequences(withToks, "source", "doc_id", "n_tok", budget = 512L)
+        .select($"doc_id", $"source", $"n_tok", $"pack", $"pack_offset")
+        .orderBy($"doc_id")
+    }),
+
+    // Bloom-pruned novelty: incoming = the whole corpus, seen = the
+    // content digests of docs with doc_id % 3 <> 0; exact novel set
+    // out. The bloom prunes the definitely-novel majority before the
+    // residual anti-join.
+    "x05_bloom_novel" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val incoming = d.select($"doc_id", Dedup.contentHash($"text").as("h"))
+      val seen = d.filter($"doc_id" % 3 =!= 0)
+        .select(Dedup.contentHash($"text").as("h"))
+      BloomJoin.bloomAntiJoin(incoming, seen, "h",
+          expectedItems = 100000L, fpp = 0.01)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "x01_decontaminate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE NOT ($BenchPred)
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE $BenchPred),
+         |ctoks AS (SELECT doc_id, $SqlToks AS t FROM corpus),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |    FROM ctoks)),
+         |btoks AS (SELECT $SqlToks AS t FROM documents WHERE $BenchPred),
+         |bsh AS (
+         |  SELECT DISTINCT shingle FROM (
+         |    SELECT unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |    FROM btoks)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+         |hits AS (SELECT doc_id, count(*) AS n_hit
+         |         FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
+         |SELECT s.doc_id, h.n_hit, s.n_sh,
+         |       round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 4) AS overlap
+         |FROM sizes s JOIN hits h ON h.doc_id = s.doc_id
+         |WHERE h.n_hit > 0
+         |ORDER BY s.doc_id""".stripMargin,
+
+    "x02_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |JOIN (VALUES ${Rates.toSeq.sorted.map { case (k, r) =>
+              s"('$k', '${Mixing.rateThreshold(r)}')" }.mkString(", ")})
+         |  t(l, th) ON l = lang
+         |WHERE ${sqlCoin("doc_id", "s42")} < th
+         |ORDER BY doc_id""".stripMargin,
+
+    "x03_mix_sources" ->
+      s"""SELECT doc_id, source, rnk FROM (
+         |  SELECT doc_id, source, quota,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${sqlCoin("doc_id", "m42")}, doc_id) AS BIGINT) AS rnk
+         |  FROM documents
+         |  JOIN (VALUES ${Quotas.toSeq.sorted.map { case (k, q) =>
+              s"('$k', $q)" }.mkString(", ")}) t(src, quota) ON src = source) sub
+         |WHERE rnk <= quota
+         |ORDER BY doc_id""".stripMargin,
+
+    "x04_pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, CAST(len($SqlToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, source, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM toks)
+         |SELECT doc_id, source, n_tok,
+         |  CAST(floor(CAST(cb AS DOUBLE) / 512) AS BIGINT) AS pack,
+         |  CAST(cb % 512 AS BIGINT) AS pack_offset
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "x05_bloom_novel" ->
+      s"""WITH h AS (SELECT doc_id, md5($SqlNorm) AS h FROM documents)
+         |SELECT doc_id FROM h
+         |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
