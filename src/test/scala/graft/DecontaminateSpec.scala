@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Decontaminate
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  test("planted exact leaks score full containment; clean() removes them") {
+    val d = docs
+    val bench = d.filter($"doc_id" % 7 === 0)
+    val corpus = d.filter($"doc_id" % 7 =!= 0)
+      .unionByName(bench.withColumn("doc_id", $"doc_id" + 100000L))
+    val scores = Decontaminate.overlapScores(corpus, bench.select($"text"),
+      "doc_id", "text", n = 3)
+    // every planted leak is fully contained
+    val planted = scores.filter($"doc_id" >= 100000L)
+    assert(planted.count() === bench.count())
+    assert(planted.filter($"overlap" =!= 1.0).count() === 0)
+    assert(planted.filter($"n_hit" =!= $"n_sh").count() === 0)
+    // clean() drops exactly the >= threshold docs
+    val cleaned = Decontaminate.clean(corpus, bench.select($"text"),
+      "doc_id", "text", n = 3, maxOverlap = 0.5)
+    val dirtyIds = scores.filter($"overlap" >= 0.5).select("doc_id")
+    assert(cleaned.count() === corpus.count() - dirtyIds.count())
+    assert(cleaned.join(dirtyIds, Seq("doc_id"), "left_semi").count() === 0)
+  }
+
+  test("overlap agrees with a brute-force shingle intersection") {
+    val d = docs.limit(60)
+    val bench = d.filter($"doc_id" % 5 === 0)
+    val corpus = d.filter($"doc_id" % 5 =!= 0)
+    val scores = Decontaminate.overlapScores(corpus, bench.select($"text"),
+        "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_hit", $"n_sh")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+
+    // brute force on the driver with an independent shingling
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("([^\\s\\w]|_)+", " ")
+        .split("\\s+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val benchSet = bench.select($"text").as[String].collect()
+      .flatMap(shingles).toSet
+    val expected = corpus.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val sh = shingles(t)
+        id -> ((sh & benchSet).size.toLong, sh.size.toLong)
+      }.filter(_._2._2 >= 1).toMap
+    assert(scores === expected)
+  }
+
+  test("short documents (no shingles) are absent from scores and kept by clean()") {
+    val tiny = Seq((1L, "only two"), (2L, "a much longer document with many tokens inside"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("only two")).toDF("text")
+    val scores = Decontaminate.overlapScores(tiny, bench, "doc_id", "text", n = 3)
+    assert(scores.filter($"doc_id" === 1L).count() === 0)
+    val cleaned = Decontaminate.clean(tiny, bench, "doc_id", "text", n = 3,
+      maxOverlap = 0.1)
+    assert(cleaned.filter($"doc_id" === 1L).count() === 1)
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mixing
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  test("rateThreshold maps rates to 8-hex-digit boundaries") {
+    assert(Mixing.rateThreshold(0.5) === "80000000")
+    assert(Mixing.rateThreshold(0.25) === "40000000")
+    assert(Mixing.rateThreshold(0.125) === "20000000")
+    assert(Mixing.rateThreshold(1.0) === "g")   // above every hex digit
+    assert(Mixing.rateThreshold(1.5) === "g")
+    assert(Mixing.rateThreshold(0.0) === "")    // below every string
+    assert(Mixing.rateThreshold(-1.0) === "")
+  }
+
+  test("sampleUniform is deterministic, rate-accurate, and repartition-stable") {
+    val ids = spark.range(0, 20000).toDF("id")
+    val kept = Mixing.sampleUniform(ids, "id", 0.25, salt = "t")
+    val n = kept.count()
+    // binomial(20000, 0.25): mean 5000, sd ~61 — 5 sd of slack
+    assert(math.abs(n - 5000) < 310, s"kept $n of 20000 at rate 0.25")
+    // identical membership on a differently-partitioned copy
+    val kept2 = Mixing.sampleUniform(ids.repartition(13), "id", 0.25, salt = "t")
+    assert(kept2.count() === n)
+    assert(kept.join(kept2, Seq("id"), "left_anti").count() === 0)
+    // rate edges
+    assert(Mixing.sampleUniform(ids, "id", 1.0, "t").count() === 20000)
+    assert(Mixing.sampleUniform(ids, "id", 0.0, "t").count() === 0)
+  }
+
+  test("nested sample rates compose: the 0.125 sample is a subset of the 0.25 sample") {
+    // same salt → the coin is shared → lower rates nest inside higher
+    // ones (the property that makes staged down-sampling reproducible)
+    val ids = spark.range(0, 5000).toDF("id")
+    val small = Mixing.sampleUniform(ids, "id", 0.125, "t")
+    val big = Mixing.sampleUniform(ids, "id", 0.25, "t")
+    assert(small.join(big, Seq("id"), "left_anti").count() === 0)
+  }
+
+  test("sampleStratified honors per-stratum rates and the default") {
+    val d = docs
+    val kept = Mixing.sampleStratified(d, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5, salt = "s")
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.getOrElse("en", 0L) === totals("en"))   // rate 1 keeps all
+    assert(byLang.getOrElse("de", 0L) === 0L)             // rate 0 drops all
+    val others = totals.keySet -- Set("en", "de")
+    val keptOthers = others.toSeq.map(l => byLang.getOrElse(l, 0L)).sum
+    val totalOthers = others.toSeq.map(totals).sum
+    assert(keptOthers > 0 && keptOthers < totalOthers,
+      s"default rate 0.5 kept $keptOthers of $totalOthers")
+  }
+
+  test("mixSources caps each source at its quota, deterministically") {
+    val d = docs
+    val mixed = Mixing.mixSources(d, "doc_id", "source",
+      Map("src0" -> 3L, "src1" -> 1000L, "src2" -> 0L), defaultQuota = 2L,
+      salt = "m")
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("src0", 0L) === math.min(3L, totals("src0")))
+    assert(bySrc.getOrElse("src1", 0L) === totals("src1")) // quota above size
+    assert(bySrc.getOrElse("src2", 0L) === 0L)
+    (totals.keySet -- Set("src0", "src1", "src2")).foreach { s =>
+      assert(bySrc.getOrElse(s, 0L) === math.min(2L, totals(s)))
+    }
+    // rank is dense 1..k within each source
+    val ranks = mixed.filter($"source" === "src0")
+      .select($"_rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to ranks.length).toSeq)
+    // re-running yields the identical membership
+    val again = Mixing.mixSources(d, "doc_id", "source",
+      Map("src0" -> 3L, "src1" -> 1000L, "src2" -> 0L), defaultQuota = 2L,
+      salt = "m")
+    assert(mixed.select("doc_id").except(again.select("doc_id")).count() === 0)
+  }
+
+  test("pre-filtering with the shared coin never changes mix winners") {
+    // the Skew note on mixSources: sampleUniform at an overshooting
+    // rate is a safe pre-filter because coin order is preserved
+    val d = docs
+    val direct = Mixing.mixSources(d, "doc_id", "source",
+      Map.empty, defaultQuota = 5L, salt = "q")
+    val pre = Mixing.sampleUniform(d, "doc_id", 0.9, salt = "q")
+    val staged = Mixing.mixSources(pre, "doc_id", "source",
+      Map.empty, defaultQuota = 5L, salt = "q")
+    // winners whose coin survived the pre-filter are identical ranks;
+    // with rate 0.9 » 5/25 per source the sets should coincide exactly
+    // unless a winner was filtered — check that didn't happen here by
+    // verifying every direct winner under the 0.9 threshold survived.
+    val directUnder = direct
+      .filter(substring(md5(concat($"doc_id".cast("string"), lit(":q"))
+        .cast("binary")), 1, 8) < lit(Mixing.rateThreshold(0.9)))
+    assert(directUnder.select("doc_id").except(staged.select("doc_id")).count() === 0)
+  }
+
+  test("packSequences lays out contiguous token runs per group") {
+    val rows = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 100L), ("a", 4L, 400L),
+      ("b", 1L, 600L), ("b", 2L, 10L)
+    ).toDF("src", "id", "n_tok")
+    val packed = Mixing.packSequences(rows, "src", "id", "n_tok", budget = 512L)
+      .orderBy("src", "id")
+      .select("src", "id", "pack", "pack_offset")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(packed === Seq(
+      ("a", 1L, 0L, 0L),     // before=0
+      ("a", 2L, 0L, 300L),   // before=300
+      ("a", 3L, 1L, 88L),    // before=600 → pack 1, offset 88
+      ("a", 4L, 1L, 188L),   // before=700
+      ("b", 1L, 0L, 0L),     // groups are independent
+      ("b", 2L, 1L, 88L)     // before=600 (long doc spans packs)
+    ))
+  }
+
+  test("packSequences: offsets reconstruct the exact cumulative layout") {
+    val d = docs.select($"doc_id", $"source",
+      graft.operators.TextAnalysis.tokenCount($"text").as("n_tok"))
+    val packed = Mixing.packSequences(d, "source", "doc_id", "n_tok", budget = 512L)
+    // global position = pack*budget + offset must equal the running sum
+    val bad = packed
+      .withColumn("pos", $"pack" * 512L + $"pack_offset")
+      .withColumn("expected",
+        coalesce(sum($"n_tok").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"source")
+            .orderBy($"doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .filter($"pos" =!= $"expected")
+    assert(bad.count() === 0)
+  }
+}
