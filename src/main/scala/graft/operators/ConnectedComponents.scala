@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation — the iterative
@@ -50,6 +51,14 @@ object ConnectedComponents {
     val sym = once.union(once.select(col("v"), col("u")))
       .distinct()
       .localCheckpoint()
+    // `sym` is materialized and lineage-truncated — `once`'s blocks are
+    // dead from here on. Free intermediates EXPLICITLY: localCheckpoint
+    // blocks otherwise live until the GC/ContextCleaner happens to
+    // collect the RDD object, and an iterative operator that leaves
+    // O(rounds) cached frames behind per invocation steals executor
+    // storage memory from everything scheduled after it (the same leak
+    // class the r3 persist() audit evicted from Dedup/Curation).
+    unpersistOf(once)
 
     // Only edge endpoints can ever change label — isolated vertices
     // are their own component by definition. Iterate over the (far
@@ -59,6 +68,7 @@ object ConnectedComponents {
     // shuffling only the near-dup subgraph.
     var labels = sym.select(col("u")).distinct()
       .select(col("u"), col("u").as("label"))
+    var prevRound: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -75,12 +85,33 @@ object ConnectedComponents {
           (coalesce(col("nmin"), col("label")) < col("label")).as("dropped"))
         .localCheckpoint()
       changed = updated.filter(col("dropped")).count()
+      // the new round is materialized with truncated lineage, so the
+      // previous round's blocks have no remaining reader — free them
+      prevRound.foreach(unpersistOf)
+      prevRound = Some(updated)
       labels = updated.select(col("u"), col("nlabel").as("label"))
       iter += 1
     }
+    // the loop was `sym`'s last reader; only the FINAL round's labels
+    // must outlive this call (the returned plan reads them, and their
+    // truncated lineage cannot recompute) — the ContextCleaner frees
+    // that one frame when the caller drops the result.
+    unpersistOf(sym)
     vertices.select(col(idCol))
       .join(labels.withColumnRenamed("u", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("component"))
   }
+
+  /** Drop the cached blocks behind an eagerly localCheckpoint'ed
+    * Dataset. Its analyzed plan is the bare `LogicalRDD` wrapping the
+    * cached internal-row RDD; non-blocking unpersist, matching the
+    * cleanup the ContextCleaner would eventually do. Safe ONLY once
+    * nothing will read the frame again — checkpoint lineage is
+    * truncated, so a later action would fail rather than recompute. */
+  private def unpersistOf(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

@@ -50,12 +50,16 @@ object StreamingJobs {
     * store commits EVERY partition in EVERY micro-batch regardless of
     * row volume, so the session default (32) pays 32 store commits per
     * batch for a key space of a few thousand users — pure constant
-    * factor. The state partition count is locked into the checkpoint
-    * at first start; the drains wipe their checkpoint per run, so the
-    * override always applies cleanly. A genuinely large deployment
-    * overrides [[DrainShufflePartitionsKey]] instead of editing code. */
+    * factor. Single-store operators measure flat across 2/4/8, but a
+    * stream-stream JOIN keeps TWO stores (each side's buffer) and
+    * commits both per partition per batch — measured on e07: 16→5.4 s,
+    * 8→3.7 s, 4→2.8 s, 2→2.8 s — so the default sits at 4. The state
+    * partition count is locked into the checkpoint at first start; the
+    * drains wipe their checkpoint per run, so the override always
+    * applies cleanly. A genuinely large deployment overrides
+    * [[DrainShufflePartitionsKey]] instead of editing code. */
   val DrainShufflePartitionsKey = "spark.graft.streaming.drainPartitions"
-  val DefaultDrainPartitions = "8"
+  val DefaultDrainPartitions = "4"
 
   /** Negative ids never occur in the generated events tables. */
   val SentinelUser: Long = -1L
