@@ -43,9 +43,17 @@ object Decontaminate {
     * (nothing to match on — callers treat them as clean). */
   def overlapScores(docs: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    // One tokenize+shingle pass over the (huge) corpus, anchored.
+    // One tokenize+shingle pass over the (huge) corpus, anchored. The
+    // empty-set/isNotNull filter is part of the ANCHOR subtree on
+    // purpose: the hits branch explodes `_set`, and
+    // InferFiltersFromGenerate would push exactly this predicate below
+    // that branch's copy of the exchange — stating it here keeps both
+    // branches' subtrees canonically identical, so ReuseExchange
+    // materializes the shingle scan ONCE (without it the corpus is
+    // tokenized twice; see Dedup.minHashPairs for the same trap).
     val sets = docs.filter(col(idCol).isNotNull)
       .select(col(idCol), array_distinct(ngrams(tokenize(col(textCol)), n)).as("_set"))
+      .filter(col("_set").isNotNull && size(col("_set")) > 0)
       .repartition(col(idCol))
     // The pooled benchmark shingle set — distinct, then broadcast.
     val benchSh = benchmark
@@ -57,7 +65,6 @@ object Decontaminate {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     sets
       .select(col(idCol), size(col("_set")).cast("long").as("n_sh"))
-      .filter(col("n_sh") >= 1)
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_sh"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh")).as("overlap"))
