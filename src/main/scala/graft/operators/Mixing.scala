@@ -91,6 +91,75 @@ object Mixing {
       .filter(col("_rank") <= quotaOf)
   }
 
+  /** Deterministic corpus shuffle with materialized positions: order
+    * rows by the md5 coin (ties by key) and emit a contiguous 1-based
+    * `pos` — the reproducible "training order" a data loader consumes.
+    *
+    * A naive `row_number() OVER (ORDER BY coin)` is a GLOBAL window —
+    * Spark plans it as a single partition, which serializes the corpus
+    * through one task. Instead: the coin's first two hex digits bucket
+    * rows into 256 ranges that are PREFIXES of the global order, so
+    * bucket-major enumeration IS coin order. Per-bucket ranks run in
+    * parallel (one shuffle on the bucket), the 256-row bucket-count
+    * table cumsums on the driver side of a broadcast join, and
+    * `pos = bucket_offset + rank`. Same answer as the global window,
+    * no single-partition stage. */
+  def enumerateShuffled(df: DataFrame, keyCol: String,
+                        salt: String = "graft"): DataFrame = {
+    val c = md5(concat(col(keyCol).cast("string"), lit(":" + salt)).cast("binary"))
+    val withCoin = df.withColumn("_coin", c)
+      .withColumn("_bucket", substring(col("_coin"), 1, 2))
+    val w = Window.partitionBy(col("_bucket"))
+      .orderBy(col("_coin"), col(keyCol))
+    val ranked = withCoin.withColumn("_rank", row_number().over(w).cast("long"))
+    val offsets = withCoin.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col("_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bucket"), col("_offset"))
+    // 256 rows — the global window here is trivially cheap; broadcast
+    // keeps the big side map-side
+    ranked.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("pos", (col("_offset") + col("_rank")))
+      .drop("_coin", "_bucket", "_rank", "_offset", "_n")
+  }
+
+  /** Leakage-safe train/valid/test assignment: the coin is thrown on
+    * `groupCol` (source, domain, …), so every row of a group lands in
+    * the SAME split — near-duplicates cluster within groups, and
+    * hashing the group key is what keeps them from straddling the
+    * train/eval boundary. `splits` are (name, weight) in priority
+    * order; weights are normalized and the last split absorbs
+    * rounding. Pure map-side expression — no shuffle, no state. */
+  def assignSplits(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Double)],
+                   salt: String = "graft"): DataFrame = {
+    val coin = substring(
+      md5(concat(col(groupCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
+    val expr0 = splitThresholds(splits).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, th), elseCol) =>
+          when(coin < lit(th), lit(name)).otherwise(elseCol)
+      }
+    df.withColumn("split", expr0)
+  }
+
+  /** (name, cumulative hex threshold) per split — the single source of
+    * the boundary arithmetic, shared with oracle-SQL construction so
+    * an ulp of floating-point drift can't put the two sides of a
+    * correctness check on different boundaries. The last entry's
+    * threshold covers everything ("g"). */
+  private[graft] def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.nonEmpty, "assignSplits: no splits given")
+    require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
+      s"assignSplits: weights must be non-negative with positive sum: $splits")
+    val total = splits.map(_._2).sum
+    val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    splits.zip(cums).map { case ((name, _), cum) => name -> rateThreshold(cum) }
+  }
+
   /** Pack documents into fixed token-budget bins ("context windows"):
     * within each `groupCol` partition, walk documents in `orderCol`
     * order and assign each to pack `floor(tokens_before / budget)` at

@@ -108,6 +108,12 @@ object DedupQueries {
     // digest SET — exactly the distinct canonical contents.
     "d06_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingJobs.dedupAvailableNow(s, dir)),
+
+    // STREAM-STATIC anti-join: streaming incoming docs vs a static
+    // seen-digest table — the stateless third join mode, same oracle
+    // as the batch bloom-pruned x05.
+    "d08_stream_novel" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.novelAvailableNow(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +155,12 @@ object DedupQueries {
 
     "d06_stream_dedup" ->
       s"""SELECT DISTINCT md5($SqlNorm) AS h FROM documents ORDER BY h""".stripMargin,
+
+    "d08_stream_novel" ->
+      s"""WITH h AS (SELECT doc_id, md5($SqlNorm) AS h FROM documents)
+         |SELECT doc_id FROM h
+         |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
+         |ORDER BY doc_id""".stripMargin,
 
     "d01_exact_groups" ->
       s"""SELECT md5($SqlNorm) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups

@@ -43,6 +43,7 @@ object PipelineQueries {
   // the corpus's real strata (5 langs, 20 sources).
   private val Rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125)
   private val Quotas = Map("src0" -> 10L, "src3" -> 5L, "src7" -> 17L, "src12" -> 25L)
+  private val HoldoutSplits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -93,6 +94,27 @@ object PipelineQueries {
           graft.operators.TextAnalysis.tokenCount($"text").as("n_tok"))
       Mixing.packSequences(withToks, "source", "doc_id", "n_tok", budget = 512L)
         .select($"doc_id", $"source", $"n_tok", $"pack", $"pack_offset")
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic corpus shuffle: reproducible training order via
+    // the md5 coin, positions materialized WITHOUT a global
+    // single-partition window (256 coin-prefix buckets enumerate in
+    // parallel; a broadcast 256-row offset table stitches them).
+    "x06_shuffle_order" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.enumerateShuffled(docs(s, dir), "doc_id", salt = "o42")
+        .select($"doc_id", $"pos")
+        .orderBy($"pos")
+    }),
+
+    // Leakage-safe holdout split: the coin is thrown on SOURCE, so a
+    // source's documents (and the near-dups that cluster inside it)
+    // never straddle the train/eval boundary.
+    "x07_holdout_split" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.assignSplits(docs(s, dir), "source", HoldoutSplits, salt = "h42")
+        .select($"doc_id", $"source", $"split")
         .orderBy($"doc_id")
     }),
 
@@ -179,5 +201,24 @@ object PipelineQueries {
          |SELECT doc_id FROM h
          |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
          |ORDER BY doc_id""".stripMargin,
+
+    // The oracle states the SIMPLE global-window form; the engine's
+    // bucketed two-pass must reproduce it exactly (coin-prefix buckets
+    // are prefixes of the global coin order).
+    "x06_shuffle_order" ->
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':o42'), doc_id) AS BIGINT) AS pos
+         |FROM documents ORDER BY pos""".stripMargin,
+
+    "x07_holdout_split" -> {
+      // thresholds come from the SAME arithmetic the operator runs
+      val whens = Mixing.splitThresholds(HoldoutSplits).init
+        .map { case (n, th) => s"WHEN ${sqlCoin("source", "h42")} < '$th' THEN '$n'" }
+        .mkString(" ")
+      s"""SELECT doc_id, source,
+         |  CASE $whens ELSE '${HoldoutSplits.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
   )
 }

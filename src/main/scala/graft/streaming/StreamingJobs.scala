@@ -210,6 +210,41 @@ object StreamingJobs {
       .orderBy($"h")
   }
 
+  /** STREAM-STATIC novelty filter, drained with AvailableNow — the
+    * incremental-ingest twin of the batch bloom anti-join (x05):
+    * incoming documents stream in, and each micro-batch anti-joins its
+    * rows against a STATIC table of already-seen content digests. The
+    * join is stateless (the static side is just re-planned per batch),
+    * so there is no watermark, no state store, and novel rows emit in
+    * the batch they arrive — this is the third streaming join mode the
+    * engine exercises, next to the stateful operators and the
+    * stream-stream range join. At scale the static side is a parquet
+    * digest table: the per-batch join gets the same broadcast/shuffle
+    * planning as any batch join, and AQE sizes it per batch. */
+  def novelAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "d08", dir)
+    wipe(s, work)
+    val docs = Tables.load(s, dir, "documents")
+    if (docs.isEmpty) return Seq.empty[Long].toDF("doc_id")
+    // the "seen" corpus: digests of every doc_id % 3 <> 0 document
+    val seen = docs.filter($"doc_id" % 3 =!= 0)
+      .select(graft.operators.Dedup.contentHash($"text").as("h"))
+    val incoming = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select($"doc_id", graft.operators.Dedup.contentHash($"text").as("h"))
+    val novel = incoming.join(seen, Seq("h"), "left_anti")
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = novel.select($"doc_id").writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir).select($"doc_id").orderBy($"doc_id")
+  }
+
   /** Stream-stream range join over the events table, drained with
     * AvailableNow: streaming purchases ⋈ streaming views of the same
     * user within the hour before each purchase, then aggregated to

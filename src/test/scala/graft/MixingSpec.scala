@@ -101,6 +101,51 @@ class MixingSpec extends SparkSpec {
     assert(directUnder.select("doc_id").except(staged.select("doc_id")).count() === 0)
   }
 
+  test("enumerateShuffled matches the naive global ordering exactly") {
+    val d = docs
+    val got = Mixing.enumerateShuffled(d, "doc_id", salt = "t")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    // naive oracle: collect coins, sort on the driver
+    def coin(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h
+    }
+    val expected = d.select($"doc_id").as[Long].collect()
+      .sortBy(id => (coin(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got === expected)
+    // positions are a contiguous 1..n permutation
+    assert(got.values.toSeq.sorted === (1L to got.size).toSeq)
+  }
+
+  test("assignSplits is group-atomic and hits the weight boundaries") {
+    val d = docs
+    val split = Mixing.assignSplits(d, "source",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "t")
+    // every source maps to exactly ONE split (leakage-safety)
+    val perSource = split.groupBy($"source")
+      .agg(countDistinct($"split").as("k")).filter($"k" =!= 1)
+    assert(perSource.count() === 0)
+    // all three labels valid; assignment matches the driver-side coin
+    def coin(src: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$src:t".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val m = split.select($"source", $"split").distinct()
+      .as[(String, String)].collect().toMap
+    m.foreach { case (src, sp) =>
+      val c = coin(src)
+      val expected =
+        if (c < Mixing.rateThreshold(0.8)) "train"
+        else if (c < Mixing.rateThreshold(0.8 + 0.1 / 1.0)) "valid"
+        else "test"
+      assert(sp === expected, s"source $src coin $c")
+    }
+    // degenerate weights rejected
+    intercept[IllegalArgumentException] {
+      Mixing.assignSplits(d, "source", Seq("a" -> 0.0))
+    }
+  }
+
   test("packSequences lays out contiguous token runs per group") {
     val rows = Seq(
       ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 100L), ("a", 4L, 400L),
