@@ -126,6 +126,15 @@ object CurationQueries {
             .as("text_sum"))
         .orderBy($"lang")
     }),
+
+    // STREAMING publish: the documents table streams through
+    // foreachBatch + CorpusSink into a batch=bN/lang=… partitioned
+    // corpus (idempotent per batch id via dynamic partition
+    // overwrite), and the read-back per-language aggregate must equal
+    // the source table's — the sink's routing, salting, and sorting
+    // lost and duplicated nothing.
+    "p05_stream_publish" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.publishAvailableNow(s, dir)),
   )
 
   private def oracleSql: String = {
@@ -244,6 +253,12 @@ object CurationQueries {
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
         |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p05_stream_publish" ->
+      """SELECT lang, count(*) AS n,
+        |CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -288,6 +288,37 @@ object StreamingJobs {
       .orderBy($"purchase_id")
   }
 
+  /** Streaming corpus publish, drained with AvailableNow: the
+    * documents table streams through [[StreamingPublish]] into a
+    * `batch=bN/lang=…` partitioned parquet corpus (idempotent per
+    * batch id, dynamic partition overwrite), and the result is the
+    * read-back corpus aggregated per language — which must equal the
+    * same aggregate over the source table (nothing lost, nothing
+    * duplicated by the sink's routing/salting/sorting). */
+  def publishAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "p05", dir)
+    wipe(s, work)
+    val docs = Tables.load(s, dir, "documents")
+    if (docs.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("lang", "n", "sum_id", "sum_chars")
+    val stream = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = StreamingPublish.publishStream(stream, outDir,
+        new HPath(work, "ckpt").toString, partitionCols = Seq("lang"),
+        sortBy = Seq("doc_id"))
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_id"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
   /** Watermarked tumbling-window counts over the events table, drained
     * with AvailableNow — the streaming twin of batch e03 under the same
     * oracle shape. Append mode only emits a window once the watermark
