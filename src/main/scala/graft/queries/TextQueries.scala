@@ -155,6 +155,21 @@ object TextQueries {
         .orderBy($"n".desc, $"trigram")
         .limit(100)
     }),
+
+    // Heavy hitters (tokens in ≥ 0.2% of token occurrences) through
+    // the Count-Min sketch: the sketch only PRUNES — overestimates
+    // can't drop a true heavy hitter, the exact groupBy over surviving
+    // rows settles the counts — so the result (and its oracle) is the
+    // plain exact threshold query, while the shuffle carries only the
+    // candidate rows.
+    "t14_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(tokenize($"text").as("_toks"))
+        .select(explode($"_toks").as("token"))
+      graft.operators.Sketches.heavyHitters(toks, "token", minFraction = 0.002)
+        .orderBy($"token")
+    }),
   )
 
   private def langCaseSql: String = {
@@ -300,5 +315,15 @@ object TextQueries {
          |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
          |  FROM toks)
          |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 100""".stripMargin,
+
+    // the plain exact form — the engine's sketch path must reproduce
+    // it exactly (0.002e0 keeps the threshold arithmetic in DOUBLE)
+    "t14_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($SqlToks) AS token FROM documents),
+         |tot AS (SELECT count(*) AS c FROM toks)
+         |SELECT token, count(*) AS n FROM toks
+         |GROUP BY token
+         |HAVING count(*) >= ceil(0.002e0 * (SELECT c FROM tot))
+         |ORDER BY token""".stripMargin,
   )
 }
