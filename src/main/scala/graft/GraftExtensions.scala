@@ -19,9 +19,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * surface cannot drift between them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSession.SqlFunctions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // naive band joins → bucketed range-join shape (idempotent; see
+    // the rule's fences). Library sessions get the same rule via
+    // experimental.extraOptimizations in GraftSession.get.
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+  }
 }

@@ -32,7 +32,20 @@ object GraftSession {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerFunctions(spark)
+    installOptimizations(spark)
     spark
+  }
+
+  /** Install the engine's optimizer rules on an EXISTING session —
+    * `withExtensions` only works before the first session of an
+    * application is built, so library sessions use the
+    * session-mutable `experimental.extraOptimizations` hook instead
+    * (idempotent: the rule is an object, re-adding is deduplicated).
+    * Conf deployments get the same rule via [[GraftExtensions]]. */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.BandJoinRewrite))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.BandJoinRewrite
   }
 
   /** name → builder for every custom Catalyst expression the engine
