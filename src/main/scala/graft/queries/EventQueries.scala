@@ -105,7 +105,52 @@ object EventQueries {
         .select($"user_id", $"n_events", $"span_us", $"top_type")
         .orderBy($"user_id")
     }),
+
+    // Ordered funnel signup → view → click → purchase via sequential
+    // minima: each later stage counts only events at/after the user's
+    // reaching time of the previous stage. K user-keyed passes, never
+    // a pair blowup.
+    "e08_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Funnel.counts(
+          ev(s, dir).select($"user_id", $"event_type",
+            expr("ts div 1000").as("tus")),
+          "user_id", "event_type", "tus", FunnelStages)
+        .orderBy($"stage_idx")
+    }),
+
+    // Daily cohort retention: users cohorted by first-event day,
+    // counted on each day-offset they were active.
+    "e09_retention" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Funnel.retention(
+          ev(s, dir).select($"user_id", expr("ts div 1000").as("tus")),
+          "user_id", "tus")
+        .orderBy($"cohort_day", $"day_offset")
+    }),
   )
+
+  private val FunnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Oracle for e08, generated from [[FunnelStages]] so the stage list
+    * cannot drift between the Spark plan and the SQL. */
+  private def funnelOracleSql: String = {
+    val ctes = FunnelStages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(tus) AS t${i + 1} FROM e
+           |  JOIN s$i USING (user_id)
+           |  WHERE event_type = '$st' AND tus >= t$i GROUP BY e.user_id)""".stripMargin
+    }
+    val rows = FunnelStages.zipWithIndex.map { case (st, i) =>
+      s"(CAST(${i + 1} AS BIGINT), '$st', (SELECT count(*) FROM s${i + 1}))"
+    }
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |${ctes.mkString(",\n")}
+       |SELECT * FROM (VALUES ${rows.mkString(", ")}) t(stage_idx, stage, n_users)
+       |ORDER BY stage_idx""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "e01_sessionize" ->
@@ -175,5 +220,20 @@ object EventQueries {
         |SELECT p.user_id, p.n_events, p.span_us, t.top_type
         |FROM prof p JOIN top t ON p.user_id = t.user_id
         |ORDER BY p.user_id""".stripMargin,
+
+    "e08_funnel" -> funnelOracleSql,
+
+    "e09_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |c AS (SELECT user_id,
+        |        CAST(floor(CAST(min(tus) AS DOUBLE) / 86400000000) AS BIGINT) AS cohort_day
+        |      FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |        CAST(floor(CAST(tus AS DOUBLE) / 86400000000) AS BIGINT) AS day
+        |      FROM e)
+        |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
   )
 }
