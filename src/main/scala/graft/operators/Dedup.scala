@@ -40,6 +40,24 @@ object Dedup {
   def exactKeepIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
 
+  /** Exact dedup keeping the BEST duplicate, not an arbitrary one:
+    * within each content-digest group, the row with the highest
+    * `scoreCol` survives (ties to the smallest id — total and
+    * deterministic). Real pipelines rank duplicates by quality
+    * (longer extraction, cleaner mirror, fresher crawl) rather than
+    * keeping whichever arrived first; d02's min-id policy is the
+    * degenerate constant-score case. One window shuffle on the
+    * digest; rows carry only (digest, score, id) through it. */
+  def keepBestIds(docs: DataFrame, idCol: String, textCol: String,
+                  scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_h")).orderBy(col(scoreCol).desc, col(idCol))
+    docs.select(col(idCol), col(scoreCol), contentHash(col(textCol)).as("_h"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol))
+  }
+
   /** Distinct word-`n`-gram shingles per doc: `(id, shingle)`.
     * Tokens materialize before the n-gram lambda (see TextFunctions
     * PERF note — computed expressions inside HOF lambdas are O(n²)). */

@@ -114,6 +114,20 @@ object DedupQueries {
     // as the batch bloom-pruned x05.
     "d08_stream_novel" -> ((s, dir) =>
       graft.streaming.StreamingJobs.novelAvailableNow(s, dir)),
+
+    // Keep-BEST dedup: every 5th doc gets a planted duplicate with a
+    // boosted quality score (+1000 chars) — those groups must keep
+    // the planted copy, every other group its original. One window
+    // shuffle on the digest, never the raw text.
+    "d09_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val planted = d.filter($"doc_id" % 5 === 0)
+        .withColumn("doc_id", $"doc_id" + 3000000L)
+        .withColumn("n_chars", $"n_chars" + 1000L)
+      Dedup.keepBestIds(d.unionByName(planted), "doc_id", "text", "n_chars")
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,6 +174,17 @@ object DedupQueries {
       s"""WITH h AS (SELECT doc_id, md5($SqlNorm) AS h FROM documents)
          |SELECT doc_id FROM h
          |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    "d09_keep_best" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text, n_chars + 1000 FROM documents
+         |  WHERE doc_id % 5 = 0)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus
+         |QUALIFY row_number() OVER (PARTITION BY md5($SqlNorm)
+         |  ORDER BY n_chars DESC, doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
 
     "d01_exact_groups" ->

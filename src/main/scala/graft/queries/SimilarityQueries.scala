@@ -70,6 +70,20 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Symmetric int8 quantization of the embedding corpus: per-vector
+    // scale = 127/max|x|, codes q_i = round(x_i·scale). Output is a
+    // per-vector code checksum + bounds — all double-IEEE arithmetic,
+    // so the oracle reproduces the codes bit-exactly.
+    "s06_quantize_int8" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.quantizeInt8(emb(s, dir), "embedding")
+        .select($"vec_id",
+          aggregate($"q", lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min($"q").as("q_min"), array_max($"q").as("q_max"),
+          round($"scale", 6).as("scale_r"))
+        .orderBy($"vec_id")
+    }),
+
     // Embedding near-duplicate pairs via LSH + exact verify. The raw
     // corpus has no near-dups (max pairwise cosine ≈ 0.51), so the
     // query plants exact duplicates of the first 20 vectors (id+1e6) —
@@ -124,6 +138,29 @@ object SimilarityQueries {
         |       CAST(1.0 AS DOUBLE) AS cos, CAST(m AS BIGINT) AS rank
         |FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 6)) AS m)
         |WHERE q.vec_id < 8 ORDER BY query_id, rank""".stripMargin,
+
+    // the quantization arithmetic is double-IEEE on both engines
+    // (127.0e0 keeps the scale DOUBLE; round() ties away from zero in
+    // both); the oracle recomputes every code and aggregates
+    "s06_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, CASE WHEN mx > 0e0 THEN 127.0e0 / mx ELSE 0e0 END AS scale
+        |  FROM m),
+        |u AS (
+        |  SELECT e.vec_id, sc.scale, unnest(e.embedding) AS x
+        |  FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT) AS qi
+        |  FROM u)
+        |SELECT vec_id, CAST(sum(qi) AS BIGINT) AS q_sum,
+        |       min(qi) AS q_min, max(qi) AS q_max,
+        |       round(any_value(scale), 6) AS scale_r
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "s03_embed_neardup" ->
       """SELECT vec_id AS a_id, vec_id + 1000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, when}
+
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
@@ -25,6 +27,20 @@ class DedupSpec extends SparkSpec {
       .select($"keep_id", $"n_dups").as[(Long, Long)].collect().toMap
     assert(groups(0L) == 2L)
     assert(groups(2L) == 1L)
+  }
+
+  test("keep-best dedup: highest score survives, ties to smallest id") {
+    val scored = corpus.withColumn("score",
+      when($"doc_id" === 1L, 10L).otherwise(1L))
+    // docs 0 and 1 are normalization-equal; doc 1 has the higher score
+    val keep = Dedup.keepBestIds(scored, "doc_id", "text", "score")
+      .as[Long].collect().sorted.toSeq
+    assert(keep === Seq(1L, 2L, 3L, 4L, 5L))
+    // constant scores degenerate to d02's min-id policy
+    val const = corpus.withColumn("score", lit(7L))
+    assert(Dedup.keepBestIds(const, "doc_id", "text", "score")
+      .as[Long].collect().sorted.toSeq ===
+      Dedup.exactKeepIds(corpus, "doc_id", "text").as[Long].collect().sorted.toSeq)
   }
 
   test("n-gram Jaccard finds exact and near pairs with correct scores") {

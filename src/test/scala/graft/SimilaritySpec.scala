@@ -45,4 +45,29 @@ class SimilaritySpec extends SparkSpec {
     assert(res.length == 10)
     assert(res.forall { case (a, b, c) => b == a + 1000L && math.abs(c - 1.0) < 1e-9 })
   }
+
+  test("int8 quantization: codes bounded, max element hits ±127, dequantization approximates") {
+    val q = Similarity.quantizeInt8(emb, "embedding")
+      .select($"vec_id", $"embedding", $"q", $"scale")
+      .as[(Long, Seq[Float], Seq[Long], Double)].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (id, vec, codes, scale) =>
+      assert(codes.size == vec.size)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      // the max-|x| element maps to ±127 (up to the final rounding)
+      val mxi = vec.indices.maxBy(i => math.abs(vec(i).toDouble))
+      assert(math.abs(codes(mxi)) >= 126, s"vec $id max element code ${codes(mxi)}")
+      // dequantized values reconstruct within half a step
+      val step = 1.0 / scale
+      vec.indices.foreach { i =>
+        assert(math.abs(codes(i) / scale - vec(i).toDouble) <= step / 2 + 1e-12,
+          s"vec $id elem $i off by more than half a quantization step")
+      }
+    }
+    // zero vector → zero codes, scale 0
+    val z = Seq((1L, Seq.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(z, "embedding")
+      .select($"q", $"scale").as[(Seq[Long], Double)].head()
+    assert(zq._1.forall(_ == 0L) && zq._2 == 0.0)
+  }
 }
