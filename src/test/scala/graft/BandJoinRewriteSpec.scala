@@ -101,6 +101,44 @@ class BandJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("generated cases: random times x {negative, crossing, point, wide} bands") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowsGen = for {
+      nl <- Gen.choose(0, 6); nr <- Gen.choose(0, 6)
+      lts <- Gen.listOfN(nl, Gen.choose(-300L, 300L))
+      rts <- Gen.listOfN(nr, Gen.choose(-300L, 300L))
+    } yield (lts, rts)
+    val cases = Gen.listOfN(300, rowsGen)
+      .pureApply(Gen.Parameters.default, Seed(99L)).toVector
+    val ls = cases.zipWithIndex.flatMap { case ((lts, _), k) =>
+      lts.zipWithIndex.map { case (t, i) => (k.toLong, t, i.toLong) }
+    }.toDF("k", "lt", "lid")
+    val rs = cases.zipWithIndex.flatMap { case ((_, rts), k) =>
+      rts.zipWithIndex.map { case (t, i) => (k.toLong, t, i.toLong) }
+    }.toDF("k", "rt", "rid")
+
+    withRule {
+      for ((lo, hi) <- Seq((-50L, -10L), (-25L, 25L), (0L, 0L), (-500L, 500L), (3L, 90L))) {
+        val joined = ls.join(rs,
+          ls("k") === rs("k") &&
+            rs("rt") >= ls("lt") + lo && rs("rt") <= ls("lt") + hi)
+        assert(joined.queryExecution.optimizedPlan.toString.contains("_graft_bucket_l"),
+          s"rule did not fire for band [$lo, $hi]")
+        val got = joined.select(ls("k"), $"lid", $"rid")
+          .as[(Long, Long, Long)].collect().toSet
+        val want = cases.zipWithIndex.flatMap { case ((lts, rts), k) =>
+          for {
+            (lt, li) <- lts.zipWithIndex
+            (rt, ri) <- rts.zipWithIndex
+            if rt >= lt + lo && rt <= lt + hi
+          } yield (k.toLong, li.toLong, ri.toLong)
+        }.toSet
+        assert(got === want, s"band [$lo, $hi] mismatch")
+      }
+    }
+  }
+
   test("fences: pre-bucketed, empty-band, and non-long joins are untouched") {
     withRule {
       // the RangeJoin API already bucketed — guard must skip

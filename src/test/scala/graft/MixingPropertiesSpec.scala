@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Mixing
+
+/** Property-based coverage of the corpus-composition operators:
+  * generated corpora (zero-token docs, single-row groups, budget
+  * edges) run as distinct groups of ONE frame, same batching pattern
+  * as AsOfPropertiesSpec. */
+class MixingPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rateThreshold is monotone and brackets the hex space") {
+    val rates = Gen.listOfN(300, Gen.choose(0.0, 1.0))
+      .pureApply(Gen.Parameters.default, Seed(42L)).sorted
+    val ths = rates.map(Mixing.rateThreshold)
+    ths.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, s"thresholds not monotone: $a > $b")
+      case _ =>
+    }
+    rates.zip(ths).foreach { case (r, t) =>
+      if (r > 0 && r < 1) assert(t.length == 8 && t.forall(c => c.isDigit || c >= 'a' && c <= 'f'))
+    }
+  }
+
+  private case class Doc(id: Long, toks: Long)
+  private val groupGen: Gen[List[Doc]] = for {
+    n <- Gen.choose(1, 12)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      2 -> Gen.const(0L),               // zero-token docs
+      6 -> Gen.choose(1L, 700L),        // straddles the 512 budget
+      1 -> Gen.choose(1500L, 3000L)))   // multi-pack docs
+  } yield toks.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }
+
+  test("packSequences invariants on 400 generated groups") {
+    val groups = Gen.listOfN(400, groupGen)
+      .pureApply(Gen.Parameters.default, Seed(7L)).toVector
+    val rows = groups.zipWithIndex.flatMap { case (g, k) =>
+      g.map(d => (s"g$k", d.id, d.toks))
+    }.toDF("src", "id", "n_tok")
+    val budget = 512L
+    val packed = Mixing.packSequences(rows, "src", "id", "n_tok", budget)
+      .select($"src", $"id", $"n_tok", $"pack", $"pack_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    groups.zipWithIndex.foreach { case (g, k) =>
+      val got = packed(s"g$k")
+      var cum = 0L
+      g.zip(got).foreach { case (d, (_, id, nt, pack, off)) =>
+        assert(id == d.id && nt == d.toks)
+        assert(pack == cum / budget, s"g$k doc $id pack")
+        assert(off == cum % budget, s"g$k doc $id offset")
+        assert(off >= 0 && off < budget)
+        cum += d.toks
+      }
+      // first doc of every group opens pack 0 at offset 0
+      assert(got.head._4 == 0L && got.head._5 == 0L)
+    }
+  }
+
+  test("assignSplits is a partition: every row gets exactly one valid label") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val splits = Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4)
+    val out = Mixing.assignSplits(d, "source", splits, salt = "p")
+    assert(out.count() === d.count())                       // no row lost
+    val labels = out.select("split").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Set("a", "b", "c")))
+    // same salt, different invocation → identical assignment
+    val again = Mixing.assignSplits(d, "source", splits, salt = "p")
+    assert(out.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() === 0)
+    // a different salt reshuffles at least one group (sanity that the
+    // salt is actually in the coin)
+    val other = Mixing.assignSplits(d, "source", splits, salt = "q")
+    val moved = out.alias("x").join(other.alias("y"), "doc_id")
+      .filter(col("x.split") =!= col("y.split")).count()
+    assert(moved > 0, "changing the salt moved nothing — coin ignores salt?")
+  }
+}
