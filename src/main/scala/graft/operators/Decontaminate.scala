@@ -80,4 +80,43 @@ object Decontaminate {
       .select(col(idCol))
     docs.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /** Cross-source overlap matrix — corpus diagnostics: for every pair
+    * of sources, how many distinct shingles they share, and the
+    * containment of the smaller set (`n_shared / min(|A|, |B|)`).
+    * High containment flags mirrors, scraped re-posts, or a source
+    * that is a subset of another — the corpus-level question
+    * upstream of any doc-level dedup decision.
+    *
+    * Scale shape: shingles collapse to DISTINCT (group, shingle)
+    * pairs first (group cardinality — sources, domains — is tiny
+    * next to documents, so this frame is bounded by groups ×
+    * vocabulary). The pair join is the d03-style inverted index at
+    * group granularity: cost ∝ Σ_shingle df², with df bounded by the
+    * number of GROUPS — and `maxDf` caps ubiquitous-boilerplate
+    * shingles when the group space is large (per-domain runs). */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("_g"),
+        explode(array_distinct(ngrams(tokenize(col(textCol)), n))).as("shingle"))
+      .distinct()
+      .filter(col("_g").isNotNull && col("shingle").isNotNull)
+      .repartition(col("shingle"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select(col("shingle"))
+    val kept = sh.join(hot, Seq("shingle"), "left_anti")
+    val sizes = kept.groupBy(col("_g")).agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("_g").as("source_a"), col("shingle"))
+    val b = kept.select(col("_g").as("source_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("_g").as("source_a"), col("sz").as("_sa")), "source_a")
+      .join(sizes.select(col("_g").as("source_b"), col("sz").as("_sb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("_sa"), col("_sb")))
+          .as("containment"))
+  }
 }

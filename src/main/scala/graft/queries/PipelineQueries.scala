@@ -118,6 +118,17 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Cross-source overlap matrix: distinct shared trigrams and
+    // small-side containment per source pair — the corpus-level
+    // mirror/subset diagnostic upstream of doc-level dedup.
+    "x08_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      Decontaminate.sourceOverlap(docs(s, dir), "source", "text", n = 3)
+        .select($"source_a", $"source_b", $"n_shared",
+          round($"containment", 4).as("containment"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // Bloom-pruned novelty: incoming = the whole corpus, seen = the
     // content digests of docs with doc_id % 3 <> 0; exact novel set
     // out. The bloom prunes the definitely-novel majority before the
@@ -201,6 +212,25 @@ object PipelineQueries {
          |SELECT doc_id FROM h
          |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
          |ORDER BY doc_id""".stripMargin,
+
+    "x08_source_overlap" ->
+      s"""WITH toks AS (SELECT source, $SqlToks AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, shingle FROM (
+         |    SELECT source, unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |    FROM toks)),
+         |sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+         |shared AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT source_a, source_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+         |FROM shared
+         |JOIN sizes sa ON sa.source = source_a
+         |JOIN sizes sb ON sb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // The oracle states the SIMPLE global-window form; the engine's
     // bucketed two-pass must reproduce it exactly (coin-prefix buckets

@@ -55,6 +55,23 @@ class DecontaminateSpec extends SparkSpec {
     assert(scores === expected)
   }
 
+  test("sourceOverlap: containment bounded, subsets detected, maxDf cap honored") {
+    // s2's docs are a strict subset of s1's content → containment 1.0
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "one two three four five six seven", "s1"),
+      (3L, "alpha beta gamma delta epsilon zeta", "s2"),
+      (4L, "totally unrelated content entirely here now", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = Decontaminate.sourceOverlap(d, "source", "text", n = 3)
+      .select($"source_a", $"source_b", $"n_shared", $"containment")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("s1", "s2", 4L, 1.0)))   // 4 trigrams, full containment
+    // the ubiquitous shingles dropped by maxDf kill the pair entirely
+    val capped = Decontaminate.sourceOverlap(d, "source", "text", n = 3, maxDf = 1)
+    assert(capped.count() === 0)
+  }
+
   test("short documents (no shingles) are absent from scores and kept by clean()") {
     val tiny = Seq((1L, "only two"), (2L, "a much longer document with many tokens inside"))
       .toDF("doc_id", "text")
