@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** The canonical funnel over the events table — batch query (e08),
+    * streaming drain (e10), and their shared oracle all reference
+    * this one list, so the twins cannot drift. */
+  val EventStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
   /** Per-user stage reaching times: `(userCol, t_<stage1>, …,
     * t_<stageK>)`, NULL once a stage is not reached. `timeCol` is an
     * integral epoch time (the engine's µs convention). Only users who

@@ -119,6 +119,12 @@ object EventQueries {
         .orderBy($"stage_idx")
     }),
 
+    // The STREAMING twin of e08 under the identical oracle: per-user
+    // stage state folds incrementally, flushed by event-time timeout
+    // once the sentinel pushes the watermark past every horizon.
+    "e10_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.funnelAvailableNow(s, dir)),
+
     // Daily cohort retention: users cohorted by first-event day,
     // counted on each day-offset they were active.
     "e09_retention" -> ((s, dir) => {
@@ -130,7 +136,7 @@ object EventQueries {
     }),
   )
 
-  private val FunnelStages = Seq("signup", "view", "click", "purchase")
+  private val FunnelStages = graft.operators.Funnel.EventStages
 
   /** Oracle for e08, generated from [[FunnelStages]] so the stage list
     * cannot drift between the Spark plan and the SQL. */
@@ -222,6 +228,10 @@ object EventQueries {
         |ORDER BY p.user_id""".stripMargin,
 
     "e08_funnel" -> funnelOracleSql,
+
+    // identical SQL to e08: the streaming fold must reproduce the
+    // batch sequential-minima funnel exactly
+    "e10_stream_funnel" -> funnelOracleSql,
 
     "e09_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

@@ -288,6 +288,58 @@ object StreamingJobs {
       .orderBy($"purchase_id")
   }
 
+  /** Streaming ordered funnel, drained with AvailableNow — the
+    * stateful twin of batch e08 under the SAME oracle: per-user stage
+    * reaching times fold incrementally in [[StreamingFunnel]] state,
+    * users flush on event-time timeout (watermark past last event +
+    * horizon — pushed by the sentinel like e05), and the drain
+    * aggregates the flushed reaches into per-stage user counts. */
+  def funnelAvailableNow(s: SparkSession, dir: String,
+                         stages: Seq[String] = graft.operators.Funnel.EventStages,
+                         horizonUs: Long = 365L * 24 * 3600 * 1000000): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "e10", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
+    val evBatch = Tables.load(s, dir, "events")
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None =>
+        return Seq.empty[(Long, String, Long)].toDF("stage_idx", "stage", "n_users")
+    }
+    Seq((SentinelUser, "__sentinel", (maxTus + SentinelSpacingUs) * 1000),
+        (SentinelUser, "__sentinel", (maxTus + 2 * SentinelSpacingUs) * 1000))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def shaped(df: DataFrame) =
+      df.select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+    val real = shaped(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = shaped(s.readStream
+      .schema("user_id LONG, event_type STRING, ts LONG").parquet(sentinelDir))
+
+    val reaches = StreamingFunnel.stageReaches(
+      real.union(sentinel).as[StreamingFunnel.FEvent], stages, horizonUs)
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = reaches.toDF().writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val names = stages.zipWithIndex
+      .map { case (st, i) => (i.toLong + 1, st) }.toDF("stage_idx", "stage")
+    s.read.parquet(outDir)
+      .filter($"user_id" =!= SentinelUser)
+      .groupBy(($"stage_idx".cast("long") + 1).as("stage_idx"))
+      .agg(count($"tus").as("n_users"))
+      .join(names, Seq("stage_idx"))
+      .select($"stage_idx", $"stage", $"n_users")
+      .orderBy($"stage_idx")
+  }
+
   /** Streaming corpus publish, drained with AvailableNow: the
     * documents table streams through [[StreamingPublish]] into a
     * `batch=bN/lang=…` partitioned parquet corpus (idempotent per
