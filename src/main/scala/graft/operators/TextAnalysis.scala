@@ -198,6 +198,44 @@ object TextAnalysis {
           .as("dup_trigram_ratio"))
   }
 
+  /** Corpus-conditional bigram fluency score — an LM-quality proxy
+    * without a model: per document, the micro-averaged conditional
+    * bigram probability `Σ count(a,b) / Σ count(a,·)` over its bigram
+    * occurrences, with counts taken from the whole corpus. Documents
+    * built from common constructions score high; rare/garbled token
+    * sequences score low — the cheap fluency signal a curation
+    * pipeline thresholds before paying for a real LM pass.
+    *
+    * The AGGREGATE ratio (not the mean of per-bigram ratios) is
+    * deliberate: both sums are integer — exact and order-independent
+    * under any partitioning — and only the final division is floating
+    * point, so the score is bit-reproducible (and oracle-checkable)
+    * where a mean of doubles would drift by summation order.
+    *
+    * Plan: one tokenize+bigram scan anchored under an Exchange on the
+    * bigram; the corpus count table groups on that same partitioning
+    * (no second shuffle) and the doc-side join probes it
+    * co-partitioned. Prefix counts derive from the (vocabulary-sized)
+    * count table, not the raw corpus, and ride in via AQE's choice of
+    * join. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(ngrams(tokenize(col(textCol)), 2)).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .repartition(col("bigram"))
+    val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val prefix = counts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("p"))
+      .agg(sum(col("cb")).as("cp"))
+    bg.join(counts, Seq("bigram"))
+      .join(prefix, substring_index(col("bigram"), " ", 1) === col("p"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"),
+        sum(col("cb")).as("_sn"), sum(col("cp")).as("_sd"))
+      .select(col(idCol), col("n_bg"),
+        round(col("_sn").cast("double") / col("_sd").cast("double"), 4).as("score"))
+  }
+
   /** 128-bit content fingerprint of the canonical token stream. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenize(text)).cast("binary"))

@@ -170,6 +170,14 @@ object TextQueries {
       graft.operators.Sketches.heavyHitters(toks, "token", minFraction = 0.002)
         .orderBy($"token")
     }),
+
+    // Corpus-conditional bigram fluency: integer sums, one final
+    // division — bit-reproducible (see TextAnalysis.bigramLmScores).
+    "t15_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bigramLmScores(docs(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
   )
 
   private def langCaseSql: String = {
@@ -325,5 +333,22 @@ object TextQueries {
          |GROUP BY token
          |HAVING count(*) >= ceil(0.002e0 * (SELECT c FROM tot))
          |ORDER BY token""".stripMargin,
+
+    "t15_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM toks),
+         |cnt AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+         |pfx AS (
+         |  SELECT string_split(bigram, ' ')[1] AS p, CAST(sum(cb) AS BIGINT) AS cp
+         |  FROM cnt GROUP BY p)
+         |SELECT doc_id, count(*) AS n_bg,
+         |  round(CAST(sum(cb) AS DOUBLE) / CAST(sum(cp) AS DOUBLE), 4) AS score
+         |FROM bg
+         |JOIN cnt USING (bigram)
+         |JOIN pfx ON string_split(bigram, ' ')[1] = p
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -116,4 +116,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Seq("a\u000Bb").toDF("text")
       .select(TextAnalysis.bpeTokenCount($"text")).as[Long].head() == 2L)
   }
+
+  test("bigramLmScores: hand-computed ratios; common phrasing outscores rare") {
+    // corpus: docs 1..3 all "a b c", doc 4 garbles the order.
+    // Bigram counts incl. doc 4's own (a b): (a b)=4, (b c)=3,
+    // (c a)=1, (b a)=1 over prefixes a·=4, b·=4, c·=1
+    val d = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "c a b a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 1..3: bigrams (a b),(b c): num 4+3=7, den 4+4=8 -> 0.875
+    // doc 4: (c a),(a b),(b a): num 1+4+1=6, den 1+4+4=9 -> 0.6667
+    assert(got === Seq(
+      (1L, 2L, 0.875), (2L, 2L, 0.875), (3L, 2L, 0.875),
+      (4L, 3L, math.rint(6.0 / 9.0 * 10000) / 10000)))
+    assert(got.head._3 > got.last._3, "common phrasing must outscore garbled")
+    // single-token docs have no bigrams and are absent
+    val single = TextAnalysis.bigramLmScores(
+      Seq((9L, "alone")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(single.count() === 0)
+  }
 }
