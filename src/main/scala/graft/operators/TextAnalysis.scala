@@ -223,7 +223,13 @@ object TextAnalysis {
       .select(col(idCol), explode(ngrams(tokenize(col(textCol)), 2)).as("bigram"))
       .filter(col("bigram").isNotNull)
       .repartition(col("bigram"))
-    val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    // count(idCol), not count(1): ids are filtered non-null so the
+    // counts are identical, but counting the id keeps this branch's
+    // subtree reading the SAME columns as the join probe below —
+    // column pruning would otherwise specialize the two copies of the
+    // anchor exchange apart and silently defeat ReuseExchange (the
+    // count-less-distinct variant of the same trap hit t12).
+    val counts = bg.groupBy(col("bigram")).agg(count(col(idCol)).as("cb"))
     val prefix = counts
       .groupBy(substring_index(col("bigram"), " ", 1).as("p"))
       .agg(sum(col("cb")).as("cp"))

@@ -123,10 +123,10 @@ class PlanSpec extends SparkSpec {
   // asymmetric inferred/pruned subtree below the anchor kills it
   // silently), so execute and assert on the FINAL adaptive plan, and
   // assert the storage-block ledger stays empty.
-  test("d03/d04/p01/t11/t12/x01: shared subtrees reuse one exchange, zero storage blocks") {
+  test("d03/d04/p01/t11/t12/x01/t15: shared subtrees reuse one exchange, zero storage blocks") {
     for (name <- Seq("d03_ngram_jaccard", "d04_minhash_lsh", "p01_curate",
                      "p02_curate_publish", "t11_salient_terms", "t12_repetition",
-                     "x01_decontaminate")) {
+                     "x01_decontaminate", "t15_bigram_lm")) {
       // other suites share this session and may cache their own frames —
       // the property is that THESE queries add no storage blocks
       val before = spark.sparkContext.getPersistentRDDs.keySet
