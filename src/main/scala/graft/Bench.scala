@@ -83,7 +83,11 @@ object Bench {
     // past what fits, keep the slowest queries (the ones worth reading)
     // and report how many were elided — full detail stays in
     // bench_out.json.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would render invalid JSON — the very
+    // parsed:null failure this line exists to cure.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def renderLine(entries: Seq[(String, Double)], elided: Int): String = {
       val body = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -103,9 +103,16 @@ object Decontaminate {
       .distinct()
       .filter(col("_g").isNotNull && col("shingle").isNotNull)
       .repartition(col("shingle"))
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDf).select(col("shingle"))
-    val kept = sh.join(hot, Seq("shingle"), "left_anti")
+    // the cap is opt-in (d03 convention): at the default there is
+    // nothing to drop, so skip the df aggregation + anti-join pass
+    // entirely instead of paying it against a provably-empty hot set
+    val kept =
+      if (maxDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDf).select(col("shingle"))
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
     val sizes = kept.groupBy(col("_g")).agg(count(lit(1)).as("sz"))
     val a = kept.select(col("_g").as("source_a"), col("shingle"))
     val b = kept.select(col("_g").as("source_b"), col("shingle"))

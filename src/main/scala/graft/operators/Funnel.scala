@@ -61,11 +61,16 @@ object Funnel {
     val aggs = stages.zipWithIndex.map { case (s, i) =>
       count(col(s"t_$s")).as(s"n$i")
     }
-    val stackArgs = stages.zipWithIndex
-      .map { case (s, i) => s"${i + 1}L, '$s', n$i" }
-      .mkString(", ")
+    // stage rows built from literal COLUMNS, not interpolated SQL — a
+    // stage name is arbitrary caller data and must never reach a
+    // parser (a quote in it would break an expr-built stack())
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1L).as("stage_idx"), lit(s).as("stage"),
+        col(s"n$i").as("n_users"))
+    }
     st.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users)")
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
   }
 
   /** Daily cohort retention: `(cohort_day, day_offset, n_users)` —

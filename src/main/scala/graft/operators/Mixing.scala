@@ -35,7 +35,14 @@ object Mixing {
   private[graft] def rateThreshold(rate: Double): String =
     if (rate >= 1.0) "g"
     else if (rate <= 0.0) ""
-    else f"${math.round(rate * 4294967296.0)}%08x"
+    else {
+      // rates within 2^-33 of 1.0 round to 2^32 itself, which would
+      // render as the NINE-char "100000000" — lexicographically BELOW
+      // most 8-char coins, silently inverting a ~100% sample into ~6%.
+      // Clamp to keep-all instead.
+      val v = math.round(rate * 4294967296.0)
+      if (v >= 4294967296L) "g" else f"$v%08x"
+    }
 
   /** The deterministic coin for `key`: first 8 hex chars of
     * md5(key:salt). */

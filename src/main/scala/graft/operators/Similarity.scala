@@ -224,6 +224,9 @@ object Similarity {
     * any engine reproduces the exact codes (what the oracle checks).
     */
   def quantizeInt8(corpus: DataFrame, vecCol: String): DataFrame = {
+    val clash = corpus.columns.toSet & Set("q", "scale", "_scale")
+    require(clash.isEmpty,
+      s"quantizeInt8: output columns $clash already exist on the input — rename first")
     val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
     val scale = when(mx > 0d, lit(127.0) / mx).otherwise(lit(0.0))
     corpus

@@ -50,7 +50,8 @@ object CorpusSink {
                    filesPerPart: Int = 1,
                    maxRecordsPerFile: Long = 1000000L,
                    sortBy: Seq[String] = Nil,
-                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+                   mode: SaveMode = SaveMode.Overwrite,
+                   writerOptions: Map[String, String] = Map.empty): Unit = {
     require(partitionCols.nonEmpty, "corpus writes need partition columns")
     val missing = (partitionCols ++ sortBy).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns $missing not in frame")
@@ -64,6 +65,7 @@ object CorpusSink {
       else routed.sortWithinPartitions((partitionCols ++ sortBy).map(col): _*)
     laid.write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(writerOptions)
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }

@@ -302,10 +302,14 @@ object StreamingJobs {
     wipe(s, work)
     val sentinelDir = new HPath(work, "sentinel").toString
     val evBatch = Tables.load(s, dir, "events")
+    // the oracle (and batch e08) ALWAYS yields one row per stage —
+    // zero counts included — so the empty/no-entry cases must too
+    def zeroRows = stages.zipWithIndex
+      .map { case (st, i) => (i + 1L, st, 0L) }
+      .toDF("stage_idx", "stage", "n_users")
     val maxTus = maxTusOf(evBatch) match {
       case Some(t) => t
-      case None =>
-        return Seq.empty[(Long, String, Long)].toDF("stage_idx", "stage", "n_users")
+      case None => return zeroRows
     }
     Seq((SentinelUser, "__sentinel", (maxTus + SentinelSpacingUs) * 1000),
         (SentinelUser, "__sentinel", (maxTus + 2 * SentinelSpacingUs) * 1000))
@@ -329,14 +333,17 @@ object StreamingJobs {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    // LEFT join from the stage spine: a corpus where no user reaches
+    // stage 1 flushes nothing, but the result must still carry every
+    // stage at zero (matching the oracle's VALUES spine)
     val names = stages.zipWithIndex
       .map { case (st, i) => (i.toLong + 1, st) }.toDF("stage_idx", "stage")
-    s.read.parquet(outDir)
+    val agg = s.read.parquet(outDir)
       .filter($"user_id" =!= SentinelUser)
       .groupBy(($"stage_idx".cast("long") + 1).as("stage_idx"))
       .agg(count($"tus").as("n_users"))
-      .join(names, Seq("stage_idx"))
-      .select($"stage_idx", $"stage", $"n_users")
+    names.join(agg, Seq("stage_idx"), "left")
+      .select($"stage_idx", $"stage", coalesce($"n_users", lit(0L)).as("n_users"))
       .orderBy($"stage_idx")
   }
 

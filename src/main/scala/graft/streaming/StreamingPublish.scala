@@ -31,23 +31,23 @@ object StreamingPublish {
 
   /** Idempotently publish one micro-batch: rows land under
     * `batch=b<batchId>/<partitionCols…>` with dynamic partition
-    * overwrite (restored after), via [[CorpusSink.writeParquet]]. */
+    * overwrite, via [[CorpusSink.writeParquet]]. The overwrite mode is
+    * a PER-WRITE DataFrameWriter option, never a session-conf
+    * mutation: a set/restore around the write would race with any
+    * concurrent partitioned overwrite on the same session, and losing
+    * that race means running this Overwrite under STATIC mode — which
+    * deletes every previously published batch under `outDir`. */
   def publishBatch(batch: DataFrame, batchId: Long, outDir: String,
                    partitionCols: Seq[String],
                    filesPerPart: Int = 1,
                    maxRecordsPerFile: Long = 1000000L,
-                   sortBy: Seq[String] = Nil): Unit = {
-    val s = batch.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try CorpusSink.writeParquet(
+                   sortBy: Seq[String] = Nil): Unit =
+    CorpusSink.writeParquet(
       batch.withColumn("batch", concat(lit("b"), lit(batchId))),
       outDir, "batch" +: partitionCols,
       filesPerPart = filesPerPart, maxRecordsPerFile = maxRecordsPerFile,
-      sortBy = sortBy, mode = SaveMode.Overwrite)
-    finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
-  }
+      sortBy = sortBy, mode = SaveMode.Overwrite,
+      writerOptions = Map("partitionOverwriteMode" -> "dynamic"))
 
   /** Start the publishing stream (caller picks the trigger; bounded
     * drains use AvailableNow). The `batch` column is reserved for the
