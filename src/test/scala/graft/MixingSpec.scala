@@ -17,6 +17,12 @@ class MixingSpec extends SparkSpec {
     assert(Mixing.rateThreshold(1.5) === "g")
     assert(Mixing.rateThreshold(0.0) === "")    // below every string
     assert(Mixing.rateThreshold(-1.0) === "")
+    // rates that ROUND to 2^32 must clamp to keep-all, not render as
+    // a 9-char string that sorts below most 8-char coins
+    assert(Mixing.rateThreshold(1.0 - 1e-12) === "g")
+    assert(Mixing.rateThreshold(math.nextDown(1.0)) === "g")
+    val justBelow = Mixing.rateThreshold(1.0 - 1e-9)
+    assert(justBelow.length === 8 && justBelow > "f0000000")
   }
 
   test("sampleUniform is deterministic, rate-accurate, and repartition-stable") {
