@@ -37,7 +37,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ AdvancedQueries.queries ++
-      CurationQueries.queries ++ PipelineQueries.queries
+      CurationQueries.queries ++ PipelineQueries.queries ++ GraphQueries.queries
 
   /** DuckDB-equivalent SQL per query; queries absent here get the
     * driver's weaker rows-only check (hash-family-specific operators:
@@ -46,5 +46,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MultimodalQueries.oracles ++ AdvancedQueries.oracles ++
-      CurationQueries.oracles ++ PipelineQueries.oracles
+      CurationQueries.oracles ++ PipelineQueries.oracles ++ GraphQueries.oracles
 }

@@ -40,6 +40,28 @@ object Dedup {
   def exactKeepIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
 
+  /** Corpus snapshot diff: classify every id across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged` by
+    * content digest — the audit step an incremental-ingest pipeline
+    * runs between crawls to bound recompute (only `added`+`changed`
+    * re-enter dedup/curation) and to catch silent upstream rewrites.
+    *
+    * Scale shape: each side reduces to `(id, digest)` map-side — the
+    * text never crosses the wire — then ONE full-outer sort-merge join
+    * hashed on id; with both snapshots bucketed/partitioned on id the
+    * exchange disappears entirely. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), contentHash(col(textCol)).as("_ho"))
+    val n = newDocs.select(col(idCol), contentHash(col(textCol)).as("_hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("removed"))
+          .when(col("_ho") =!= col("_hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Exact dedup keeping the BEST duplicate, not an arbitrary one:
     * within each content-digest group, the row with the highest
     * `scoreCol` survives (ties to the smallest id — total and

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair graphs — the iterative/combinatorial
+  * operators a curation pipeline runs on its OWN byproducts: the
+  * near-duplicate pair graph (PageRank picks canonical representatives
+  * and surfaces template hubs; triangles measure how clique-like a
+  * duplicate cluster is) and source/host overlap graphs
+  * (CommonCrawl-style host-centrality weighting). Complements
+  * [[ConnectedComponents]], which answers "which cluster" — these
+  * answer "how central inside it".
+  *
+  * Both operators are deterministic by construction so they sit under
+  * the exact DuckDB oracle gate:
+  *
+  *  - PageRank runs in SCALED INTEGER arithmetic (rank mass is a
+  *    `Long` in units of `scale^-1`). Integer sums are associative —
+  *    no float summation-order drift between partitionings or engines
+  *    — and `div` truncation is identical in Spark and DuckDB for the
+  *    non-negative values here, so k iterations are bit-reproducible
+  *    anywhere.
+  *  - Triangle counting is exact combinatorics; the degree-ordered
+  *    orientation changes the JOIN shape, never the answer.
+  */
+object Graphs {
+
+  /** PageRank with a fixed iteration count over directed `edges`
+    * (duplicate edges collapse; self-loops drop). Returns one row per
+    * `vertices` row: `(idCol, rank)` with `rank: Long` in units of
+    * `1/scale` — every vertex starts at `scale` and each iteration
+    * applies `rank = base + damp * Σ in-contribs` with
+    * `base = (dampDen-dampNum)*scale div dampDen` and each contrib
+    * `rank div outdeg`. Vertices outside the edge set hold `base`.
+    * Dangling mass is NOT redistributed (documented contract — it
+    * keeps the update local so one iteration is one equi-join + one
+    * sum, no global aggregate on the hot path).
+    *
+    * Scale shape: the edge list (joined once with out-degrees) and the
+    * endpoint set are materialized ONCE with `localCheckpoint`; the k
+    * iterations then chain k equi-join + partial-agg stages over those
+    * cached blocks in a SINGLE job — no per-round driver action,
+    * because the iteration count is fixed rather than
+    * convergence-tested. All shuffles hash on vertex id. Caller picks
+    * `scale` so that `nVertices * scale * dampNum` fits in a Long
+    * (the default 1e9 is safe to ~10^8 vertices).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               vertices: DataFrame, idCol: String,
+               iterations: Int = 5, scale: Long = 1000000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(scale >= 1, s"scale=$scale must be positive")
+    require(dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    val base = (dampDen - dampNum) * scale / dampDen
+
+    // Materialize the edge list FIRST: the degree join below reads it
+    // twice, and without truncation each read re-executes the whole
+    // upstream pair-generation (a shuffle-heavy self-join when the
+    // edges come from near-dup mining).
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // out-degree rides on every edge so an iteration never re-joins
+    // the degree table; checkpointed once for all k iteration reads
+    val ewd = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
+      .localCheckpoint()
+    val verts = ewd.select(col("u")).union(ewd.select(col("v")))
+      .distinct()
+      .localCheckpoint()
+    // ewd/verts carry everything the iterations read — e's blocks are
+    // dead from here on (same explicit-free discipline as
+    // ConnectedComponents: an operator must not park cached frames)
+    unpersistOf(e)
+
+    var ranks = verts.select(col("u"), lit(scale).as("r"))
+    for (_ <- 1 to iterations) {
+      val sums = ewd.join(ranks, "u")
+        .select(col("v"), expr("r div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
+      // lineage is LINEAR in k (each round reads the previous once),
+      // so no per-round materialization is needed — the whole k-round
+      // chain executes as one job when the caller acts
+      ranks = verts.join(sums.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .select(col("u"),
+          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
+    }
+    // ewd/verts blocks stay alive for the caller's action (checkpoint
+    // lineage cannot recompute); the ContextCleaner frees them when
+    // the result is dropped — same contract as ConnectedComponents'
+    // final frame
+    vertices.select(col(idCol))
+      .join(ranks.withColumnRenamed("u", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("r"), lit(base)).as("rank"))
+  }
+
+  /** Per-vertex triangle counts over undirected `edges` (self-loops
+    * and duplicate/reversed copies collapse). Returns `(vertex,
+    * n_tri)` for every vertex on at least one triangle.
+    *
+    * Degree-ordered orientation: each undirected edge points from its
+    * (degree, id)-smaller endpoint to the larger, so every wedge is
+    * enumerated at its LOWEST-degree corner — candidate wedges are
+    * Σ outdeg(v)² with outdeg ≤ O(√m), the classic bound that keeps a
+    * power-law hub (degree 10⁶) from exploding into 10¹² wedge rows
+    * the way a naive a<b<c id-ordered join does. Each triangle is
+    * found exactly once; two hash equi-joins, both on vertex-id-shaped
+    * keys, no cartesian anywhere.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical undirected edge set — materialized: the degree and
+    // orientation joins read it three times, and the upstream edge
+    // producer (near-dup pair mining) must execute exactly once
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u")).union(und.select(col("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id); carry the head's key so wedge pairs can
+    // be ordered without re-joining degrees
+    val ku = struct(col("du").as("d"), col("u").as("i"))
+    val kv = struct(col("dv").as("d"), col("v").as("i"))
+    val ord = und
+      .join(deg.withColumnRenamed("u", "x").withColumnRenamed("d", "du"),
+        col("u") === col("x"))
+      .drop("x")
+      .join(deg.withColumnRenamed("u", "y").withColumnRenamed("d", "dv"),
+        col("v") === col("y"))
+      .drop("y")
+      .select(
+        when(ku < kv, col("u")).otherwise(col("v")).as("s"),
+        when(ku < kv, kv).otherwise(ku).as("tk"))
+      .select(col("s"), col("tk.i").as("t"), col("tk"))
+    // the oriented edge list is read three times (both wedge sides +
+    // the closing join) — materialize it and free the canonical list
+    val ordCk = ord.localCheckpoint()
+    unpersistOf(und)
+    // wedges at the low corner: unordered out-neighbor pairs, ordered
+    // by the orientation key so the closing edge has a known direction
+    val wedges = ordCk.select(col("s"), col("t").as("b"), col("tk").as("bk"))
+      .join(ordCk.select(col("s"), col("t").as("c"), col("tk").as("ck")), "s")
+      .filter(col("bk") < col("ck"))
+      .select(col("s"), col("b"), col("c"))
+    val tris = wedges
+      .join(ordCk.select(col("t").as("c"), col("s").as("b")), Seq("b", "c"))
+      .select(col("s"), col("b"), col("c"))
+    // ordCk's blocks back the returned plan (truncated lineage); the
+    // ContextCleaner frees them when the caller drops the result
+    tris.select(explode(array(col("s"), col("b"), col("c"))).as("vertex"))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Drop the cached blocks behind an eagerly localCheckpoint'ed
+    * frame once nothing reads it again (see ConnectedComponents —
+    * checkpoint lineage cannot recompute, so this is safe ONLY for
+    * frames with no remaining reader). */
+  private def unpersistOf(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+}

@@ -193,4 +193,38 @@ object Mixing {
       .withColumn("pack_offset", (col("_before") % lit(budget)).cast("long"))
       .drop("_before")
   }
+
+  /** Split each document into overlapping token windows — the
+    * context-window CHUNKING a long-document pipeline runs before
+    * embedding or training (the complement of [[packSequences]], which
+    * concatenates SHORT documents; this splits LONG ones). Chunk `c`
+    * covers tokens `[c*stride, c*stride + chunkSize)`; chunks start at
+    * every stride multiple below the token count, so the final chunk
+    * may be short and `stride < chunkSize` yields the overlap.
+    * Output per chunk: `(idCol, chunk_id, start_tok, n_tok, chunk)`.
+    *
+    * Scale shape: tokenize once into a materialized Project, then one
+    * codegen'd explode — pure map-side, zero shuffles, no state; at
+    * 100 TB this is scan-bound and embarrassingly parallel. Row growth
+    * is ~len/stride per doc, the same order as the shingle explodes
+    * dedup already runs. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize=$chunkSize must be positive")
+    require(stride >= 1, s"stride=$stride must be positive")
+    val toks = graft.functions.TextFunctions.tokenize(col(textCol))
+    val n = size(col("_t"))
+    // last chunk id = (n-1) div stride; empty docs yield no chunks
+    // (the `when` guard keeps sequence() away from a (0, -1) range)
+    df.select(col(idCol), toks.as("_t"))
+      .select(col(idCol), col("_t"),
+        explode(when(n === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), floor((n - 1) / lit(stride)).cast("int"))))
+          .as("chunk_id"))
+      .withColumn("_c", slice(col("_t"), col("chunk_id") * stride + 1, lit(chunkSize)))
+      .select(col(idCol), col("chunk_id").cast("long"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        size(col("_c")).cast("long").as("n_tok"),
+        concat_ws(" ", col("_c")).as("chunk"))
+  }
 }

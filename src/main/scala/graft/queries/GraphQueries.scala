@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Graphs}
+
+/** Graph-analytics queries (`g` group) over the corpus's OWN pair
+  * graph: the near-duplicate pairs that d03/d07 already mine become
+  * the edge set for centrality (PageRank — which member of a dup
+  * cluster is the hub everything mirrors?) and clique structure
+  * (triangle counts — is a cluster a star of partial copies or a
+  * clique of full mirrors?). Both oracle exactly: PageRank runs in
+  * scaled-integer arithmetic (order-independent sums, truncating
+  * division identical in Spark and DuckDB), triangles are pure
+  * combinatorics, and the planted exact-copy construction (the
+  * d04/d05 convention) guarantees a deterministic edge set.
+  */
+object GraphQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val SqlToks =
+    """list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '')"""
+
+  // g01: the d04 planted corpus (exact copies of docs 0–24 at +1e6)
+  // plus the organic near-dups; pair threshold matches d03.
+  private val PrScale = 1000000000L
+  private val PrIters = 5
+  private val PrBase = 150000000L // (100-85) * scale / 100
+
+  // g02 slice: every 20th doc, with TWO planted copies each — every
+  // trio is an exact-dup 3-clique, so triangles are guaranteed.
+  private val TriPred = "doc_id % 20 = 1"
+
+  /** Jaccard≥0.5 pair CTEs over `corpus` — the SQL twin of
+    * [[Dedup.ngramJaccardPairs]] (same chain d03/d07 use). */
+  private def pairsSql(corpusCte: String): String =
+    s"""$corpusCte,
+       |toks AS (SELECT doc_id, $SqlToks AS t FROM corpus),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |    FROM toks)),
+       |sh AS (
+       |  SELECT doc_id, shingle FROM sh0
+       |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PageRank centrality over the near-dup pair graph (symmetrized):
+    // hub members of duplicate clusters accumulate rank; isolated docs
+    // hold the base mass. Fixed 5 iterations, scaled-integer math.
+    "g01_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val planted = d.filter($"doc_id" < 25)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+      val corpus = d.unionByName(planted)
+      val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000)
+      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      Graphs.pageRank(edges, "src", "dst", corpus.select($"doc_id"), "doc_id",
+          iterations = PrIters, scale = PrScale)
+        .select($"doc_id", $"rank".as("pr"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-vertex triangle counts over the planted-trio slice: each
+    // (doc, copy+1e6, copy+2e6) trio is a 3-clique; organic near-dups
+    // inside the slice add their own wedges. Degree-ordered
+    // orientation bounds wedge generation at the low-degree corner.
+    "g02_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val slice = docs(s, dir).filter(expr(TriPred))
+      val corpus = slice
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + 1000000L))
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
+      val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000)
+      Graphs.triangleCounts(pairs, "a_id", "b_id")
+        .orderBy($"vertex")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "g01_pagerank" -> {
+      val corpusCte =
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25)""".stripMargin
+      val graphCtes =
+        s"""e2 AS (SELECT a_id AS u, b_id AS v FROM pairs
+           |       UNION SELECT b_id, a_id FROM pairs),
+           |deg AS (SELECT u, count(*) AS d FROM e2 GROUP BY u),
+           |ewd AS (SELECT e2.u, e2.v, d FROM e2 JOIN deg USING (u)),
+           |verts AS (SELECT DISTINCT u FROM (SELECT u FROM e2 UNION ALL SELECT v FROM e2)),
+           |r0 AS (SELECT u, CAST($PrScale AS BIGINT) AS r FROM verts)""".stripMargin
+      val iterCtes = (1 to PrIters).map { i =>
+        s"""r$i AS (
+           |  SELECT vv.u, CAST($PrBase + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM verts vv LEFT JOIN (
+           |    SELECT e.v AS u, sum(p.r // e.d) AS m
+           |    FROM ewd e JOIN r${i - 1} p ON p.u = e.u GROUP BY e.v) s
+           |  ON s.u = vv.u)""".stripMargin
+      }.mkString(",\n")
+      s"""${pairsSql(corpusCte)},
+         |$graphCtes,
+         |$iterCtes
+         |SELECT c.doc_id, CAST(coalesce(r.r, $PrBase) AS BIGINT) AS pr
+         |FROM corpus c LEFT JOIN r$PrIters r ON r.u = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    },
+
+    // Naive id-ordered triangle join — provably the same triangle set
+    // as the engine's degree-oriented plan, stated independently.
+    "g02_triangles" -> {
+      val corpusCte =
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE $TriPred
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE $TriPred
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, text FROM documents WHERE $TriPred)""".stripMargin
+      s"""${pairsSql(corpusCte)},
+         |e AS (SELECT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM pairs),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT vertex, count(*) AS n_tri FROM (
+         |  SELECT unnest([a, b, c]) AS vertex FROM tri)
+         |GROUP BY vertex ORDER BY vertex""".stripMargin
+    },
+  )
+}

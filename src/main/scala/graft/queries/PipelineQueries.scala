@@ -129,6 +129,32 @@ object PipelineQueries {
         .orderBy($"source_a", $"source_b")
     }),
 
+    // Context-window chunking: 32-token windows at stride 24 (8-token
+    // overlap) — pure map-side explode, zero shuffles; the complement
+    // of x04's packing.
+    "x09_chunk_windows" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // Snapshot diff between two corpus versions: v1 drops doc_id%5=4,
+    // v2 drops doc_id%11=3 and rewrites every doc_id%7=0 — the diff
+    // classifies each surviving id by content digest, so only
+    // added/changed rows would re-enter the pipeline.
+    "x10_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val v1 = d.filter($"doc_id" % 5 =!= 4)
+      val v2 = d.filter($"doc_id" % 11 =!= 3)
+        .withColumn("text",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" version two")))
+            .otherwise($"text"))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Bloom-pruned novelty: incoming = the whole corpus, seen = the
     // content digests of docs with doc_id % 3 <> 0; exact novel set
     // out. The bloom prunes the definitely-novel majority before the
@@ -211,6 +237,40 @@ object PipelineQueries {
       s"""WITH h AS (SELECT doc_id, md5($SqlNorm) AS h FROM documents)
          |SELECT doc_id FROM h
          |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    "x09_chunk_windows" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |ch AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(0, CASE WHEN len(t) = 0 THEN 0
+         |                         ELSE (len(t) - 1) // 24 + 1 END)) AS chunk_id
+         |  FROM toks),
+         |sl AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+         |    list_slice(t, chunk_id * 24 + 1,
+         |      least(chunk_id * 24 + 32, len(t))) AS c
+         |  FROM ch)
+         |SELECT doc_id, chunk_id, start_tok,
+         |  CAST(len(c) AS BIGINT) AS n_tok,
+         |  array_to_string(c, ' ') AS chunk
+         |FROM sl ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "x10_snapshot_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, md5($SqlNorm) AS h FROM documents WHERE doc_id % 5 <> 4),
+         |v2_text AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' version two' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 3),
+         |v2 AS (SELECT doc_id, md5($SqlNorm) AS h FROM v2_text)
+         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         |  CASE WHEN v1.h IS NULL THEN 'added'
+         |       WHEN v2.h IS NULL THEN 'removed'
+         |       WHEN v1.h <> v2.h THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
 
     "x08_source_overlap" ->
