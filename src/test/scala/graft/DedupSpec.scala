@@ -121,4 +121,19 @@ class DedupSpec extends SparkSpec {
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L))) // identical after sanitize → distance 0
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by digest") {
+    val v1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta")).toDF("id", "text")
+    val v2 = Seq((2L, "gamma"), (3L, "delta REWRITTEN"), (4L, "epsilon"))
+      .toDF("id", "text")
+    val got = Dedup.snapshotDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // digest semantics: whitespace/punctuation churn is NOT a change
+    val v2b = Seq((1L, "  Alpha,   BETA!! ")).toDF("id", "text")
+    val norm = Dedup.snapshotDiff(v1.filter($"id" === 1L), v2b, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(norm === Map(1L -> "unchanged"))
+  }
 }

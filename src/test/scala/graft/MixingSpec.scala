@@ -185,4 +185,33 @@ class MixingSpec extends SparkSpec {
       .filter($"pos" =!= $"expected")
     assert(bad.count() === 0)
   }
+
+  test("chunkTokens: exact window boundaries, overlap, and short tail") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    // size 4, stride 3 over 10 tokens → starts 0,3,6,9
+    val chunks = Mixing.chunkTokens(d, "id", "text", chunkSize = 4, stride = 3)
+      .orderBy($"chunk_id")
+      .select($"chunk_id", $"start_tok", $"n_tok", $"chunk")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(chunks === Seq(
+      (0L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 3L, 4L, "w4 w5 w6 w7"),
+      (2L, 6L, 4L, "w7 w8 w9 w10"),
+      (3L, 9L, 1L, "w10")))
+  }
+
+  test("chunkTokens: empty and whitespace-only docs yield no chunks; coverage is total") {
+    val d = Seq((1L, ""), (2L, "   !!! "), (3L, "a b c")).toDF("id", "text")
+    val chunks = Mixing.chunkTokens(d, "id", "text", chunkSize = 8, stride = 8)
+    assert(chunks.select($"id").distinct().as[Long].collect().toSet === Set(3L))
+    // non-overlapping chunking (stride == size) partitions the tokens:
+    // summed chunk lengths equal the doc's token count for every doc
+    val docsDf = docs
+    val part = Mixing.chunkTokens(docsDf, "doc_id", "text", chunkSize = 32, stride = 32)
+      .groupBy($"doc_id").agg(sum($"n_tok").as("covered"))
+      .join(docsDf.select($"doc_id",
+        graft.operators.TextAnalysis.tokenCount($"text").as("n_tok")), "doc_id")
+      .filter($"covered" =!= $"n_tok")
+    assert(part.count() === 0)
+  }
 }

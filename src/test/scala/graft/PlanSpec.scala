@@ -149,4 +149,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       "scoring left codegen")
   }
+
+  test("x09: chunking is map-side only — the sole exchange is the oracle sort") {
+    val p = plan("x09_chunk_windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), "chunking joined")
+    // one range-partitioning exchange for the ORDER BY, nothing hashed
+    assert(!p.contains("hashpartitioning"),
+      s"chunking grew a hash shuffle:\n${p.take(600)}")
+    assert(p.contains("Generate explode"), "chunk explode missing")
+  }
+
+  test("g01/g02: graph queries stay equi-join only over checkpointed edge lists") {
+    for (q <- Seq("g01_pagerank", "g02_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q went all-pairs")
+      // the edge list is lineage-truncated: pair mining must appear as
+      // a cached-RDD scan, not as a re-planned shingle self-join
+      assert(p.contains("Scan ExistingRDD"), s"$q edge list not checkpointed")
+    }
+  }
 }
