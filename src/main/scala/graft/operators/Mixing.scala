@@ -194,6 +194,35 @@ object Mixing {
       .drop("_before")
   }
 
+  /** Temperature-flattened source mixing: each source keeps
+    * `perSqrt * floor(sqrt(count(source)))` rows — the sublinear
+    * (α = 0.5) reweighting multilingual training mixes use so a
+    * 100×-bigger crawl contributes only 10× the documents. Unlike
+    * [[mixSources]] the quotas come from the DATA (one windowed count
+    * — no driver action, no config to drift out of date).
+    *
+    * Determinism at the oracle level: the weight is
+    * `floor(sqrt(n))` on an exact integer count — IEEE sqrt is
+    * correctly rounded, so every engine computes the identical quota;
+    * there is no cross-source float normalization sum whose ORDER
+    * could drift an ulp. Winners are the coin-rank minimum, stable
+    * under repartitioning.
+    *
+    * Scale shape: ONE shuffle partitioned by source (the same window
+    * computes the count and the rank); the skew posture matches
+    * [[mixSources]] — pre-filter a hot source with the same coin at an
+    * overshooting rate before ranking. */
+  def mixTemperature(df: DataFrame, keyCol: String, sourceCol: String,
+                     perSqrt: Long, salt: String = "graft"): DataFrame = {
+    require(perSqrt >= 1, s"perSqrt=$perSqrt must be positive")
+    val part = Window.partitionBy(col(sourceCol))
+    val w = part.orderBy(coin(col(keyCol), salt), col(keyCol))
+    val quota = lit(perSqrt) * floor(sqrt(count(lit(1)).over(part))).cast("long")
+    df.withColumn("_rank", row_number().over(w).cast("long"))
+      .withColumn("_quota", quota)
+      .filter(col("_rank") <= col("_quota"))
+  }
+
   /** Split each document into overlapping token windows — the
     * context-window CHUNKING a long-document pipeline runs before
     * embedding or training (the complement of [[packSequences]], which

@@ -109,6 +109,24 @@ object TextAnalysis {
     * broadcast OOMs the driver but a shuffled join degrades
     * gracefully. The top-k window shuffles once on the doc id. Ties
     * break by term. */
+  /** Inverted-index postings: one row per (token, doc) with the term
+    * frequency and the token's corpus-wide document frequency — the
+    * retrieval-side primitive (BM25, salience, decontamination probes)
+    * whose degenerate form is the reference's own word count.
+    *
+    * Scale shape: explode → map-side partial count → one exchange on
+    * (token, doc) for tf, then a window on token for df — the df pass
+    * reuses the already-grouped tf rows (vocabulary × docs, far
+    * smaller than the token stream) and never re-reads the corpus.
+    * Zipf-hot tokens are pre-collapsed per doc by the partial agg, so
+    * the token-partitioned window sees df rows, not occurrences. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol), explode(tokenize(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+  }
+
   def topSalientTerms(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -155,6 +155,17 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Temperature-flattened mixing: per-source quota = 3·⌊√n_source⌋
+    // (α=0.5 reweighting) computed from the data in the same window
+    // shuffle that ranks the coins — no driver action, no config.
+    "x11_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.mixTemperature(docs(s, dir), "doc_id", "source",
+          perSqrt = 3L, salt = "tm42")
+        .select($"doc_id", $"source", $"_rank".as("rnk"), $"_quota".as("quota"))
+        .orderBy($"doc_id")
+    }),
+
     // Bloom-pruned novelty: incoming = the whole corpus, seen = the
     // content digests of docs with doc_id % 3 <> 0; exact novel set
     // out. The bloom prunes the definitely-novel majority before the
@@ -237,6 +248,16 @@ object PipelineQueries {
       s"""WITH h AS (SELECT doc_id, md5($SqlNorm) AS h FROM documents)
          |SELECT doc_id FROM h
          |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    "x11_temperature_mix" ->
+      s"""SELECT doc_id, source, rnk, quota FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${sqlCoin("doc_id", "tm42")}, doc_id) AS BIGINT) AS rnk,
+         |    CAST(3 * floor(sqrt(count(*) OVER (PARTITION BY source))) AS BIGINT) AS quota
+         |  FROM documents) sub
+         |WHERE rnk <= quota
          |ORDER BY doc_id""".stripMargin,
 
     "x09_chunk_windows" ->

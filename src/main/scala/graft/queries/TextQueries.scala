@@ -178,6 +178,17 @@ object TextQueries {
       TextAnalysis.bigramLmScores(docs(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
     }),
+
+    // Inverted index: per-token document frequency over the FULL
+    // corpus, postings emitted for the doc_id%7 shard — the global
+    // stats + sharded-emission split an incremental index build uses.
+    "t16_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text")
+        .filter($"doc_id" % 7 === 0)
+        .select($"token", $"df", $"doc_id", $"tf")
+        .orderBy($"token", $"doc_id")
+    }),
   )
 
   private def langCaseSql: String = {
@@ -350,5 +361,15 @@ object TextQueries {
          |JOIN cnt USING (bigram)
          |JOIN pfx ON string_split(bigram, ' ')[1] = p
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t16_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |u AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT token, doc_id, count(*) AS tf FROM u GROUP BY token, doc_id),
+         |wd AS (SELECT token, doc_id, tf,
+         |         count(*) OVER (PARTITION BY token) AS df FROM tf)
+         |SELECT token, CAST(df AS BIGINT) AS df, doc_id, CAST(tf AS BIGINT) AS tf
+         |FROM wd WHERE doc_id % 7 = 0
+         |ORDER BY token, doc_id""".stripMargin,
   )
 }

@@ -186,6 +186,23 @@ class MixingSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("mixTemperature: quota is perSqrt*floor(sqrt(n)), winners stable under repartition") {
+    val rows = (0L until 2000L).map(i => (i, if (i < 1600) "big" else "small"))
+    val d = rows.toDF("id", "src")
+    val kept = Mixing.mixTemperature(d, "id", "src", perSqrt = 3L, salt = "t")
+    val bySrc = kept.groupBy($"src").count().as[(String, Long)].collect().toMap
+    // big: 3*floor(sqrt(1600))=120; small: 3*floor(sqrt(400))=60 —
+    // the 4x-bigger source contributes only 2x the rows (alpha = 0.5)
+    assert(bySrc === Map("big" -> 120L, "small" -> 60L))
+    // identical winner SET on a repartitioned copy
+    val kept13 = Mixing.mixTemperature(d.repartition(13), "id", "src", 3L, "t")
+    assert(kept.select($"id").except(kept13.select($"id")).count() === 0)
+    assert(kept13.count() === 180)
+    // quota >= n keeps everything
+    val tiny = (0L until 5L).map((_, "s")).toDF("id", "src")
+    assert(Mixing.mixTemperature(tiny, "id", "src", perSqrt = 100L, "t").count() === 5)
+  }
+
   test("chunkTokens: exact window boundaries, overlap, and short tail") {
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "text")
     // size 4, stride 3 over 10 tokens → starts 0,3,6,9

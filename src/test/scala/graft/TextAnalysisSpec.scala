@@ -139,4 +139,29 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((9L, "alone")).toDF("doc_id", "text"), "doc_id", "text")
     assert(single.count() === 0)
   }
+
+  test("invertedIndex: exact tf per (token, doc) and corpus-wide df") {
+    val d = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b b b")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(d, "doc_id", "text")
+      .select($"token", $"doc_id", $"tf", $"df")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 2L, 2L), ("a", 2L, 1L, 2L),
+      ("b", 1L, 1L, 2L), ("b", 3L, 3L, 2L),
+      ("c", 2L, 1L, 1L)))
+    // invariants on the real corpus: Σ tf = token count; df = postings
+    // rows per token; normalization applies (case/punctuation fold)
+    val corpus = Tables.load(spark, sfDir, "documents")
+    val idx = TextAnalysis.invertedIndex(corpus, "doc_id", "text")
+    val totalTf = idx.agg(sum($"tf")).as[Long].head()
+    val totalToks = corpus.select(
+      sum(TextAnalysis.tokenCount($"text"))).as[Long].head()
+    assert(totalTf === totalToks)
+    val badDf = idx.groupBy($"token").agg(count(lit(1)).as("n"), max($"df").as("d"),
+        min($"df").as("d2"))
+      .filter($"n" =!= $"d" || $"d" =!= $"d2")
+    assert(badDf.count() === 0)
+  }
 }
