@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering so that
+  * parquet min/max statistics prune on EVERY clustered column, not
+  * just the leading sort key. A corpus sorted linearly by `user_id`
+  * answers `user_id = ?` from a handful of row groups but scans
+  * everything for `hour = ?`; Z-ordering interleaves the key bits so
+  * each file covers a small BOX in (user, hour) space and both
+  * predicates prune. This is a write-time layout choice — readers are
+  * plain parquet scans, no index structure to maintain.
+  *
+  * The key is pure integer bit-interleaving (no UDF, one codegen
+  * expression): bit `i` of column `c` lands at position
+  * `i*k + (k-1-c)` of the key, most-significant column first. Columns
+  * must already be NON-NEGATIVE bucket ordinals that fit in `bits`
+  * bits — normalizing a raw domain (hashing, ranking, clamping) is
+  * the caller's modeling decision, and `bits` bounds the key at
+  * `k*bits ≤ 63` so the whole key stays in a Long.
+  */
+object Layout {
+
+  /** The Morton key for `cols` (each a non-negative integral column
+    * using at most `bits` low bits; higher bits are masked off). */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zValue: no columns")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"zValue: ${cols.size} cols x $bits bits must fit in a positive Long")
+    val k = cols.size
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * k + (k - 1 - ci))
+    terms.reduce(_ + _)
+  }
+
+  /** The same arithmetic as DuckDB/ANSI SQL — generated from one
+    * shared loop so the oracle cannot drift from the engine. */
+  private[graft] def zValueSql(cols: Seq[String], bits: Int = 16): String = {
+    val k = cols.size
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield s"(((CAST($c AS BIGINT) >> $i) & 1) << ${i * k + (k - 1 - ci)})"
+    terms.mkString(" + ")
+  }
+
+  /** Cluster `df` for writing: range-partition on the Morton key of
+    * `cols` (so each output task owns a contiguous Z-range = a small
+    * multi-dimensional box) and sort within partitions. Pair with
+    * [[graft.sources.CorpusSink]] or a plain parquet write; each
+    * row group's min/max then prunes on every clustered column.
+    * One range exchange — the same cost as a linear global sort. */
+  def zorder(df: DataFrame, cols: Seq[String], bits: Int = 16,
+             numPartitions: Int = 0): DataFrame = {
+    val withZ = df.withColumn("_z", zValue(cols.map(col), bits))
+    val parted =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("_z"))
+      else withZ.repartitionByRange(col("_z"))
+    parted.sortWithinPartitions(col("_z")).drop("_z")
+  }
+}

@@ -155,6 +155,20 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Z-order layout key over (user_id, hour): the Morton interleave
+    // that clusters a corpus so parquet min/max prunes on BOTH
+    // columns. Pure integer bit arithmetic — the oracle SQL is
+    // generated from the same loop as the Spark expression.
+    "x12_zorder_key" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("hour", expr("(ts div 1000) div 3600000000"))
+      ev.select($"event_id",
+          graft.operators.Layout.zValue(Seq($"user_id", $"hour"), bits = 16)
+            .as("zkey"))
+        .orderBy($"event_id")
+    }),
+
     // Temperature-flattened mixing: per-source quota = 3·⌊√n_source⌋
     // (α=0.5 reweighting) computed from the data in the same window
     // shuffle that ranks the coins — no driver action, no config.
@@ -249,6 +263,13 @@ object PipelineQueries {
          |SELECT doc_id FROM h
          |WHERE h NOT IN (SELECT h FROM h WHERE doc_id % 3 <> 0)
          |ORDER BY doc_id""".stripMargin,
+
+    "x12_zorder_key" -> {
+      val z = graft.operators.Layout.zValueSql(
+        Seq("user_id", "(epoch_us(ts) // 3600000000)"), bits = 16)
+      s"""SELECT event_id, CAST($z AS BIGINT) AS zkey
+         |FROM events ORDER BY event_id""".stripMargin
+    },
 
     "x11_temperature_mix" ->
       s"""SELECT doc_id, source, rnk, quota FROM (
