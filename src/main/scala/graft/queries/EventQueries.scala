@@ -125,6 +125,12 @@ object EventQueries {
     "e10_stream_funnel" -> ((s, dir) =>
       graft.streaming.StreamingJobs.funnelAvailableNow(s, dir)),
 
+    // Streaming exact heavy hitters: one counter per user in state,
+    // flushed by event-time timeout — equals the batch GROUP BY ...
+    // HAVING count >= 70 under the same oracle shape as t14's settle.
+    "e11_stream_heavy_users" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.heavyUsersAvailableNow(s, dir)),
+
     // Daily cohort retention: users cohorted by first-event day,
     // counted on each day-offset they were active.
     "e09_retention" -> ((s, dir) => {
@@ -232,6 +238,11 @@ object EventQueries {
     // identical SQL to e08: the streaming fold must reproduce the
     // batch sequential-minima funnel exactly
     "e10_stream_funnel" -> funnelOracleSql,
+
+    "e11_stream_heavy_users" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id HAVING count(*) >= 70
+        |ORDER BY user_id""".stripMargin,
 
     "e09_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

@@ -426,4 +426,48 @@ object StreamingJobs {
         round($"sum_value", 2).as("sum_value"))
       .orderBy($"window_start_us", $"event_type")
   }
+
+  /** Streaming per-user exact counts with a heavy-hitter threshold,
+    * drained with AvailableNow — each user's counter flushes once the
+    * sentinel-pushed watermark passes its horizon, so the result
+    * equals the batch `GROUP BY user HAVING count >= minCount`. */
+  def heavyUsersAvailableNow(s: SparkSession, dir: String,
+                             minCount: Long = 70L,
+                             horizonUs: Long = 365L * 24 * 3600 * 1000000): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "e11", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
+    val evBatch = Tables.load(s, dir, "events")
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None => return Seq.empty[(Long, Long)].toDF("user_id", "n_events")
+    }
+    Seq((SentinelUser, (maxTus + SentinelSpacingUs) * 1000),
+        (SentinelUser, (maxTus + 2 * SentinelSpacingUs) * 1000))
+      .toDF("user_id", "ts")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def shaped(df: DataFrame) =
+      df.select($"user_id".as("key"), expr("ts div 1000").as("tus"))
+    val real = shaped(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = shaped(s.readStream
+      .schema("user_id LONG, ts LONG").parquet(sentinelDir))
+
+    val counted = StreamingHeavyHitters.counts(
+      real.union(sentinel).as[StreamingHeavyHitters.KeyedEvent], horizonUs)
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = counted.toDF().writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .filter($"key" =!= SentinelUser && $"n_events" >= minCount)
+      .select($"key".as("user_id"), $"n_events")
+      .orderBy($"user_id")
+  }
 }
