@@ -127,6 +127,25 @@ object CurationQueries {
         .orderBy($"lang")
     }),
 
+    // CSV interchange round trip under the same content-digest gate
+    // as p04: header + quote-everything on the way out, explicit
+    // schema on the way back (inference is a scale antipattern — it
+    // costs an extra full read and can flip types between shards).
+    "p06_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = sinkScratch(s, "p06", dir)
+      val docs = Tables.load(s, dir, "documents")
+      docs.write.option("header", "true").option("quoteAll", "true")
+        .option("compression", "gzip").csv(out)
+      s.read.option("header", "true").schema(docs.schema).csv(out)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("total_text_chars"),
+          sum(conv(substring(md5($"text"), 1, 12), 16, 10).cast("long"))
+            .as("text_sum"))
+        .orderBy($"lang")
+    }),
+
     // STREAMING publish: the documents table streams through
     // foreachBatch + CorpusSink into a batch=bN/lang=… partitioned
     // corpus (idempotent per batch id via dynamic partition
@@ -250,6 +269,12 @@ object CurationQueries {
     // original-table aggregate with an md5-prefix checksum: the JSONL
     // transit must preserve every text byte
     "p04_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
+        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p06_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
         |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
