@@ -84,6 +84,41 @@ object AdvancedQueries {
         .orderBy($"click_id")
     }),
 
+    // Time-RANGE rolling window: events in each user's trailing 24 h,
+    // a range frame (peers included by VALUE, not row position) on the
+    // same single user_id shuffle every other per-user window rides.
+    "a08_rolling_range" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"))
+      val w = Window.partitionBy($"user_id").orderBy($"tus")
+        .rangeBetween(-86400000000L, 0L)
+      e.withColumn("n_24h", count(lit(1)).over(w))
+        .select($"event_id", $"user_id", $"tus", $"n_24h")
+        .orderBy($"event_id")
+    }),
+
+    // Interval OVERLAP join: each session × the ±30 min windows around
+    // the user's purchases, via [[graft.operators.RangeJoin.intervalJoin]]
+    // — both sides bucket-exploded, equi-join on (user, bucket), each
+    // pair attributed to its overlap-start bucket so no dedup shuffle.
+    "a09_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("tus"))
+      val sessions = graft.operators.Sessionize.sessions(
+          e.select($"user_id", $"tus", $"event_id"), "user_id", "tus", "event_id")
+        .select($"user_id", $"session_id", $"session_start_us", $"session_end_us")
+      val pw = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          ($"tus" - 1800000000L).as("w_start"), ($"tus" + 1800000000L).as("w_end"))
+      graft.operators.RangeJoin.intervalJoin(sessions, pw, Seq("user_id"),
+          "session_start_us", "session_end_us", "w_start", "w_end",
+          bucketUs = 3600000000L)
+        .select($"user_id", $"session_id", $"purchase_id")
+        .orderBy($"user_id", $"session_id", $"purchase_id")
+    }),
+
     // Pivot: event-type counts as columns per user.
     "a03_pivot" -> ((s, dir) => {
       import s.implicits._
@@ -146,6 +181,37 @@ object AdvancedQueries {
         |FROM p LEFT JOIN v ON p.user_id = v.user_id
         |  AND v.vtus >= p.ptus - 3600000000 AND v.vtus <= p.ptus
         |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
+
+    "a08_rolling_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events)
+        |SELECT event_id, user_id, CAST(tus AS BIGINT) AS tus,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    // the oracle states the naive per-key overlap join; the engine's
+    // bucket-exploded equi-join must reproduce it exactly
+    "a09_interval_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         |w AS (SELECT user_id, event_id, tus,
+         |        CASE WHEN lag(tus, 1) OVER win IS NULL
+         |                  OR tus - lag(tus, 1) OVER win > ${graft.operators.Sessionize.DefaultGapUs}
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT user_id, tus,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM w),
+         |sess AS (SELECT user_id, session_id,
+         |           CAST(min(tus) AS BIGINT) AS ss, CAST(max(tus) AS BIGINT) AS se
+         |         FROM s GROUP BY user_id, session_id),
+         |p AS (SELECT user_id, event_id AS purchase_id,
+         |        epoch_us(ts) - 1800000000 AS ws, epoch_us(ts) + 1800000000 AS we
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT sess.user_id, session_id, purchase_id
+         |FROM sess JOIN p ON p.user_id = sess.user_id
+         |  AND ss <= we AND ws <= se
+         |ORDER BY sess.user_id, session_id, purchase_id""".stripMargin,
 
     // forward as-of: earliest qualifying purchase wins, smallest id on
     // ties (mirrors the operator's forward tie-break contract)

@@ -99,4 +99,51 @@ class RangeJoinSpec extends SparkSpec {
     assert(candidates < nViews.toLong * purchases.size / 100,
       "candidate count is within 1% of the quadratic blowup")
   }
+
+  /** Brute-force interval overlap: all pairs, exact predicate. */
+  private def bruteIv(left: Seq[(Long, Long, Long, Long)],
+                      right: Seq[(Long, Long, Long, Long)]): Set[(Long, Long, Long)] =
+    (for {
+      (lk, lid, ls, le) <- left if ls <= le
+      (rk, rid, rs, re) <- right if rk == lk && rs <= re && ls <= re && rs <= le
+    } yield (lk, lid, rid)).toSet
+
+  private def runIv(left: Seq[(Long, Long, Long, Long)],
+                    right: Seq[(Long, Long, Long, Long)],
+                    bucket: Long): Set[(Long, Long, Long)] =
+    RangeJoin.intervalJoin(
+        left.toDF("k", "lid", "ls", "le"), right.toDF("k", "rid", "rs", "re"),
+        Seq("k"), "ls", "le", "rs", "re", bucket)
+      .select($"k", $"lid", $"rid")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("intervalJoin matches brute force across bucket sizes; one row per pair") {
+    var x = 7L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    def gen(n: Int, span: Long): Seq[(Long, Long, Long, Long)] =
+      (0 until n).map { i =>
+        val s = math.floorMod(nxt(), 6 * Hour) - 3 * Hour
+        (math.floorMod(nxt(), 4L), i.toLong, s, s + math.floorMod(nxt(), span))
+      }
+    val l = gen(100, 2 * Hour) // intervals up to 2h: many span several buckets
+    val r = gen(150, Hour / 2)
+    val expected = bruteIv(l, r)
+    for (b <- Seq(Hour / 4, Hour, 10 * Hour)) {
+      val df = RangeJoin.intervalJoin(
+        l.toDF("k", "lid", "ls", "le"), r.toDF("k", "rid", "rs", "re"),
+        Seq("k"), "ls", "le", "rs", "re", b)
+      // SET equality AND row-count equality: the canonical-bucket
+      // attribution must emit each overlapping pair exactly once even
+      // when the intervals share many buckets
+      assert(df.count() === expected.size, s"bucket=$b duplicated pairs")
+      assert(runIv(l, r, b) === expected, s"bucket=$b")
+    }
+    // degenerate end < start intervals produce nothing
+    val bad = Seq((1L, 9L, 100L, 50L))
+    assert(runIv(bad, r, Hour).isEmpty)
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(l.toDF("k", "lid", "ls", "le"),
+        r.toDF("k", "rid", "rs", "re"), Seq("k"), "ls", "le", "rs", "re", 0L)
+    }
+  }
 }
