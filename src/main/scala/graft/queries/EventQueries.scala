@@ -81,6 +81,21 @@ object EventQueries {
         .orderBy($"hour_bucket")
     }),
 
+    // SLIDING windows: 1-hour length, 30-minute slide — every event
+    // lands in exactly two overlapping windows via Spark's native
+    // window() generator (a codegen'd explode, then the same
+    // partial+final agg as tumbling).
+    "e12_sliding_windows" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("ts_micro", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"ts_micro", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .select(unix_micros($"window.start").as("window_start_us"),
+          $"event_type", $"n", $"n_users")
+        .orderBy($"window_start_us", $"event_type")
+    }),
+
     // Per-user activity profile: event span, rate, dominant type.
     // Deliberately TWO pruned scans, not a shared reuse-anchor: each
     // branch reads disjoint columns (user+ts vs user+type) from the
@@ -216,6 +231,21 @@ object EventQueries {
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
         |count(DISTINCT user_id) AS n_users, round(sum(value),2) AS sum_value
         |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+    // a 1h/30min sliding window covers event t iff its start s (a 30min
+    // multiple) satisfies t-3600e6 < s <= t: exactly the 30min bucket
+    // of t and the one before it
+    "e12_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    (epoch_us(ts) // 1800000000) * 1800000000 AS b
+        |  FROM events),
+        |x AS (SELECT user_id, event_type,
+        |        unnest([b, b - 1800000000]) AS window_start_us FROM e)
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM x GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
 
     "e04_user_profile" ->
       """WITH bytype AS (
