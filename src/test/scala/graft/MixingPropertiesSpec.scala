@@ -80,4 +80,27 @@ class MixingPropertiesSpec extends SparkSpec {
       .filter(col("x.split") =!= col("y.split")).count()
     assert(moved > 0, "changing the salt moved nothing — coin ignores salt?")
   }
+
+  test("chunkTokens equals the sliding-window reference on generated corpora") {
+    val lens = Gen.listOfN(200, Gen.frequency(
+        2 -> Gen.const(0), 6 -> Gen.choose(1, 40), 2 -> Gen.choose(41, 120)))
+      .pureApply(Gen.Parameters.default, Seed(13L))
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }
+    val d = docs.toDF("id", "text")
+    for ((size, stride) <- Seq((5, 5), (8, 3), (3, 7), (1, 1), (64, 16))) {
+      val got = Mixing.chunkTokens(d, "id", "text", size, stride)
+        .select($"id", $"chunk_id", $"start_tok", $"n_tok", $"chunk")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val expected = (for {
+        (id, text) <- docs
+        toks = text.split(" ").filter(_.nonEmpty)
+        (st, c) <- (0 until math.max(toks.length, 0) by stride).zipWithIndex
+        chunk = toks.slice(st, st + size)
+      } yield (id, c.toLong, st.toLong, chunk.length.toLong,
+        chunk.mkString(" "))).toSet
+      assert(got === expected, s"size=$size stride=$stride")
+    }
+  }
 }
