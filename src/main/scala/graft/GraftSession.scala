@@ -62,6 +62,12 @@ object GraftSession {
       (es => graft.functions.VectorFunctions.RandomProjectionSig(es.head, 8, 12, 42L)),
     "sanitize_tokens" -> (es => graft.functions.TextFunctions.SanitizeTokens(es.head)),
     "word_bigrams" -> (es => graft.functions.TextFunctions.WordNGrams(es.head, 2, "+")),
+    // Morton layout key at the max per-column precision the arity
+    // allows (63/k bits each) — `CLUSTER BY zorder_key(a, b)` from
+    // pure SQL; the Column API (graft.operators.Layout) exposes the
+    // explicit-bits variant.
+    "zorder_key" -> (es =>
+      graft.operators.Layout.zValueExpr(es, bits = 63 / math.max(es.size, 1))),
   )
 
   /** Expose the engine's custom Catalyst expressions to SQL on an

@@ -38,6 +38,29 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** Catalyst-expression twin of [[zValue]], for registration in a
+    * FunctionRegistry (the SQL `zorder_key` path) — the registry hands
+    * over raw child Expressions, where a ColumnNode-backed Column
+    * composition would reach codegen unresolved. Same bit placement
+    * as [[zValue]], concrete nodes only. */
+  private[graft] def zValueExpr(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      bits: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(es.nonEmpty, "zValueExpr: no columns")
+    require(bits >= 1 && es.size * bits <= 63,
+      s"zValueExpr: ${es.size} cols x $bits bits must fit in a positive Long")
+    val k = es.size
+    val terms = for {
+      (e, ci) <- es.zipWithIndex
+      i <- 0 until bits
+    } yield ShiftLeft(
+      BitwiseAnd(ShiftRight(Cast(e, LongType), Literal(i)), Literal(1L)),
+      Literal(i * k + (k - 1 - ci)))
+    terms.reduceLeft[Expression]((a, b) => Add(a, b))
+  }
+
   /** The same arithmetic as DuckDB/ANSI SQL — generated from one
     * shared loop so the oracle cannot drift from the engine. */
   private[graft] def zValueSql(cols: Seq[String], bits: Int = 16): String = {

@@ -31,5 +31,14 @@ class SqlFunctionsSpec extends SparkSpec {
     val bigs = spark.sql("SELECT word_bigrams(sanitize_tokens('zu i people')) AS b")
       .as[Seq[String]].head()
     assert(bigs == Seq("zu+i", "i+people"))
+
+    // zorder_key(a, b) = 31-bit-per-column Morton interleave
+    val z = spark.sql("SELECT zorder_key(3L, 1L) AS z").as[Long].head()
+    val viaColumn = Seq((3L, 1L)).toDF("a", "b")
+      .select(graft.operators.Layout.zValue(
+        Seq(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")), bits = 31).as("z"))
+      .as[Long].head()
+    assert(z === viaColumn && z === (8L + 2L + 1L))
   }
 }
