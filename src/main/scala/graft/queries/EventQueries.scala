@@ -146,6 +146,13 @@ object EventQueries {
     "e11_stream_heavy_users" -> ((s, dir) =>
       graft.streaming.StreamingJobs.heavyUsersAvailableNow(s, dir)),
 
+    // STREAMING sliding windows (1h/30min): the overlapping-window
+    // twin of e06's tumbling drain — each event feeds two windows,
+    // state still per (window x type), append-mode once-per-window.
+    "e13_stream_sliding" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.windowCountsAvailableNow(s, dir,
+        slide = Some("30 minutes"), jobTag = "e13")),
+
     // Daily cohort retention: users cohorted by first-event day,
     // counted on each day-offset they were active.
     "e09_retention" -> ((s, dir) => {
@@ -217,6 +224,17 @@ object EventQueries {
       """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
         |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e13_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    (epoch_us(ts) // 1800000000) * 1800000000 AS b
+        |  FROM events),
+        |x AS (SELECT event_type, value,
+        |        unnest([b, b - 1800000000]) AS window_start_us FROM e)
+        |SELECT CAST(window_start_us AS BIGINT) AS window_start_us, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // literally a02's oracle: the streaming range join must reproduce
     // the batch range join exactly

@@ -384,9 +384,11 @@ object StreamingJobs {
     * passes its end + delay, so the same sentinel push as
     * [[sessionizeAvailableNow]] closes every real window. */
   def windowCountsAvailableNow(s: SparkSession, dir: String,
-                               windowLen: String = "1 hour"): DataFrame = {
+                               windowLen: String = "1 hour",
+                               slide: Option[String] = None,
+                               jobTag: String = "e06"): DataFrame = {
     import s.implicits._
-    val work = workRoot(s, "e06", dir)
+    val work = workRoot(s, jobTag, dir)
     wipe(s, work)
     val sentinelDir = new HPath(work, "sentinel").toString
 
@@ -409,8 +411,8 @@ object StreamingJobs {
     val sentinel = shaped(s.readStream
       .schema("ts LONG, event_type STRING, value DOUBLE").parquet(sentinelDir))
 
-    val counts = StreamingWindowCounts.tumblingCounts(
-      real.union(sentinel), windowLen)
+    val counts = StreamingWindowCounts.slidingCounts(
+      real.union(sentinel), windowLen, slide.getOrElse(windowLen))
     val outDir = new HPath(work, "out").toString
     withDrainPartitions(s) {
       val q = counts.writeStream.format("parquet")
