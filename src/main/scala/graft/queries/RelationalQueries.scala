@@ -334,6 +334,28 @@ object RelationalQueries {
         .orderBy($"brand_num")
     }),
 
+    // Table profiling in ONE scan: min/max/ndv/null-count per measure
+    // column, unpivoted to a row per column with stack() over the
+    // single aggregated row — the ANALYZE-style stats pass that
+    // informs bucketing/layout/broadcast decisions. The multi-distinct
+    // aggregate plans through Expand (the standard shape); everything
+    // else is a plain partial+final agg of the same scan.
+    "q30_table_profile" -> ((s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+      }
+      val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', min_$c, max_$c, ndv_$c, nulls_$c").mkString(", ")
+      one.selectExpr(
+          s"stack(${cols.size}, $stackArgs) AS (column_name, min_v, max_v, ndv, n_nulls)")
+        .orderBy($"column_name")
+    }),
+
     // Join on computed key + range predicate (non-equi residual).
     "q24_theta_join" -> ((s, dir) => {
       import s.implicits._
@@ -503,6 +525,13 @@ object RelationalQueries {
       """SELECT brand_num, count(*) AS n FROM (
         |  SELECT regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num FROM part) t
         |WHERE brand_num <> '' GROUP BY brand_num ORDER BY brand_num""".stripMargin,
+
+    "q30_table_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, min($c) AS min_v, max($c) AS max_v,
+           |count(DISTINCT $c) AS ndv,
+           |count(*) FILTER (WHERE $c IS NULL) AS n_nulls FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
 
     "q24_theta_join" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
