@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation — the iterative
@@ -197,15 +196,5 @@ object ConnectedComponents {
     (row.getLong(0), BigDecimal(row.getDecimal(1)))
   }
 
-  /** Drop the cached blocks behind an eagerly localCheckpoint'ed
-    * Dataset. Its analyzed plan is the bare `LogicalRDD` wrapping the
-    * cached internal-row RDD; non-blocking unpersist, matching the
-    * cleanup the ContextCleaner would eventually do. Safe ONLY once
-    * nothing will read the frame again — checkpoint lineage is
-    * truncated, so a later action would fail rather than recompute. */
-  private def unpersistOf(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+  private def unpersistOf(df: DataFrame): Unit = LocalCheckpoints.unpersistOf(df)
 }

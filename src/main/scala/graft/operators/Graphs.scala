@@ -157,14 +157,5 @@ object Graphs {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 
-  /** Drop the cached blocks behind an eagerly localCheckpoint'ed
-    * frame once nothing reads it again (see ConnectedComponents —
-    * checkpoint lineage cannot recompute, so this is safe ONLY for
-    * frames with no remaining reader). */
-  private def unpersistOf(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+  private def unpersistOf(df: DataFrame): Unit = LocalCheckpoints.unpersistOf(df)
 }

@@ -88,6 +88,9 @@ object Mixing {
   def mixSources(df: DataFrame, keyCol: String, sourceCol: String,
                  quotas: Map[String, Long], defaultQuota: Long = 0L,
                  salt: String = "graft"): DataFrame = {
+    require(!df.columns.contains("_rank"),
+      "mixSources: input already has a _rank column (the operator emits " +
+        "its own) — rename it first")
     val entries = quotas.toSeq.sortBy(_._1)
       .flatMap { case (k, q) => Seq(lit(k), lit(q)) }
     val quotaOf = coalesce(element_at(map(entries: _*), col(sourceCol)),
@@ -215,6 +218,10 @@ object Mixing {
   def mixTemperature(df: DataFrame, keyCol: String, sourceCol: String,
                      perSqrt: Long, salt: String = "graft"): DataFrame = {
     require(perSqrt >= 1, s"perSqrt=$perSqrt must be positive")
+    val clash = df.columns.toSet & Set("_rank", "_quota")
+    require(clash.isEmpty,
+      s"mixTemperature: input already has ${clash.mkString(", ")} (the " +
+        "operator emits its own) — rename first")
     val part = Window.partitionBy(col(sourceCol))
     val w = part.orderBy(coin(col(keyCol), salt), col(keyCol))
     val quota = lit(perSqrt) * floor(sqrt(count(lit(1)).over(part))).cast("long")

@@ -137,7 +137,11 @@ object CurationQueries {
       val docs = Tables.load(s, dir, "documents")
       docs.write.option("header", "true").option("quoteAll", "true")
         .option("compression", "gzip").csv(out)
-      s.read.option("header", "true").schema(docs.schema).csv(out)
+      // multiLine: quoted fields may legally contain newlines (this
+      // corpus has none, but the round trip must not depend on that);
+      // the cost — unsplittable files — is already paid by gzip here
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema(docs.schema).csv(out)
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("total_text_chars"),

@@ -29,7 +29,9 @@ object GraphQueries {
   // plus the organic near-dups; pair threshold matches d03.
   private val PrScale = 1000000000L
   private val PrIters = 5
-  private val PrBase = 150000000L // (100-85) * scale / 100
+  // derived, not hard-coded: retuning PrScale cannot desync the
+  // oracle's base-mass constant from the engine's
+  private val PrBase = (100L - 85L) * PrScale / 100L
 
   // g02 slice: every 20th doc, with TWO planted copies each — every
   // trio is an exact-dup 3-clique, so triangles are guaranteed.

@@ -72,4 +72,21 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("p06's CSV settings round-trip text containing newlines and quotes") {
+    // the generated corpus has no embedded newlines, but the round
+    // trip must not depend on that (quoteAll on write + multiLine on
+    // read is the pairing that makes it safe)
+    val tricky = Seq(
+      (1L, "line one\nline two", "en"),
+      (2L, "a \"quoted\" phrase, with commas", "de"),
+      (3L, "plain", "en")).toDF("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    tricky.write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").option("compression", "gzip").csv(out)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .schema(tricky.schema).csv(out)
+    assert(back.orderBy($"doc_id").collect().toSeq ===
+      tricky.orderBy($"doc_id").collect().toSeq)
+  }
 }

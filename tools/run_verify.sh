@@ -1,10 +1,12 @@
 #!/bin/bash
 # Run graft.Verify directly (no sbt JVM spin-up): writes each query's
 # result parquet + oracle_sql.json to $2, reading tables from $1.
-# Usage: tools/run_verify.sh /root/testdata/sf0.01 /tmp/verify_out
+# Usage: tools/run_verify.sh /root/testdata/sf0.01 /tmp/verify_out [query...]
+# Extra args select specific queries (Verify rejects unknown names).
 set -e
 SF_DIR=${1:-/root/testdata/sf0.01}
 OUT_DIR=${2:-/tmp/verify_out}
+shift 2 2>/dev/null || shift $#
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -18,4 +20,4 @@ exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT_DIR"
+  graft.Verify "$SF_DIR" "$OUT_DIR" "$@"
