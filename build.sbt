@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench executes every query 5x (2 warm + 3 timed) in one JVM; the
+  // default 240m code cache can fill from whole-stage-codegen classes
+  // and flip the JIT off mid-run — one of the cross-query slowdown
+  // vectors VERDICT r06 flagged. Spark's own perf docs recommend
+  // raising it for codegen-heavy workloads.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -22,8 +22,41 @@ import java.nio.file.{Files, Paths}
   * reuse onto exchange/shuffle reuse within each query), so every
   * timed run pays its full compute. Cold cost incl. codegen is
   * `graft.Explain`'s `cold=` column.
+  *
+  * Cross-query state (VERDICT r06 "What's wrong" #1): the two warm
+  * passes execute every query once each (218 executions) before the
+  * first timed run, leaving ContextCleaner debt — broadcast blocks,
+  * localCheckpoint RDD blocks, shuffle files — whose ASYNC cleanup
+  * (reference-queue drain + RPC block removal on the cleaner thread)
+  * otherwise lands inside someone else's timed region. r06 measured
+  * the damage at 2-3.5x on the heavy family (d03 7.01 s benched vs
+  * 1.84 s isolated, d07 3.96 vs 2.17, g01 4.55 vs 2.04 — identical
+  * plans). Fix: `settle()` after the warm passes and between timed
+  * queries — clear cached relations, unpersist stray RDD blocks, then
+  * gc + sleep so the cleaner queue drains onto the GAP, not the next
+  * measurement. The JSON now carries per-query min/med/max so residual
+  * noise is visible to the driver instead of silently folded into a
+  * single number.
   */
 object Bench {
+
+  /** Drain accumulated executor/driver state onto this gap: drop
+    * cached relations and stray persisted RDDs (localCheckpoint blocks
+    * whose frames already went out of scope), then run `rounds` of
+    * gc + sleep so ContextCleaner's reference queue is processed HERE
+    * rather than during the next timed query. */
+  private def settle(spark: SparkSession, rounds: Int, sleepMs: Long): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    var i = 0
+    while (i < rounds) {
+      System.gc()
+      Thread.sleep(sleepMs)
+      i += 1
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,30 +80,41 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // The warm passes' 2-per-query executions leave the bulk of the
+    // cleaner debt; give it a long settle before anything is timed.
+    settle(spark, rounds = 4, sleepMs = 400)
     // Timed pass: MEDIAN of 3 runs per query. Single-shot timing is
     // hostage to whichever GC/ContextCleaner pause lands on it — the
     // r2 driver-vs-rerun spread (90.6 s vs 60.0 s total, 7-20x on
-    // individual queries) was all such noise. System.gc() between
+    // individual queries) was all such noise. The settle() between
     // queries drains collector debt onto the gap, not the next query.
     // A query that throws reports a NEGATIVE median (ADVICE: the old
     // -1L sentinel was discarded, so failures looked like fast
     // successes) and is excluded from the total.
+    final case class Stat(name: String, min: Double, med: Double, max: Double,
+                          failed: Boolean) {
+      def signedMed: Double = if (failed) -med else med
+    }
     val results = ordered.map { case (name, fn) =>
-      System.gc()
+      settle(spark, rounds = 1, sleepMs = 150)
       var failed = false
       val times = Array.fill(3) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val median = times(1)
-      name -> (if (failed) -median else median)
+      Stat(name, times(0), times(1), times(2), failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = results.filterNot(_.failed).map(_.med).sum
+    val nFailed = results.count(_.failed)
+    val qs = results.map(r => "\"" + r.name + "\":" + r.signedMed)
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    // Per-query spread: a med far above min flags a run that caught a
+    // pause; the driver/judge can see noise instead of inferring it.
+    val stats = results
+      .map(r => s""""${r.name}":{"min":${r.min},"med":${r.med},"max":${r.max}}""")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"failed":$nFailed,"sf":"$sfDir"}"""
     // Full-precision record for humans/judges, and an early stdout copy.
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
@@ -88,15 +132,15 @@ object Bench {
     // parsed:null failure this line exists to cure.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def renderLine(entries: Seq[(String, Double)], elided: Int): String = {
-      val body = entries.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def renderLine(entries: Seq[Stat], elided: Int): String = {
+      val body = entries.sortBy(_.name)
+        .map(r => "\"" + r.name + "\":" + fmt(r.signedMed))
         .mkString("{", ",", "}")
       val el = if (elided > 0) s""","elided":$elided""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body$el,"failed":$nFailed,"sf":"$sfDir"}"""
     }
     val budget = 1800
-    var keep = results.sortBy { case (_, v) => -math.abs(v) }
+    var keep = results.sortBy(r => -r.med)
     var compact = renderLine(keep, 0)
     while (compact.length > budget && keep.nonEmpty) {
       keep = keep.dropRight(1)
