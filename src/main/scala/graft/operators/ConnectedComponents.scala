@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * edge list, shuffled on vertex id) + one min-aggregation — all
   * hash-partitioned, no driver-side graph. The per-round driver action
   * is a single changed-row count (8 bytes). The edge list and each
-  * round's labels are truncated with `localCheckpoint` (the iterative
-  * idiom GraphX uses), or each round re-executes the whole upstream
+  * round's labels are truncated with [[Checkpoints.materialize]]
+  * (the iterative idiom GraphX uses: executor-local blocks by
+  * default, reliable shared-FS files when `spark.graft.checkpointDir`
+  * is set), or each round re-executes the whole upstream
   * plan — including whatever expensive self-join produced the edges.
   * For adversarial diameters (long chains at
   * billions of edges) use [[components(edges*]]'s sibling
@@ -49,10 +51,10 @@ object ConnectedComponents {
     // un-truncated upstream (e.g. a shingle self-join) would execute
     // twice here and then again every round.
     val once = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     val sym = once.union(once.select(col("v"), col("u")))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     // `sym` is materialized and lineage-truncated — `once`'s blocks are
     // dead from here on. Free intermediates EXPLICITLY: localCheckpoint
     // blocks otherwise live until the GC/ContextCleaner happens to
@@ -85,7 +87,7 @@ object ConnectedComponents {
         .select(col("u"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"),
           (coalesce(col("nmin"), col("label")) < col("label")).as("dropped"))
-        .localCheckpoint()
+        .transform(Checkpoints.materialize)
       changed = updated.filter(col("dropped")).count()
       // the new round is materialized with truncated lineage, so the
       // previous round's blocks have no remaining reader — free them
@@ -142,7 +144,7 @@ object ConnectedComponents {
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     var converged = e.isEmpty
     var iter = 0
     var checksum = starChecksum(e)
@@ -158,7 +160,7 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(Checkpoints.materialize)
       // SMALL-STAR: edges already point large→small; every small
       // neighbor and u itself re-point at the neighborhood min
       val mins2 = ls.groupBy(col("u"))
@@ -168,7 +170,7 @@ object ConnectedComponents {
         .union(mins2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(Checkpoints.materialize)
       val next = starChecksum(ss)
       converged = next == checksum
       checksum = next
@@ -196,5 +198,5 @@ object ConnectedComponents {
     (row.getLong(0), BigDecimal(row.getDecimal(1)))
   }
 
-  private def unpersistOf(df: DataFrame): Unit = LocalCheckpoints.unpersistOf(df)
+  private def unpersistOf(df: DataFrame): Unit = Checkpoints.free(df)
 }

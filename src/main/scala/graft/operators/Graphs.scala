@@ -38,7 +38,9 @@ object Graphs {
     * sum, no global aggregate on the hot path).
     *
     * Scale shape: the edge list (joined once with out-degrees) and the
-    * endpoint set are materialized ONCE with `localCheckpoint`; the k
+    * endpoint set are materialized ONCE with [[Checkpoints.materialize]]
+    * (executor-local blocks by default; reliable shared-FS files when
+    * `spark.graft.checkpointDir` is set); the k
     * iterations then chain k equi-join + partial-agg stages over those
     * cached blocks in a SINGLE job — no per-round driver action,
     * because the iteration count is fixed rather than
@@ -64,14 +66,14 @@ object Graphs {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     // out-degree rides on every edge so an iteration never re-joins
     // the degree table; checkpointed once for all k iteration reads
     val ewd = e.join(e.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     val verts = ewd.select(col("u")).union(ewd.select(col("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     // ewd/verts carry everything the iterations read — e's blocks are
     // dead from here on (same explicit-free discipline as
     // ConnectedComponents: an operator must not park cached frames)
@@ -120,7 +122,7 @@ object Graphs {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     val deg = und.select(col("u")).union(und.select(col("v")))
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
     // orient by (degree, id); carry the head's key so wedge pairs can
@@ -140,7 +142,7 @@ object Graphs {
       .select(col("s"), col("tk.i").as("t"), col("tk"))
     // the oriented edge list is read three times (both wedge sides +
     // the closing join) — materialize it and free the canonical list
-    val ordCk = ord.localCheckpoint()
+    val ordCk = ord.transform(Checkpoints.materialize)
     unpersistOf(und)
     // wedges at the low corner: unordered out-neighbor pairs, ordered
     // by the orientation key so the closing edge has a known direction
@@ -157,5 +159,5 @@ object Graphs {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 
-  private def unpersistOf(df: DataFrame): Unit = LocalCheckpoints.unpersistOf(df)
+  private def unpersistOf(df: DataFrame): Unit = Checkpoints.free(df)
 }
