@@ -356,6 +356,33 @@ object RelationalQueries {
         .orderBy($"column_name")
     }),
 
+    // The 100 TB twin of q30: same one-scan profile, NDV via
+    // approx_count_distinct (HyperLogLog++, default 5% rsd). The exact
+    // 4-way countDistinct above plans an Expand that multiplies every
+    // scan row x4 before the partial agg — the right shape for an
+    // exact oracle, the wrong one for a petabyte ANALYZE pass. HLL
+    // sketches are fixed-size per column and merge associatively, so
+    // this plan is one ordinary partial+final aggregate over the scan:
+    // no Expand, no row multiplication (PlanSpec pins both). HLL
+    // values are engine-specific, so the driver records the weaker
+    // rows-only check; ProfileApproxSpec gates the NDV against the
+    // exact values within the documented rsd at two SFs.
+    "q31_profile_approx" -> ((s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          approx_count_distinct(col(c)).as(s"ndv_$c"),
+          count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+      }
+      val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', min_$c, max_$c, ndv_$c, nulls_$c").mkString(", ")
+      one.selectExpr(
+          s"stack(${cols.size}, $stackArgs) AS (column_name, min_v, max_v, ndv_approx, n_nulls)")
+        .orderBy($"column_name")
+    }),
+
     // Join on computed key + range predicate (non-equi residual).
     "q24_theta_join" -> ((s, dir) => {
       import s.implicits._
