@@ -1,30 +1,68 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Shuffle/spill audit: runs each query once (after a warm pass) and
-  * sums the SQL metrics of its EXECUTED plan — shuffle bytes written
-  * across every exchange, spill bytes across sorts/aggregates — the
-  * quantitative side of PLANS.md's "minimize shuffles" claims.
-  * Walking the AQE-final plan (instead of a SparkListener) attributes
-  * bytes to the query precisely, counts a ReusedExchange's child only
-  * once, and needs no event-bus synchronization.
+  * reports its shuffle/spill volume TWO ways.
   *
-  * Scope caveat: the audit sees ONE QueryExecution — the returned
-  * frame's. Operators that materialize internally report only their
-  * post-materialization dataflow: iterative operators (d07/g01/g02)
-  * exclude the localCheckpoint'ed edge-mining bytes, and streaming
-  * drains (e05/e06/…) exclude the micro-batch execution, reporting
-  * just the sink read + final sort. Batch single-plan queries — the
-  * vast majority — are reported in full.
+  *  - `shuffle_mb`/`spill_mb`: summed SQL metrics of the returned
+  *    frame's EXECUTED plan. Walking the AQE-final plan attributes
+  *    bytes to the plan precisely and counts a ReusedExchange's child
+  *    only once — the per-exchange view PLANS.md's shapes are pinned
+  *    against. Blind spot: it sees ONE QueryExecution, so work an
+  *    operator materializes internally (the per-round joins of
+  *    d07/g01/g02, every streaming micro-batch of e05/e06/…) is
+  *    invisible (VERDICT r06 task #6).
+  *  - `task_shuffle_mb`/`task_spill_mb`: a SparkListener summing task
+  *    metrics across EVERY job the query ran between start and finish
+  *    — checkpoint materializations, iteration rounds, micro-batches,
+  *    subqueries, all of it. Coarser attribution (anything concurrent
+  *    would land in the same bucket; the audit runs queries strictly
+  *    serially so there isn't), complete coverage.
+  *
+  * A large task/plan gap is itself the finding: it measures exactly
+  * the internally-materialized dataflow the plan view cannot see.
   *
   * Usage: tools/jrun.sh graft.ShuffleAudit [sfDir] [query...]
-  * Prints one JSON line: {"query":{"shuffle_mb":x,"spill_mb":y},...}.
+  * Prints one JSON line:
+  * {"query":{"shuffle_mb":x,"spill_mb":y,"task_shuffle_mb":z,"task_spill_mb":w},...}.
   */
 object ShuffleAudit {
+
+  /** Sums shuffle-write and spill bytes over every task that ends
+    * while registered. Spill = memory + disk spill (the pair moves
+    * together; zero stays zero). */
+  private final class TaskTotals extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        ()
+      }
+    }
+    /** Event delivery is async; the action returning does not mean the
+      * bus has drained. Settle = counters unchanged for two polls. */
+    def settled(): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = (shuffleWrite.get, spill.get)
+      var waited = 0
+      while (cur != prev && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        prev = cur
+        cur = (shuffleWrite.get, spill.get)
+      }
+      cur
+    }
+  }
 
   /** Every node of the executed plan, descending through AQE wrappers
     * and subqueries; a ReusedExchange's subtree is NOT re-entered (its
@@ -66,6 +104,8 @@ object ShuffleAudit {
     }
     def mb(v: Long): Double = math.round(v / 1048.576) / 1000.0
     val rows = ordered.flatMap { case (name, fn) =>
+      val totals = new TaskTotals
+      spark.sparkContext.addSparkListener(totals)
       try {
         val df = fn(spark, sfDir)
         // execute THIS QueryExecution (df.count() would plan a separate
@@ -74,11 +114,15 @@ object ShuffleAudit {
         val nodes = flatten(df.queryExecution.executedPlan)
         val written = sumMetric(nodes, "shuffleBytesWritten")
         val spill = sumMetric(nodes, "spillSize")
-        Some(name -> ((mb(written), mb(spill))))
+        val (tw, ts) = totals.settled()
+        Some(name -> ((mb(written), mb(spill), mb(tw), mb(ts))))
       } catch { case _: Throwable => None }
+      finally spark.sparkContext.removeSparkListener(totals)
     }
     val line = rows
-      .map { case (n, (w, s)) => s""""$n":{"shuffle_mb":$w,"spill_mb":$s}""" }
+      .map { case (n, (w, s, tw, ts)) =>
+        s""""$n":{"shuffle_mb":$w,"spill_mb":$s,"task_shuffle_mb":$tw,"task_spill_mb":$ts}"""
+      }
       .mkString("{", ",", "}")
     println(line)
     spark.stop()
