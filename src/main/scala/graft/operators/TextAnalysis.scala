@@ -127,6 +127,60 @@ object TextAnalysis {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
   }
 
+  /** BM25 ranked retrieval: top-`k` documents for a bag of query
+    * `terms`, scored with the Robertson/Okapi term-weight
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`. The idf is the
+    * RATIONAL Robertson–Sparck-Jones form `(N−df+0.5)/(df+0.5)`
+    * without the customary log: `ln` is not correctly-rounded IEEE,
+    * so it cannot sit under a bit-exact cross-engine oracle — and
+    * every other operation here (+,−,×,÷ on doubles) is, making the
+    * whole score deterministic to the bit. Swapping in the log idf is
+    * a one-line change. Per-document term scores are summed in
+    * CANONICAL order (sort the score array, left-fold) so partition
+    * order cannot perturb the float sum.
+    *
+    * Scale shape: the corpus is scanned twice, both passes map-side
+    * only — once for the 2-number global stats (N, avgdl), once for
+    * postings. Tokens are filtered to the query terms BEFORE the tf
+    * exchange, so the only shuffle is |terms|·df posting-group rows,
+    * never the token stream; doc length rides each posting row (8
+    * bytes) rather than joining a length table back in. Corpus stats
+    * broadcast (2 values); df comes from a window over the
+    * already-collapsed tf rows; the final top-k plans as
+    * TakeOrderedAndProject (no global sort). Ties break by doc id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(col(idCol), tokenize(col(textCol)).as("t"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("t"))).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = toks
+      .select(col(idCol), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val wd = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // k1+1 and 1-b are folded on the driver; both engines then execute
+    // the same correctly-rounded double ops in the same association
+    val scored = wd.crossJoin(broadcast(stats))
+      .withColumn("s",
+        (((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(col("s"))).as("ss"))
+      .withColumn("score",
+        round(aggregate(col("ss"), lit(0.0), (acc, x) => acc + x), 4))
+      .select(col(idCol), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def topSalientTerms(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

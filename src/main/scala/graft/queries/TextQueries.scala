@@ -189,6 +189,16 @@ object TextQueries {
         .select($"token", $"df", $"doc_id", $"tf")
         .orderBy($"token", $"doc_id")
     }),
+
+    // BM25 ranked retrieval: top-20 docs for a 4-term query mixing
+    // one rare term (dup, df≈25) with common vocabulary — the
+    // relevance-ranking primitive a decontamination/search pass runs
+    // over the inverted-index machinery. Bit-exact under the oracle:
+    // rational idf (no ln), canonical-order float fold (see
+    // TextAnalysis.bm25TopK's scaladoc).
+    "t17_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("dup", "join", "key", "vector"), k = 20)),
   )
 
   private def langCaseSql: String = {
@@ -371,5 +381,32 @@ object TextQueries {
          |SELECT token, CAST(df AS BIGINT) AS df, doc_id, CAST(tf AS BIGINT) AS tf
          |FROM wd WHERE doc_id % 7 = 0
          |ORDER BY token, doc_id""".stripMargin,
+
+    // Same rational-idf BM25, same parenthesization (every op is
+    // correctly-rounded IEEE double, so association must match the
+    // Spark side exactly), exponent-form literals so DuckDB computes
+    // in DOUBLE rather than DECIMAL, and the same canonical-order
+    // fold: list_sort + left-reduce from a prepended 0.0 mirrors
+    // sort_array + aggregate(.., 0.0, +).
+    "t17_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |            CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |          FROM toks),
+         |posts AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf FROM posts
+         |       WHERE term IN ('dup', 'join', 'key', 'vector') GROUP BY doc_id, term),
+         |wd AS (SELECT tf.*, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         |sc AS (SELECT doc_id,
+         |         (((n_docs - df) + 0.5e0) / (df + 0.5e0)) *
+         |         ((tf * (1.2e0 + 1.0e0)) /
+         |          (tf + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0 * (dl / avgdl)))) AS s
+         |       FROM wd CROSS JOIN stats),
+         |agg AS (SELECT doc_id, count(*) AS n_terms,
+         |          round(list_reduce(list_prepend(0.0e0, list_sort(list(s))),
+         |                            (acc, x) -> acc + x), 4) AS score
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score FROM agg
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
   )
 }
