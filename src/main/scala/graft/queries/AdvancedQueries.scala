@@ -142,6 +142,26 @@ object AdvancedQueries {
         .orderBy($"event_type")
     }),
 
+    // The 100 TB twin of a04: exact percentile materializes and sorts
+    // EVERY value per group (memory ∝ group size — the scale hazard);
+    // percentile_approx's quantile sketch is bounded-size per group
+    // and merges associatively, so the plan is an ordinary
+    // partial+final aggregate whatever the group sizes. Sketch values
+    // are engine-specific → rows-only driver gate; ProfileApproxSpec
+    // gates the approx values against a04's exact ones.
+    "a10_percentiles_approx" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"event_type")
+        .agg(expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("ps"))
+        .select($"event_type",
+          round(element_at($"ps", 1), 4).as("p50"),
+          round(element_at($"ps", 2), 4).as("p90"),
+          round(element_at($"ps", 3), 4).as("p99"))
+        .orderBy($"event_type")
+    }),
+
     // JSON extraction from the props column.
     "a05_json_extract" -> ((s, dir) => {
       import s.implicits._

@@ -27,6 +27,41 @@ class ProfileApproxSpec extends SparkSpec {
     assert(exact.contains("Expand"), "q30 lost its exact multi-distinct shape?")
   }
 
+  test("a10 approx percentiles sit within rank tolerance of a04's exact ones") {
+    // The sketch's guarantee is on RANK, not value: a value-relative
+    // tolerance is meaningless at a heavy tail where one rank step
+    // jumps 25% in value. Gate each approx quantile q between the
+    // exact (q-eps) and (q+eps) percentiles instead.
+    import org.apache.spark.sql.functions._
+    val eps = 0.01
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val approx = rowsOf("a10_percentiles_approx", dir)
+      val qs = Seq(0.5, 0.9, 0.99)
+      val aggs = qs.flatMap(q => Seq(
+        expr(s"percentile(value, ${math.max(0.0, q - eps)})").as(f"lo_$q"),
+        expr(s"percentile(value, ${math.min(1.0, q + eps)})").as(f"hi_$q")))
+      val bounds = graft.Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(approx.keySet == bounds.keySet)
+      for ((etype, a) <- approx; (q, i) <- qs.zipWithIndex) {
+        val va = a.getDouble(i + 1)
+        val (lo, hi) = (bounds(etype).getDouble(1 + 2 * i),
+          bounds(etype).getDouble(2 + 2 * i))
+        assert(va >= lo - 1e-9 && va <= hi + 1e-9,
+          s"$etype q=$q approx=$va outside exact rank band [$lo, $hi] at $dir")
+      }
+    }
+  }
+
+  test("a10 plans a plain partial+final aggregate (no per-group sort blowup)") {
+    val p = SparkEntry.queries("a10_percentiles_approx")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("Expand"), "unexpected Expand in approx percentile plan")
+  }
+
   test("exact stats match q30; NDV within HLL tolerance at two SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val exact = rowsOf("q30_table_profile", dir)
