@@ -262,4 +262,56 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicate-SPAN detection: for every document, how many of its
+    * sliding `w`-token windows also occur elsewhere in the corpus
+    * (any document, any position — self-repetition counts). Document-
+    * level dedup misses boilerplate: headers, license blocks, and
+    * templated passages repeat across otherwise-distinct documents,
+    * and span-level dedup is the published fix (the suffix-array
+    * substring dedup line of work). This is the windowed-hash
+    * formulation of that pass: exact on spans of length ≥ `w`, with
+    * stride 1 so no alignment is missed.
+    *
+    * Output: one row per document — `(idCol, n_windows,
+    * n_dup_windows, dup_ratio)`; docs shorter than `w` tokens report
+    * zeros.
+    *
+    * Scale shape: each doc emits `len−w+1` window hashes (the token
+    * stream ×1, the inherent cost of stride-1 substring dedup — the
+    * suffix-array alternative pays corpus-sized construction too).
+    * The stream collapses FIRST on `(hash, doc)` with map-side
+    * partials (boilerplate is exactly the high-multiplicity case), so
+    * the global per-hash count and the verdict join run over
+    * collapsed group rows, never raw positions. Everything downstream
+    * of the first exchange is group-sized; the final left join
+    * restores zero-window docs. All arithmetic is integer + one
+    * rounded division, so the whole operator sits under an exact
+    * cross-engine oracle (d10). */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               w: Int = 10): DataFrame = {
+    require(w >= 2, s"window w=$w must be >= 2")
+    val wh = docs
+      .select(col(idCol), tokenize(col(textCol)).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), " +
+          s"i -> md5(array_join(slice(t, i, $w), ' ')))")).as("wh"))
+    // positions of each span per doc — the ONLY token-scale exchange
+    val perHashDoc = wh.groupBy(col("wh"), col(idCol))
+      .agg(count(lit(1)).as("k"))
+    val global = perHashDoc.groupBy(col("wh")).agg(sum(col("k")).as("n"))
+    val per = perHashDoc.join(global, "wh")
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_windows"),
+        sum(when(col("n") > 1, col("k")).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup_windows"), lit(0L)) /
+            col("n_windows").cast("double")), 4).as("dup_ratio"))
+  }
 }

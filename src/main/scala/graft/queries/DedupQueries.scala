@@ -128,6 +128,16 @@ object DedupQueries {
       Dedup.keepBestIds(d.unionByName(planted), "doc_id", "text", "n_chars")
         .orderBy($"doc_id")
     }),
+
+    // Span-level dedup: per doc, how many sliding 10-token windows
+    // occur more than once corpus-wide (boilerplate detection — the
+    // substring-dedup pass document-level dedup cannot do). Exact
+    // integer arithmetic + md5 window hashes → full oracle.
+    "d10_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.dupSpans(docs(s, dir), "doc_id", "text", w = 10)
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,6 +200,26 @@ object DedupQueries {
     "d01_exact_groups" ->
       s"""SELECT md5($SqlNorm) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    // sliding 10-token window hashes; a window is dup if its hash
+    // occurs >1 times corpus-wide (self-repetition included). DuckDB
+    // list slice t[i:i+9] is the inclusive twin of Spark slice(t,i,10)
+    "d10_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 8),
+        |        i -> md5(array_to_string(t[i:i+9], ' ')))) AS wh
+        |      FROM toks WHERE len(t) >= 10),
+        |g AS (SELECT wh, count(*) AS n FROM w GROUP BY wh),
+        |per AS (SELECT w.doc_id, count(*) AS n_windows,
+        |          count(*) FILTER (WHERE g.n > 1) AS n_dup_windows
+        |        FROM w JOIN g USING (wh) GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  round(CASE WHEN coalesce(per.n_windows, 0) = 0 THEN 0.0e0
+        |        ELSE coalesce(per.n_dup_windows, 0) / CAST(per.n_windows AS DOUBLE) END, 4) AS dup_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d02_exact_keep" ->
       s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id

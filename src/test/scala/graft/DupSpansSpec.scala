@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Span-level dedup (d10's operator) on a hand-checkable corpus:
+  * cross-document boilerplate, self-repetition, and the short-doc
+  * zero path. */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("window counts, cross-doc and self dup spans, short-doc zeros") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // windows(3): abc bcd cde
+      (2L, "x y z a b c"), // xyz yza zab abc — shares abc with doc 1
+      (3L, "a b"), // shorter than w → zeros
+      (4L, "q q q q") // qqq qqq — self-repetition is dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(corpus, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 2L, 1.0)))
+  }
+
+  test("w larger than every doc yields all zeros, never an error") {
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(corpus, "doc_id", "text", w = 10).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 0L)))
+  }
+}
