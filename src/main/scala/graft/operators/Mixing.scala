@@ -55,6 +55,27 @@ object Mixing {
                     salt: String = "graft"): DataFrame =
     df.filter(coin(col(keyCol), salt) < lit(rateThreshold(rate)))
 
+  /** Quality-WEIGHTED deterministic sample: keep each row iff its coin
+    * lands under a PER-ROW acceptance rate (any Column in [0,1] —
+    * typically a quality score), the curation move that keeps
+    * high-quality documents with certainty and down-samples the tail
+    * proportionally instead of applying one blunt corpus-wide rate.
+    * Deterministic and content-addressed like [[sampleUniform]]: the
+    * same row under the same salt always gets the same verdict, so
+    * re-runs and incremental extensions are stable, and the filter is
+    * map-side codegen over the scan — zero shuffle at any corpus size.
+    *
+    * Cross-engine exactness: the 8-hex coin converts to an integer
+    * < 2^32 (exact in a double) and compares `< rate * 2^32` in pure
+    * double arithmetic — multiply is correctly-rounded IEEE and the
+    * compare is exact, so no rounding step exists for engines to
+    * disagree on. Rates outside [0,1] clamp naturally (rate ≤ 0 keeps
+    * nothing; rate ≥ 1 keeps everything). */
+  def sampleWeighted(df: DataFrame, keyCol: String, rate: Column,
+                     salt: String = "graft"): DataFrame =
+    df.filter(conv(coin(col(keyCol), salt), 16, 10).cast("double") <
+      rate * lit(4294967296.0))
+
   /** Stratified deterministic sample: per-stratum rates (strata absent
     * from `rates` fall back to `defaultRate`). The rate table rides
     * along as a literal MAP expression — never a join, never a

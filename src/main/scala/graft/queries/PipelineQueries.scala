@@ -74,6 +74,19 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Quality-weighted sampling: per-row acceptance rate proportional
+    // to document length (capped at 1) — long docs survive with
+    // certainty, short ones proportionally. Map-side codegen filter,
+    // zero shuffle; coin-vs-rate compare is exact double arithmetic
+    // so the oracle is bit-identical.
+    "x13_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      Mixing.sampleWeighted(docs(s, dir), "doc_id",
+          least(lit(1.0), $"n_chars" / lit(400.0)), salt = "w42")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // Source mixing: down-sample each source to its target count by
     // deterministic-coin rank; unlisted sources drop to zero.
     "x03_mix_sources" -> ((s, dir) => {
@@ -231,6 +244,14 @@ object PipelineQueries {
               s"('$k', '${Mixing.rateThreshold(r)}')" }.mkString(", ")})
          |  t(l, th) ON l = lang
          |WHERE ${sqlCoin("doc_id", "s42")} < th
+         |ORDER BY doc_id""".stripMargin,
+
+    // the coin's 8 hex chars convert to an exact-in-double integer;
+    // < rate*2^32 is one correctly-rounded multiply + an exact compare
+    "x13_sample_weighted" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         |WHERE CAST(concat('0x', ${sqlCoin("doc_id", "w42")}) AS BIGINT)
+         |  < least(1.0e0, n_chars / 400.0e0) * 4294967296.0e0
          |ORDER BY doc_id""".stripMargin,
 
     "x03_mix_sources" ->

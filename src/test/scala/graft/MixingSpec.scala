@@ -25,6 +25,32 @@ class MixingSpec extends SparkSpec {
     assert(justBelow.length === 8 && justBelow > "f0000000")
   }
 
+  test("sampleWeighted: clamps, monotone in rate, rate-accurate, zero-shuffle") {
+    val ids = spark.range(0, 20000).toDF("id")
+    assert(Mixing.sampleWeighted(ids, "id", lit(1.0), salt = "t").count() == 20000)
+    assert(Mixing.sampleWeighted(ids, "id", lit(0.0), salt = "t").count() == 0)
+    assert(Mixing.sampleWeighted(ids, "id", lit(-0.5), salt = "t").count() == 0)
+    assert(Mixing.sampleWeighted(ids, "id", lit(2.0), salt = "t").count() == 20000)
+    // a higher per-row rate keeps a SUPERSET (the coin is shared)
+    val lo = Mixing.sampleWeighted(ids, "id", lit(0.2), salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    val hi = Mixing.sampleWeighted(ids, "id", lit(0.6), salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    assert(math.abs(lo.size / 20000.0 - 0.2) < 0.02)
+    assert(math.abs(hi.size / 20000.0 - 0.6) < 0.02)
+    // genuinely per-row: rate depending on the row keeps exactly the
+    // rows each constant-rate run kept in its half
+    val split = Mixing.sampleWeighted(ids, "id",
+        when(col("id") < 10000, lit(0.2)).otherwise(lit(0.6)), salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(split == lo.filter(_ < 10000) ++ hi.filter(_ >= 10000))
+    // map-side only: no exchange anywhere in the plan
+    val p = Mixing.sampleWeighted(ids, "id", lit(0.5), salt = "t")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"weighted sample shuffled:\n$p")
+  }
+
   test("sampleUniform is deterministic, rate-accurate, and repartition-stable") {
     val ids = spark.range(0, 20000).toDF("id")
     val kept = Mixing.sampleUniform(ids, "id", 0.25, salt = "t")
