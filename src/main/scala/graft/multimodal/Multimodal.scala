@@ -194,6 +194,25 @@ object Multimodal {
   /** Deterministic synthetic PNG for doc `id`: small dims and pure-
     * arithmetic pixels, so decoded aggregates have a closed-form
     * oracle. r=(id+3x+7y)%256, g=(2id+5x+y)%256, b=(3id+x+11y)%256. */
+  /** Deterministic VISUALLY-DISTINCT class image: an 8×8 black/white
+    * bitmap whose pixels are the bits of splitmix64(k). Built for the
+    * perceptual-hash dedup gate (m07): [[averageHash64]] of such a
+    * bitmap is exactly its white-pixel mask (white=765 > mean >
+    * black=0 whenever the pattern is mixed), so distinct k give
+    * distinct hashes with ~2⁻⁶⁴ collision odds — unlike the smooth
+    * [[synthPng]] gradients, which are visually NEAR each other and
+    * correctly merge under a perceptual hash (ImageHashSpec pins that
+    * contrast). splitmix64 is the public-domain mix from Steele et
+    * al.'s SplittableRandom. */
+  def synthPngPattern(k: Long): Array[Byte] = {
+    var z = k + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val bits = z ^ (z >>> 31)
+    ImageCodec.encode(8, 8, (x, y) =>
+      if (((bits >>> (y * 8 + x)) & 1L) == 1L) 0xFFFFFF else 0x000000)
+  }
+
   def synthPng(id: Long): Array[Byte] = {
     val w = (8 + id % 24).toInt
     val h = (8 + id % 16).toInt
@@ -431,6 +450,51 @@ object Multimodal {
         }
       }
     }.toDF("id", "format", "width", "height", "n_bytes")
+  }
+
+  /** 64-bit average perceptual hash of REAL decoded pixels: 8×8
+    * nearest-neighbor luminance samples (pure integer arithmetic —
+    * `sx = x·w/8` floor, luminance = r+g+b unscaled), thresholded at
+    * the integer mean (floor division). Every step is deterministic
+    * integer math over losslessly-decoded pixels, so identical image
+    * content ALWAYS yields identical hashes, on any executor, for any
+    * ImageIO-readable format. Hamming-near hashes indicate visually
+    * near-duplicate images; for banded near-dup candidate generation
+    * compose with the SimHash 4×16-bit banding (`Dedup.simHashPairs`
+    * has the pigeonhole argument). Undecodable bytes → None. */
+  def averageHash64(bytes: Array[Byte]): Option[Long] = {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lum = new Array[Long](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+        lum(i) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        i += 1
+      }
+      val mean = lum.sum / 64
+      var hash = 0L
+      var j = 0
+      while (j < 64) { if (lum(j) > mean) hash |= (1L << j); j += 1 }
+      hash
+    } catch { case _: Throwable => None }
+  }
+
+  /** Distributed perceptual hashing: `(id, image_bytes)` →
+    * `(id, ahash)`; undecodable payloads report -1. Same batched
+    * mapPartitions shape as [[decodeImageStats]] — payload bytes never
+    * visit the driver. */
+  def imageHashes(ds: Dataset[(Long, Array[Byte])], batchSize: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          (id, averageHash64(bytes).getOrElse(-1L))
+        }
+      }
+    }.toDF("id", "ahash")
   }
 
   /** Distributed real-codec decode: `(id, image_bytes)` → dimensions +

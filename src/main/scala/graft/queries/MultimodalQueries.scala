@@ -122,6 +122,29 @@ object MultimodalQueries {
           $"n_frames", $"duration_ms")
         .orderBy($"doc_id")
     }),
+
+    // Image dedup in PIXEL space: every doc gets a real PNG whose
+    // content class is doc_id % 100 (planted exact copies), the
+    // perceptual hash is computed from the DECODED pixels, and
+    // identical content clusters on the hash. Byte-level dedup (d01)
+    // cannot do this across re-encodes; the hash is invariant to the
+    // container, not the bytes. The oracle never sees a hash — it
+    // replays the planting arithmetic (cluster k = docs ≡ k mod 100,
+    // representative = min id = k), so the gate proves the full
+    // encode→decode→hash→cluster path collapses exactly the planted
+    // classes: 100 clusters, no more (no hash collision across
+    // classes), no fewer (no instability within a class).
+    "m07_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthPngPattern(id % 100)))
+      Multimodal.imageHashes(imgs)
+        .groupBy($"ahash")
+        .agg(min($"id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,6 +157,14 @@ object MultimodalQueries {
         |CAST(1 + doc_id % 48 AS BIGINT) AS n_frames,
         |CAST(40 * (1 + doc_id % 48) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planting arithmetic, hash-free: cluster k holds every doc
+    // with doc_id % 100 = k, its representative is min(doc_id) = k
+    // (doc ids are dense from 0). Exactly 100 rows = no cross-class
+    // hash collision and no within-class instability.
+    "m07_image_dedup" ->
+      """SELECT CAST(doc_id % 100 AS BIGINT) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY doc_id % 100 ORDER BY keep_id""".stripMargin,
+
     // n = 100 + id % 400 samples; sample i = ((id*31 + i*17) % 4096) - 2048
     "m05_audio_decode" ->
       """WITH n AS (SELECT doc_id, 100 + doc_id % 400 AS nf FROM documents),
