@@ -96,7 +96,10 @@ object Bench {
       def signedMed: Double = if (failed) -med else med
     }
     val results = ordered.map { case (name, fn) =>
-      settle(spark, rounds = 1, sleepMs = 150)
+      // two rounds: one gc ENQUEUES dead references, the cleaner drains
+      // them async — the second gc+sleep gives multi-job queries
+      // (iterative operators, drains) a cleaner-quiet start
+      settle(spark, rounds = 2, sleepMs = 250)
       var failed = false
       val times = Array.fill(3) {
         val t0 = System.nanoTime()
