@@ -291,12 +291,15 @@ object Dedup {
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                w: Int = 10): DataFrame = {
     require(w >= 2, s"window w=$w must be >= 2")
+    // unhex: the hash never leaves this operator (the output is
+    // counts), so shuffle the 16-byte digest, not its 32-char hex —
+    // halves the dominant exchange's key width
     val wh = docs
       .select(col(idCol), tokenize(col(textCol)).as("t"))
       .filter(size(col("t")) >= w)
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(t) - ${w - 1}), " +
-          s"i -> md5(array_join(slice(t, i, $w), ' ')))")).as("wh"))
+          s"i -> unhex(md5(array_join(slice(t, i, $w), ' '))))")).as("wh"))
     // positions of each span per doc — the ONLY token-scale exchange
     val perHashDoc = wh.groupBy(col("wh"), col(idCol))
       .agg(count(lit(1)).as("k"))
