@@ -300,11 +300,21 @@ object Dedup {
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(t) - ${w - 1}), " +
           s"i -> unhex(md5(array_join(slice(t, i, $w), ' '))))")).as("wh"))
-    // positions of each span per doc — the ONLY token-scale exchange
+    // positions of each span per doc — the ONLY token-scale exchange.
+    // The global per-hash count then comes from a WINDOW over these
+    // already-collapsed rows (the invertedIndex df idiom), NOT from a
+    // groupBy + self-join back: the join spelling re-executed the
+    // whole tokenize/explode subtree (AQE planned the two branches as
+    // separate stages) and broadcast a corpus-sized hash→count map —
+    // fine at sf0.1, a driver OOM at 100 TB. The window sees df rows
+    // per hash (group rows, not positions) on one collapsed (wh)
+    // exchange, single lineage, one corpus scan by construction.
+    import org.apache.spark.sql.expressions.Window
     val perHashDoc = wh.groupBy(col("wh"), col(idCol))
       .agg(count(lit(1)).as("k"))
-    val global = perHashDoc.groupBy(col("wh")).agg(sum(col("k")).as("n"))
-    val per = perHashDoc.join(global, "wh")
+    val withN = perHashDoc
+      .withColumn("n", sum(col("k")).over(Window.partitionBy(col("wh"))))
+    val per = withN
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_windows"),
         sum(when(col("n") > 1, col("k")).otherwise(0L)).as("n_dup_windows"))
