@@ -25,6 +25,26 @@ class DupSpansSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, 1.0)))
   }
 
+  test("plan tokenizes the corpus exactly once (no join-back re-execution)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("d10_dup_spans")(spark, sfDir)
+    df.collect()
+    // structural walk (plan.toString reprints AQE stage subtrees, so
+    // string-counting double-counts): descend through AQE wrappers,
+    // never re-enter a reused exchange
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case q: QueryStageExec => p +: nodes(q.plan)
+      case _: ReusedExchangeExec => Seq(p)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val generates = nodes(df.queryExecution.executedPlan)
+      .count(_.nodeName == "Generate")
+    assert(generates == 1, s"corpus explode appears $generates times")
+  }
+
   test("w larger than every doc yields all zeros, never an error") {
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
     val out = Dedup.dupSpans(corpus, "doc_id", "text", w = 10).collect()
