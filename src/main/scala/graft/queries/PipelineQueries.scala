@@ -87,6 +87,31 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // The dataset card: the per-source datasheet a corpus release
+    // ships with — volume, token budget, language spread, exact-dup
+    // rate — in ONE scan. Every metric is integer-derived (counts and
+    // integer sums; the two ratios are a single division of exact
+    // integers), so float summation order cannot perturb the result
+    // and the card carries a full cross-engine oracle.
+    "x14_dataset_card" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).select($"source", $"lang",
+        size(graft.functions.TextFunctions.tokenize($"text")).cast("long").as("n_tok"),
+        Dedup.contentHash($"text").as("h"))
+      val withDup = base.withColumn("grp",
+        count(lit(1)).over(Window.partitionBy($"h")))
+      withDup.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          round(sum($"n_tok") / count(lit(1)).cast("double"), 4).as("avg_tokens"),
+          countDistinct($"lang").as("n_langs"),
+          sum(($"grp" > 1).cast("long")).as("n_dup_docs"),
+          round(sum(($"grp" > 1).cast("long")) / count(lit(1)).cast("double"), 4)
+            .as("dup_ratio"))
+        .orderBy($"source")
+    }),
+
     // Source mixing: down-sample each source to its target count by
     // deterministic-coin rank; unlisted sources drop to zero.
     "x03_mix_sources" -> ((s, dir) => {
@@ -245,6 +270,22 @@ object PipelineQueries {
          |  t(l, th) ON l = lang
          |WHERE ${sqlCoin("doc_id", "s42")} < th
          |ORDER BY doc_id""".stripMargin,
+
+    // integer counts/sums + one division each for the two ratios —
+    // identical association both sides
+    "x14_dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT source, lang, CAST(len($SqlToks) AS BIGINT) AS n_tok,
+         |         md5($SqlNorm) AS h
+         |  FROM documents),
+         |wd AS (SELECT *, count(*) OVER (PARTITION BY h) AS grp FROM base)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  round(CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+         |FROM wd GROUP BY source ORDER BY source""".stripMargin,
 
     // the coin's 8 hex chars convert to an exact-in-double integer;
     // < rate*2^32 is one correctly-rounded multiply + an exact compare
