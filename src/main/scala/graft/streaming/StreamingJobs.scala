@@ -44,7 +44,7 @@ object StreamingJobs {
     * in local mode ONLY — `java.io.tmpdir`. Off local mode with
     * neither conf set, the drains refuse to run rather than write
     * scratch executors cannot see. */
-  val WorkDirKey = "spark.graft.streaming.workDir"
+  val WorkDirKey: String = graft.WorkDirs.StreamingWorkDirKey
 
   /** Shuffle/state partitions inside the drains. A streaming state
     * store commits EVERY partition in EVERY micro-batch regardless of
