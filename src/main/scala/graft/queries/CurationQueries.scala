@@ -146,6 +146,28 @@ object CurationQueries {
         .orderBy($"lang")
     }),
 
+    // ORC interchange round trip, third columnar wire format under the
+    // same content-digest gate as p04/p06: write the documents table as
+    // zlib ORC, read it back, aggregate per language with the md5
+    // checksum. ORC round-trips types natively (no text re-parse), so
+    // this gates the writer/reader pair and the format's string/binary
+    // fidelity rather than a parse; it's the interchange path for the
+    // Hive/Trino side of a lakehouse, and splittable at 100 TB where
+    // the gzip JSONL/CSV twins are not.
+    "p07_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = sinkScratch(s, "p07", dir)
+      val docs = Tables.load(s, dir, "documents")
+      docs.write.option("compression", "zlib").orc(out)
+      s.read.schema(docs.schema).orc(out)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("total_text_chars"),
+          sum(conv(substring(md5($"text"), 1, 12), 16, 10).cast("long"))
+            .as("text_sum"))
+        .orderBy($"lang")
+    }),
+
     // STREAMING publish: the documents table streams through
     // foreachBatch + CorpusSink into a batch=bN/lang=… partitioned
     // corpus (idempotent per batch id via dynamic partition
@@ -275,6 +297,12 @@ object CurationQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p06_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
+        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p07_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
         |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum

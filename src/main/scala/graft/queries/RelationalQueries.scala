@@ -383,6 +383,25 @@ object RelationalQueries {
         .orderBy($"column_name")
     }),
 
+    // Distribution-rank windows: ntile quartiles, percent_rank,
+    // cume_dist in ONE window pass (all three share the same
+    // partition+sort, so Spark plans a single Sort+Window over one
+    // hash exchange on o_orderpriority). The orderkey tiebreak makes
+    // every row its own peer group, so the rank fractions are exact
+    // rationals of (rank, n) — identical IEEE division on both
+    // engines; rounded at 6dp anyway for belt-and-braces.
+    "q32_window_dist" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
+
     // Join on computed key + range predicate (non-equi residual).
     "q24_theta_join" -> ((s, dir) => {
       import s.implicits._
@@ -564,5 +583,14 @@ object RelationalQueries {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
         |WHERE p_size >= 48 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q32_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
   )
 }

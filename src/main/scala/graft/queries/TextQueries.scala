@@ -199,6 +199,30 @@ object TextQueries {
     "t17_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("dup", "join", "key", "vector"), k = 20)),
+
+    // Blocked fuzzy matching: near-identical part names via edit
+    // distance ≤ 2, candidates generated by a BLOCKING key (the noun —
+    // last token) so the join is an equi-join on the block, never an
+    // all-pairs cartesian. The 100 TB shape: names are deduped FIRST
+    // (the distinct-name set is tiny relative to the row count — the
+    // classic entity-resolution reduction), per-name row counts ride
+    // along from the same aggregate, and levenshtein runs only inside
+    // blocks. Edit distance is exact integer DP — identical in any
+    // engine.
+    "t18_fuzzy_match" -> ((s, dir) => {
+      import s.implicits._
+      val names = Tables.load(s, dir, "part")
+        .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
+        .withColumn("noun", element_at(split($"p_name", " "), 2))
+      val a = names.select($"p_name".as("name_a"), $"n_rows".as("n_a"), $"noun")
+      val b = names.select($"p_name".as("name_b"), $"n_rows".as("n_b"), $"noun")
+      a.join(b, Seq("noun"))
+        .filter($"name_a" < $"name_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+        .filter($"dist" <= 2)
+        .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+        .orderBy($"name_a", $"name_b")
+    }),
   )
 
   private def langCaseSql: String = {
@@ -408,5 +432,19 @@ object TextQueries {
          |        FROM sc GROUP BY doc_id)
          |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score FROM agg
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Same blocking (noun = second token) and the same exact edit
+    // distance; the pair predicate and threshold are stated
+    // independently of the Spark plan.
+    "t18_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_rows FROM part GROUP BY p_name),
+        |b AS (SELECT p_name, n_rows, split_part(p_name, ' ', 2) AS noun FROM names)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist,
+        |       a.n_rows AS n_a, c.n_rows AS n_b
+        |FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }

@@ -1,0 +1,108 @@
+package graft
+
+/** Round-7 query additions: distribution-rank windows (q32), blocked
+  * fuzzy matching (t18), and the ORC interchange round trip (p07).
+  * Each gets a semantic check independent of the DuckDB oracle, plus
+  * the plan property that carries its 100 TB claim. */
+class NewQueriesR7Spec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("q32 rank fractions are the closed-form rationals of (rank, n)") {
+    val rows = SparkEntry.queries("q32_window_dist")(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), min($"pct_rank").as("lo"), max($"pct_rank").as("hi"),
+        min($"cum_dist").as("clo"), max($"cum_dist").as("chi"),
+        countDistinct($"quartile").as("nq"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // orderkey tiebreak → every row its own peer group: pct_rank
+      // spans exactly [0, 1], cume_dist spans (1/n, 1]
+      assert(r.getAs[Double]("lo") == 0.0 && r.getAs[Double]("hi") == 1.0)
+      assert(math.abs(r.getAs[Double]("clo") - math.rint(1.0 / n * 1e6) / 1e6) < 1e-9)
+      assert(r.getAs[Double]("chi") == 1.0)
+      assert(r.getAs[Long]("nq") == 4L)
+    }
+  }
+
+  test("q32 plans ONE window pass (shared partition+sort for all three ranks)") {
+    val p = SparkEntry.queries("q32_window_dist")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.sliding("Window".length).count(_ == "Window") >= 1)
+    // one Window operator computes all three functions — a second one
+    // would mean the shared frame was split into extra sort+exchange
+    assert("(?<!WholeStageCodegen.)Window\\b".r.findAllIn(p).size == 1, p)
+  }
+
+  test("t18 matches a sequential reference on an adversarial name set") {
+    val names = Seq(
+      "cold widget", "bold widget", "old widget", "gold widget",
+      "cold gear", "colt gear", "volt gear",
+      "tiny bolt", "tin bolt", "brass bolt",
+      "lone rod", "long rod", "stone rod")
+    // many rows per name so n_a/n_b aggregation is exercised
+    val parts = names.zipWithIndex.flatMap { case (n, i) =>
+      (0 to i % 3).map(j => (i.toLong * 10 + j, n))
+    }
+    val df = parts.toDF("p_partkey", "p_name")
+    val got = {
+      val namesDf = df.groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
+        .withColumn("noun", element_at(split($"p_name", " "), 2))
+      val a = namesDf.select($"p_name".as("name_a"), $"n_rows".as("n_a"), $"noun")
+      val b = namesDf.select($"p_name".as("name_b"), $"n_rows".as("n_b"), $"noun")
+      a.join(b, Seq("noun")).filter($"name_a" < $"name_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+        .filter($"dist" <= 2)
+        .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+    def lev(a: String, bStr: String): Int = {
+      val d = Array.tabulate(a.length + 1, bStr.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to bStr.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == bStr(j - 1)) 0 else 1))
+      d(a.length)(bStr.length)
+    }
+    val counts = parts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = (for {
+      x <- names; y <- names
+      if x < y && x.split(" ")(1) == y.split(" ")(1) && lev(x, y) <= 2
+    } yield (x, y, lev(x, y).toLong, counts(x), counts(y))).toSet
+    assert(got == want)
+  }
+
+  test("t18 plans an equi-join on the block key, never a cartesian") {
+    val p = SparkEntry.queries("t18_fuzzy_match")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy matching went all-pairs:\n" + p)
+  }
+
+  test("p07 ORC round trip preserves adversarial strings byte-exactly") {
+    val nasty = Seq(
+      (1L, "line one\nline two", "en"),
+      (2L, "quote\" comma, tab\tdone", "en"),
+      (3L, "unicode ñ 中文 😀 end", "de"),
+      (4L, "", "fr"),
+      (5L, "trailing space   ", "fr"))
+    val df = nasty.toDF("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("orc-rt").toString
+    df.write.mode("overwrite").option("compression", "zlib").orc(out)
+    val back = spark.read.schema(df.schema).orc(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == nasty.toSet)
+  }
+
+  test("p07 query matches the per-lang aggregate of the source table") {
+    val got = SparkEntry.queries("p07_orc_roundtrip")(spark, sfDir).collect()
+    val want = Tables.load(spark, sfDir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("total_text_chars"),
+        sum(conv(substring(md5($"text"), 1, 12), 16, 10).cast("long")).as("text_sum"))
+      .orderBy($"lang").collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+}
