@@ -159,5 +159,41 @@ object Graphs {
       .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Multi-source BFS: minimum hop distance from the `seeds` set over
+    * directed `edges`, bounded at `maxHops`. Returns `(idCol, hops)`
+    * for every vertex reachable within the bound (seeds at 0) —
+    * unreachable vertices are absent, so the output is the "blast
+    * radius" of the seed set: exactly the shape a decontamination
+    * pass needs when known-leaked documents must be expanded through
+    * near-duplicate chains before dropping.
+    *
+    * Scale shape: the edge list is materialized ONCE (same
+    * [[Checkpoints.materialize]] contract as [[pageRank]]); each of
+    * the `maxHops` rounds is one equi-join on the source vertex + one
+    * min-aggregate, all hashed on vertex id, and the round count is
+    * fixed, so the whole chain executes as a SINGLE job with linear
+    * lineage — no per-round driver action, no growing all-pairs
+    * state. Distances are integers: min() is exact in any engine.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .transform(Checkpoints.materialize)
+    var dist = seeds.select(col(idCol).cast("long").as("u")).distinct()
+      .select(col("u"), lit(0L).as("h"))
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, "u")
+        .select(col("v").as("u"), (col("h") + 1L).as("h"))
+      dist = dist.union(next).groupBy(col("u")).agg(min(col("h")).as("h"))
+    }
+    // e's blocks back the returned plan; the ContextCleaner frees them
+    // when the caller drops the result (pageRank's contract)
+    dist.select(col("u").as(idCol), col("h").as("hops"))
+  }
+
   private def unpersistOf(df: DataFrame): Unit = Checkpoints.free(df)
 }

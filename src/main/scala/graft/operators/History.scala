@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus version history: collapse per-version observations into
+  * SCD-type-2 validity intervals. A training-data pipeline re-crawls
+  * and re-curates; downstream consumers need "which content was live
+  * in which corpus version" without storing every version in full —
+  * the classic slowly-changing-dimension shape, applied to document
+  * digests instead of warehouse dimensions.
+  *
+  * Scale shape: ONE window pass partitioned by the entity id (run
+  * detection via lag + running sum — no self-join), then a partial+
+  * final aggregate on (id, run). Everything shuffles once, hashed on
+  * the id; interval state is two longs per run. At 100 TB the input
+  * is (version, id, digest) — digests only, never the payload.
+  */
+object History {
+
+  /** Collapse `(versionCol, idCol, digestCol)` observations into
+    * maximal runs of consecutive versions with unchanged digest.
+    * A version gap (entity absent from a snapshot) ends the run even
+    * if the digest returns unchanged — absence is a real deletion
+    * interval. Returns `(idCol, v_from, v_to, digest)`, one row per
+    * run. Deterministic: pure integer/string comparisons.
+    */
+  def scd2(rows: DataFrame, idCol: String, versionCol: String,
+           digestCol: String): DataFrame = {
+    val id = col(idCol)
+    val v = col(versionCol)
+    val dg = col(digestCol)
+    val w = Window.partitionBy(id).orderBy(v)
+    val runFlagged = rows
+      .withColumn("_new_run",
+        when(lag(dg, 1).over(w).isNull ||
+          lag(dg, 1).over(w) =!= dg ||
+          lag(v, 1).over(w) =!= v - 1, 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_new_run")).over(w))
+    runFlagged.groupBy(id, col("_run"))
+      .agg(min(v).as("v_from"), max(v).as("v_to"), min(dg).as("digest"))
+      .drop("_run")
+  }
+}

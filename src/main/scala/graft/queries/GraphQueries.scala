@@ -37,9 +37,9 @@ object GraphQueries {
   // trio is an exact-dup 3-clique, so triangles are guaranteed.
   private val TriPred = "doc_id % 20 = 1"
 
-  /** Jaccard≥0.5 pair CTEs over `corpus` — the SQL twin of
+  /** Jaccard≥`minJ` pair CTEs over `corpus` — the SQL twin of
     * [[Dedup.ngramJaccardPairs]] (same chain d03/d07 use). */
-  private def pairsSql(corpusCte: String): String =
+  private def pairsSql(corpusCte: String, minJ: String = "0.5"): String =
     s"""$corpusCte,
        |toks AS (SELECT doc_id, $SqlToks AS t FROM corpus),
        |sh0 AS (
@@ -59,7 +59,7 @@ object GraphQueries {
        |  SELECT a_id, b_id FROM inter
        |  JOIN sizes sa ON sa.doc_id = a_id
        |  JOIN sizes sb ON sb.doc_id = b_id
-       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $minJ)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -80,6 +80,33 @@ object GraphQueries {
           iterations = PrIters, scale = PrScale)
         .select($"doc_id", $"rank".as("pr"))
         .orderBy($"doc_id")
+    }),
+
+    // Multi-source BFS reach over the customer–supplier bipartite
+    // graph (an edge per distinct custkey–suppkey trading pair mined
+    // from lineitem ⋈ orders): hop distance from customer 0 — the
+    // "who is N relationship steps away" closure every entity-graph
+    // pipeline runs. Vertices are namespaced into one id space
+    // (customer 2k, supplier 2k+1) so the generic vertex-keyed BFS
+    // operator applies untouched; distances are exact integers under
+    // min(), so the iterative plan oracle-checks bit-for-bit.
+    "g03_bfs_reach" -> ((s, dir) => {
+      import s.implicits._
+      val dTbl = (n: String) => graft.Tables.load(s, dir, n)
+      val cs = dTbl("lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(dTbl("orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sv"))
+        .distinct()
+      val edges = cs.select($"c".as("src"), $"sv".as("dst"))
+        .unionByName(cs.select($"sv".as("src"), $"c".as("dst")))
+      val seeds = dTbl("customer").filter($"c_custkey" === 0)
+        .select(($"c_custkey" * 2).as("id"))
+      Graphs.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 4)
+        .select(expr("id div 2").as("vertex_id"),
+          when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          $"hops")
+        .orderBy($"kind", $"vertex_id")
     }),
 
     // Per-vertex triangle counts over the planted-trio slice: each
@@ -128,6 +155,30 @@ object GraphQueries {
          |SELECT c.doc_id, CAST(coalesce(r.r, $PrBase) AS BIGINT) AS pr
          |FROM corpus c LEFT JOIN r$PrIters r ON r.u = c.doc_id
          |ORDER BY c.doc_id""".stripMargin
+    },
+
+    // Same namespacing, same edge set, BFS unrolled to 4 relaxation
+    // rounds (d_{i} = min over d_{i-1} ∪ neighbors+1).
+    "g03_bfs_reach" -> {
+      val bfsCtes = (1 to 4).map { i =>
+        s"""d$i AS (
+           |  SELECT u, min(h) AS h FROM (
+           |    SELECT u, h FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e2.v, d${i - 1}.h + 1 FROM e2 JOIN d${i - 1} ON d${i - 1}.u = e2.u)
+           |  GROUP BY u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sv
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e2 AS (SELECT c AS u, sv AS v FROM cs UNION SELECT sv, c FROM cs),
+         |d0 AS (SELECT c_custkey * 2 AS u, CAST(0 AS BIGINT) AS h
+         |       FROM customer WHERE c_custkey = 0),
+         |$bfsCtes
+         |SELECT u // 2 AS vertex_id,
+         |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  CAST(h AS BIGINT) AS hops
+         |FROM d4 ORDER BY kind, vertex_id""".stripMargin
     },
 
     // Naive id-ordered triangle join — provably the same triangle set

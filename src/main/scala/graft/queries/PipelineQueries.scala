@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BloomJoin, Decontaminate, Dedup, Mixing}
+import graft.operators.{BloomJoin, Decontaminate, Dedup, History, Mixing}
 
 /** Corpus-composition queries (`x` group): the operators that turn a
   * deduplicated document pool into a training mix — benchmark
@@ -218,6 +218,28 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // SCD2 corpus history: four synthetic corpus versions (presence
+    // varies by (doc_id+v) % 13, content revs at versions where
+    // (doc_id+v) % 5 = 0) collapse into validity intervals — maximal
+    // runs of consecutive versions with unchanged content digest,
+    // absence gaps ending a run. The lineage record an incremental
+    // re-crawl pipeline keeps instead of four full corpus copies.
+    "x15_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val snaps = (1 to 4).map { v =>
+        val rev = (2 to v).map(u =>
+          when(($"doc_id" + u) % 5 === 0, 1L).otherwise(0L))
+          .foldLeft(lit(0L))(_ + _)
+        d.filter(($"doc_id" + v) % 13 =!= 0)
+          .select(lit(v.toLong).as("version"), $"doc_id",
+            substring(md5(concat($"text", lit(" rev"), rev)), 1, 12).as("digest"))
+      }.reduce(_ unionByName _)
+      History.scd2(snaps, "doc_id", "version", "digest")
+        .withColumn("is_current", ($"v_to" === 4).cast("long"))
+        .orderBy($"doc_id", $"v_from")
+    }),
+
     // Bloom-pruned novelty: incoming = the whole corpus, seen = the
     // content digests of docs with doc_id % 3 <> 0; exact novel set
     // out. The bloom prunes the definitely-novel majority before the
@@ -376,6 +398,35 @@ object PipelineQueries {
          |       ELSE 'unchanged' END AS status
          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // Same snapshot construction and the same run-collapse window
+    // logic, stated independently: presence (doc_id+v)%13<>0, rev
+    // count = |{u in [2,v] : (doc_id+u)%5=0}|, runs split on digest
+    // change OR version gap.
+    "x15_scd2_history" ->
+      """WITH vers AS (SELECT unnest(range(1, 5)) AS version),
+        |snaps AS (
+        |  SELECT v.version, d.doc_id,
+        |    substr(md5(d.text || ' rev' || CAST(
+        |      coalesce(list_sum(list_transform(range(2, v.version + 1),
+        |        u -> CASE WHEN (d.doc_id + u) % 5 = 0 THEN 1 ELSE 0 END)), 0)
+        |      AS VARCHAR)), 1, 12) AS digest
+        |  FROM documents d CROSS JOIN vers v
+        |  WHERE (d.doc_id + v.version) % 13 <> 0),
+        |flagged AS (
+        |  SELECT doc_id, version, digest,
+        |    CASE WHEN lag(digest) OVER w IS NULL OR lag(digest) OVER w <> digest
+        |           OR lag(version) OVER w <> version - 1 THEN 1 ELSE 0 END AS new_run
+        |  FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+        |runs AS (
+        |  SELECT doc_id, version, digest,
+        |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY version) AS run
+        |  FROM flagged)
+        |SELECT doc_id, min(version) AS v_from, max(version) AS v_to,
+        |  min(digest) AS digest,
+        |  CAST(CASE WHEN max(version) = 4 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM runs GROUP BY doc_id, run
+        |ORDER BY doc_id, v_from""".stripMargin,
 
     "x08_source_overlap" ->
       s"""WITH toks AS (SELECT source, $SqlToks AS t FROM documents),

@@ -123,4 +123,44 @@ class GraphsSpec extends SparkSpec {
     val sparse = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
     assert(runTriangles(sparse) === refTriangles(sparse))
   }
+
+  /** Driver-side BFS twin (directed, min-hop, bounded). */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     maxHops: Int): Map[Long, Long] = {
+    val adj = edges.filter { case (u, v) => u != v }.distinct.groupBy(_._1)
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    var frontier = seeds.distinct
+    for (h <- 1 to maxHops) {
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil).map(_._2))
+        .distinct.filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     maxHops: Int): Map[Long, Long] = {
+    Graphs.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("id"), "id", maxHops)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("bfsHops: path graph distances, hop bound, and direction respected") {
+    val path = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3), (3, 4), (4, 5))
+    assert(runBfs(path, Seq(0L), 3) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // directed: nothing upstream of the seed is reached
+    assert(runBfs(path, Seq(3L), 5) === Map(3L -> 0L, 4L -> 1L, 5L -> 2L))
+    // maxHops=0 returns just the seeds
+    assert(runBfs(path, Seq(2L), 0) === Map(2L -> 0L))
+  }
+
+  test("bfsHops: multi-source min semantics and messy edges match brute force") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val seeds = Seq(0L, 7L, 7L, 13L) // dup seed collapses
+    for (k <- 0 to 4)
+      assert(runBfs(edges, seeds, k) === refBfs(edges, seeds, k), s"maxHops=$k")
+  }
 }

@@ -96,6 +96,25 @@ class NewQueriesR7Spec extends SparkSpec {
     assert(back == nasty.toSet)
   }
 
+  test("History.scd2 collapses runs and splits on change OR absence gap") {
+    import graft.operators.History
+    // entity 1: digest a,a,b,b  → runs [1,2]=a, [3,4]=b
+    // entity 2: present v1, absent v2, present v3 with SAME digest
+    //           → the gap splits: [1,1]=x, [3,3]=x
+    // entity 3: single observation at v4
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "b"),
+      (2L, 1L, "x"), (2L, 3L, "x"),
+      (3L, 4L, "z")).toDF("id", "version", "digest")
+    val got = History.scd2(rows, "id", "version", "digest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 2L, "a"), (1L, 3L, 4L, "b"),
+      (2L, 1L, 1L, "x"), (2L, 3L, 3L, "x"),
+      (3L, 4L, 4L, "z")))
+  }
+
   test("p07 query matches the per-lang aggregate of the source table") {
     val got = SparkEntry.queries("p07_orc_roundtrip")(spark, sfDir).collect()
     val want = Tables.load(spark, sfDir, "documents")
