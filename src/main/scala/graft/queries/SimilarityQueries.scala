@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Clustering, Similarity}
 
 /** Similarity-search queries over `embeddings` (64-dim `array<float>`).
   * All variants carry DuckDB oracles: brute force directly, and the
@@ -101,6 +101,21 @@ object SimilarityQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // Deterministic k-means partition of the embedding corpus:
+    // 2 Lloyd iterations in scaled-integer arithmetic (quantized
+    // non-negative coords, exact integer distances, floor-mean
+    // centroids, id-tiebreak argmin), seeded by the first 8 vectors —
+    // cluster membership as a bit-reproducible AUDITABLE artifact for
+    // cluster-balanced sampling, unlike the throwaway ML quantizer
+    // inside s05's IVF index. The full per-point assignment sits under
+    // the exact oracle.
+    "s07_kmeans_assign" -> ((s, dir) => {
+      import s.implicits._
+      Clustering.kmeansInt(emb(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy($"vec_id")
+    }),
+
     // Label centroids: distributed mean vector per label — exercises
     // array aggregation without ever collecting vectors to the driver.
     "s04_label_centroid_norm" -> ((s, dir) => {
@@ -125,7 +140,44 @@ object SimilarityQueries {
       | / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
+  /** s07's unrolled Lloyd SQL: same quantization, same integer
+    * distance/floor-mean/tiebreak arithmetic — every operation exact,
+    * so the unrolled CTE chain reproduces the engine bit-for-bit.
+    * All quantized coords are non-negative (shift=1), so `//` here and
+    * `div` in Spark agree (truncation == floor). */
+  private def kmeansOracle(iters: Int): String = {
+    def assignCte(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, q, cluster FROM (
+         |    SELECT p.vec_id, p.q, c.cluster,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, len(p.q) + 1),
+         |          i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.cluster) AS rn
+         |    FROM pts p CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def updateCtes(i: Int): String =
+      s"""u$i AS (
+         |  SELECT cluster, i, CAST(sum(x) // count(*) AS BIGINT) AS cv
+         |  FROM (SELECT cluster, unnest(q) AS x, generate_subscripts(q, 1) AS i
+         |        FROM a$i)
+         |  GROUP BY cluster, i),
+         |cn$i AS (SELECT cluster, list(cv ORDER BY i) AS c FROM u$i GROUP BY cluster),
+         |c$i AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
+         |        FROM c${i - 1} p LEFT JOIN cn$i n USING (cluster))""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCtes(i)).mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round((CAST(x AS DOUBLE) + 1.0e0) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, q AS c FROM pts WHERE vec_id < 8),
+       |$rounds,
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s07_kmeans_assign" -> kmeansOracle(2),
     // Planted-copy top-5: rank m is the copy at id q + m·1e6, cos 1.0.
     "s02_knn_lsh" ->
       """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,

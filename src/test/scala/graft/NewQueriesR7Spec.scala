@@ -115,6 +115,47 @@ class NewQueriesR7Spec extends SparkSpec {
       (3L, 4L, 4L, "z")))
   }
 
+  test("kmeansInt matches a sequential Lloyd reference, any partitioning") {
+    import graft.operators.Clustering
+    val rnd = new scala.util.Random(7)
+    val dim = 6
+    val pts = (0L until 60L).map(i => (i, Array.fill(dim)(rnd.nextDouble() * 1.6 - 0.8)))
+    val quant = pts.map { case (id, v) =>
+      id -> v.map(x => math.round((x + 1.0) * 1000000L))
+    }.toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def ref(k: Int, iters: Int): Map[Long, Long] = {
+      var cs = (0L until k.toLong).map(quant(_).clone).toArray
+      def assign(): Map[Long, Int] = quant.view.mapValues { q =>
+        cs.zipWithIndex.minBy { case (c, j) => (dist(q, c), j) }._2
+      }.toMap
+      for (_ <- 1 to iters) {
+        val a = assign()
+        cs = cs.zipWithIndex.map { case (old, j) =>
+          val members = quant.keys.filter(a(_) == j).toSeq
+          if (members.isEmpty) old
+          else Array.tabulate(dim)(i => members.map(quant(_)(i)).sum / members.size)
+        }
+      }
+      assign().map { case (id, j) => id -> j.toLong }
+    }
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    for (parts <- Seq(1, 7); iters <- Seq(0, 1, 3)) {
+      val got = Clustering.kmeansInt(df.repartition(parts), "vec_id", "embedding",
+          k = 4, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(4, iters), s"parts=$parts iters=$iters")
+    }
+  }
+
+  test("s07 assignment stage is map-side: no join in the final plan") {
+    val p = SparkEntry.queries("s07_kmeans_assign")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "centroid assignment planned a join:\n" + p)
+  }
+
   test("p07 query matches the per-lang aggregate of the source table") {
     val got = SparkEntry.queries("p07_orc_roundtrip")(spark, sfDir).collect()
     val want = Tables.load(spark, sfDir, "documents")
