@@ -62,6 +62,28 @@ object EventQueries {
     "e07_stream_range_join" -> ((s, dir) =>
       graft.streaming.StreamingJobs.rangeJoinAvailableNow(s, dir)),
 
+    // e01's semantics through Spark's NATIVE session_window generator
+    // (the same merge machinery Structured Streaming uses for
+    // streaming session aggregation) instead of the hand-rolled
+    // lag+cumsum operator — one groupBy, no window-function passes.
+    // Boundary contract verified by differential test (NewQueriesR7
+    // Spec): an event at EXACTLY prev + gap merges into the running
+    // session — diff > gap starts a new one — identical to the lag
+    // operator, so the oracle reuses e01's > chain with sessions
+    // keyed by start time (what session_window emits) not ordinal.
+    "e14_native_sessions" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .select($"user_id", expr("ts div 1000").as("tus"))
+        .withColumn("tsc", timestamp_micros($"tus"))
+        .groupBy($"user_id",
+          session_window($"tsc", s"$SessionGapUs microseconds").as("win"))
+        .agg(max($"tus").as("session_end_us"), count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"win.start").as("session_start_us"),
+          $"session_end_us", $"n_events")
+        .orderBy($"user_id", $"session_start_us")
+    }),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -219,6 +241,24 @@ object EventQueries {
          |SELECT user_id, session_id, CAST(min(tus) AS BIGINT) AS session_start_us,
          |       CAST(max(tus) AS BIGINT) AS session_end_us, count(*) AS n_events
          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // e01's chain (same > boundary — differential-tested); session
+    // identity by start time, not ordinal, because that's what
+    // session_window emits
+    "e14_native_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         |w AS (SELECT user_id, event_id, tus,
+         |        CASE WHEN lag(tus, 1) OVER win IS NULL
+         |                  OR tus - lag(tus, 1) OVER win > $SessionGapUs
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT user_id, tus,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |      FROM w)
+         |SELECT user_id, CAST(min(tus) AS BIGINT) AS session_start_us,
+         |       CAST(max(tus) AS BIGINT) AS session_end_us, count(*) AS n_events
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
 
     "e06_stream_windows" ->
       """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,

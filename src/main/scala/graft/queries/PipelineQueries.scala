@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BloomJoin, Decontaminate, Dedup, History, Mixing}
+import graft.operators.{BloomJoin, Clustering, Decontaminate, Dedup, History, Mixing}
 
 /** Corpus-composition queries (`x` group): the operators that turn a
   * deduplicated document pool into a training mix — benchmark
@@ -218,6 +218,25 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Cluster-balanced sampling: s07's deterministic k-means
+    // membership feeds the md5-coin quota sampler — 25 vectors per
+    // cluster, ranked by content-addressed coin. The diversity-
+    // preserving downsample a curation pipeline runs instead of a
+    // uniform one (uniform sampling keeps the modes, starves the
+    // tails); end-to-end deterministic because BOTH stages are, so
+    // the composition sits under one exact oracle.
+    "x16_cluster_sample" -> ((s, dir) => {
+      import s.implicits._
+      val assign = Clustering.kmeansInt(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+      Mixing.mixSources(assign.withColumn("cl", $"cluster".cast("string")),
+          "vec_id", "cl",
+          quotas = (0 to 7).map(i => i.toString -> 25L).toMap, salt = "cb7")
+        .select($"vec_id", $"cluster", $"_rank".as("rnk"))
+        .orderBy($"vec_id")
+    }),
+
     // SCD2 corpus history: four synthetic corpus versions (presence
     // varies by (doc_id+v) % 13, content revs at versions where
     // (doc_id+v) % 5 = 0) collapse into validity intervals — maximal
@@ -398,6 +417,18 @@ object PipelineQueries {
          |       ELSE 'unchanged' END AS status
          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // s07's Lloyd CTE chain (shared helper) + the same coin-ranked
+    // per-cluster quota; rnk must match mixSources' (coin, key) order.
+    "x16_cluster_sample" ->
+      s"""${SimilarityQueries.kmeansAssignCtes(2)},
+         |r AS (
+         |  SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY
+         |      ${sqlCoin("vec_id", "cb7")}, vec_id) AS rnk
+         |  FROM afinal)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 25 ORDER BY vec_id""".stripMargin,
 
     // Same snapshot construction and the same run-collapse window
     // logic, stated independently: presence (doc_id+v)%13<>0, rev

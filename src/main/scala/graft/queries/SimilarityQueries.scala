@@ -144,8 +144,9 @@ object SimilarityQueries {
     * distance/floor-mean/tiebreak arithmetic — every operation exact,
     * so the unrolled CTE chain reproduces the engine bit-for-bit.
     * All quantized coords are non-negative (shift=1), so `//` here and
-    * `div` in Spark agree (truncation == floor). */
-  private def kmeansOracle(iters: Int): String = {
+    * `div` in Spark agree (truncation == floor). Shared with x16's
+    * cluster-balanced sampling oracle via [[kmeansAssignCtes]]. */
+  private[queries] def kmeansAssignCtes(iters: Int): String = {
     def assignCte(name: String, cent: String): String =
       s"""$name AS (
          |  SELECT vec_id, q, cluster FROM (
@@ -171,13 +172,14 @@ object SimilarityQueries {
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cluster, q AS c FROM pts WHERE vec_id < 8),
        |$rounds,
-       |${assignCte("afinal", s"c$iters")}
-       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal
-       |ORDER BY vec_id""".stripMargin
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
-    "s07_kmeans_assign" -> kmeansOracle(2),
+    "s07_kmeans_assign" ->
+      s"""${kmeansAssignCtes(2)}
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal
+         |ORDER BY vec_id""".stripMargin,
     // Planted-copy top-5: rank m is the copy at id q + m·1e6, cos 1.0.
     "s02_knn_lsh" ->
       """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,

@@ -156,6 +156,33 @@ class NewQueriesR7Spec extends SparkSpec {
     assert(!p.contains("Join"), "centroid assignment planned a join:\n" + p)
   }
 
+  test("native session_window and lag sessionizer agree, incl. at exactly-gap") {
+    import org.apache.spark.sql.functions.{session_window, timestamp_micros, unix_micros}
+    val gap = 1000000L // 1 s in us
+    // user 1: gaps strictly inside/outside the boundary
+    // user 2: one spacing of EXACTLY gap — both MERGE (> starts a new
+    //   session, == does not): the boundary contract e14's oracle
+    //   relies on, pinned here because no sf corpus exercises it
+    // user 3: gap + 1 — both split
+    val events = Seq(
+      (1L, 10L, 0L), (1L, 11L, 500000L), (1L, 12L, 2600000L),
+      (2L, 20L, 0L), (2L, 21L, gap),
+      (3L, 30L, 0L), (3L, 31L, gap + 1)).toDF("user_id", "event_id", "tus")
+    val native = events.withColumn("tsc", timestamp_micros($"tus"))
+      .groupBy($"user_id", session_window($"tsc", s"$gap microseconds").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_micros($"win.start").as("st"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set((1L, 0L, 2L), (1L, 2600000L, 1L),
+      (2L, 0L, 2L),
+      (3L, 0L, 1L), (3L, gap + 1, 1L))
+    assert(native == expected)
+    val lagged = graft.operators.Sessionize.sessions(events, "user_id", "tus", "event_id", gap)
+      .select($"user_id", $"session_start_us", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lagged == expected)
+  }
+
   test("p07 query matches the per-lang aggregate of the source table") {
     val got = SparkEntry.queries("p07_orc_roundtrip")(spark, sfDir).collect()
     val want = Tables.load(spark, sfDir, "documents")
