@@ -33,20 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** `left` and `right` must share exactly `keys` as common columns;
-    * right non-key columns (including `rightTime`) are appended to the
-    * left row. Time columns are epoch-comparable numerics (e.g. µs). */
-  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTime: String, rightTime: String,
-               direction: String = "backward",
-               toleranceUs: Option[Long] = None,
-               tieBreak: Seq[String] = Nil): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofJoin: direction must be backward|forward, got '$direction'")
+  /** Shared validation + tagged-union builder for the as-of family. */
+  private def taggedUnion(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          leftTime: String, rightTime: String,
+                          toleranceUs: Option[Long]): (DataFrame, Seq[String], Seq[String]) = {
     val overlap = (left.columns.toSet & right.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"asofJoin: non-key columns appear on both sides: $overlap — rename first")
-    val reserved = Set("_side", "_t", "_payload", "_match", "_m")
+    val reserved = Set("_side", "_t", "_payload", "_match", "_m", "_mb", "_mf")
     val clash = (left.columns.toSet ++ right.columns.toSet) & reserved
     require(clash.isEmpty,
       s"asofJoin: column names $clash collide with internal working columns — rename first")
@@ -54,7 +48,6 @@ object AsOf {
 
     val leftCols = left.columns.toSeq
     val rightPayloadCols = right.columns.toSeq.filterNot(keys.contains)
-    val backward = direction == "backward"
 
     // one tagged stream: side 0 = right (sorts before left at equal
     // times, so an equal-timestamp right row is visible to the left
@@ -74,6 +67,22 @@ object AsOf {
       .withColumn("_payload", lit(null).cast(taggedRight.schema("_payload").dataType))
       .select((keys.map(col) :+ col("_side") :+ col("_t") :+ col("_payload")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
+    (taggedRight.unionByName(taggedLeft), leftCols, rightPayloadCols)
+  }
+
+  /** `left` and `right` must share exactly `keys` as common columns;
+    * right non-key columns (including `rightTime`) are appended to the
+    * left row. Time columns are epoch-comparable numerics (e.g. µs). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got '$direction'")
+    val (tagged, leftCols, rightPayloadCols) =
+      taggedUnion(left, right, keys, leftTime, rightTime, toleranceUs)
+    val backward = direction == "backward"
 
     // backward: ascending time, carry the LAST right row seen.
     // forward: descending time, same carry = the EARLIEST right ≥ left.
@@ -83,7 +92,7 @@ object AsOf {
         tieBreak.map(t => dirSort(col("_payload").getField(t)))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = taggedRight.unionByName(taggedLeft)
+    val carried = tagged
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
@@ -101,6 +110,56 @@ object AsOf {
 
     carried
       .withColumn("_m", withinTol)
+      .select(leftCols.map(col) ++
+        rightPayloadCols.map(c => col("_m").getField(c).as(c)): _*)
+  }
+
+  /** `nearest`-direction as-of: for every left row, the right row
+    * closest in ABSOLUTE time distance (per key, within the optional
+    * tolerance); an exact tie between the best at-or-before and the
+    * best at-or-after match resolves BACKWARD (the earlier right row)
+    * — deterministic, and the convention pandas documents.
+    *
+    * Plan shape: the SAME single key-shuffle as [[asofJoin]] — the
+    * tagged union gets TWO window passes over one exchange (ascending
+    * carry = best backward match, descending carry = best forward
+    * match; Spark plans exchange-reuse with two sorts), then a
+    * per-row arithmetic pick. Still no candidate pairs, still
+    * hot-key-safe: "nearest" costs one extra sort over "backward",
+    * not a join.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  toleranceUs: Option[Long] = None,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    val (tagged, leftCols, rightPayloadCols) =
+      taggedUnion(left, right, keys, leftTime, rightTime, toleranceUs)
+
+    def win(asc: Boolean) = {
+      val d: Column => Column = if (asc) c => c.asc else c => c.desc
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy((d(col("_t")) +: col("_side").asc +:
+          tieBreak.map(t => d(col("_payload").getField(t)))): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val carried = tagged
+      .withColumn("_mb", last(col("_payload"), ignoreNulls = true).over(win(asc = true)))
+      .withColumn("_mf", last(col("_payload"), ignoreNulls = true).over(win(asc = false)))
+      .filter(col("_side") === 1)
+
+    val db = col("_t") - col("_mb").getField(rightTime)
+    val df = col("_mf").getField(rightTime) - col("_t")
+    val tol = toleranceUs.map(lit(_)).getOrElse(lit(Long.MaxValue))
+    val bOk = col("_mb").isNotNull && db <= tol
+    val fOk = col("_mf").isNotNull && df <= tol
+    val nullPayload = lit(null).cast(tagged.schema("_payload").dataType)
+    val chosen = when(col("_t").isNull, nullPayload)
+      .when(bOk && (!fOk || db <= df), col("_mb"))
+      .when(fOk, col("_mf"))
+      .otherwise(nullPayload)
+
+    carried
+      .withColumn("_m", chosen)
       .select(leftCols.map(col) ++
         rightPayloadCols.map(c => col("_m").getField(c).as(c)): _*)
   }

@@ -39,6 +39,28 @@ object AdvancedQueries {
         .orderBy($"purchase_id")
     }),
 
+    // NEAREST-direction as-of: the closest click in ABSOLUTE time to
+    // each purchase within ±1 h, ties resolved backward (pandas'
+    // documented convention). Same single key-shuffle as a01 — the
+    // tagged union gets two window passes (asc carry + desc carry)
+    // over one exchange, then a per-row arithmetic pick; "nearest"
+    // costs one extra sort, never a candidate-pair join.
+    "a11_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("tus"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("ptus"))
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"tus".as("ctus"))
+      graft.operators.AsOf.asofNearest(p, c, Seq("user_id"),
+          leftTime = "ptus", rightTime = "ctus",
+          toleranceUs = Some(3600000000L), tieBreak = Seq("click_id"))
+        .filter($"click_id".isNotNull)
+        .select($"purchase_id", $"click_id", abs($"ptus" - $"ctus").as("adist_us"))
+        .orderBy($"purchase_id")
+    }),
+
     // Range join: views of the same user within the hour before each
     // purchase, via the library operator ([[graft.operators.RangeJoin]]):
     // hour-bucketed equi-join on (user_id, bucket), so a hot user's
@@ -191,6 +213,24 @@ object AdvancedQueries {
         |        row_number() OVER (PARTITION BY purchase_id ORDER BY ctus DESC, click_id DESC) AS rn
         |      FROM p JOIN c USING (user_id) WHERE ctus <= ptus)
         |SELECT purchase_id, click_id, CAST(gap_us AS BIGINT) AS gap_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // naive all-candidates spelling; tie order: distance, then
+    // backward-before-forward, then the per-direction id tiebreak
+    // (backward takes the LATEST same-time click = largest id,
+    // forward the earliest = smallest — a01/a07's conventions)
+    "a11_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus FROM e WHERE event_type = 'click'),
+        |j AS (SELECT purchase_id, click_id, abs(ptus - ctus) AS adist_us,
+        |        row_number() OVER (PARTITION BY purchase_id ORDER BY
+        |          abs(ptus - ctus),
+        |          CASE WHEN ctus <= ptus THEN 0 ELSE 1 END,
+        |          CASE WHEN ctus <= ptus THEN -click_id ELSE click_id END) AS rn
+        |      FROM p JOIN c USING (user_id)
+        |      WHERE abs(ptus - ctus) <= 3600000000)
+        |SELECT purchase_id, click_id, CAST(adist_us AS BIGINT) AS adist_us
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "a02_range_join" ->

@@ -84,6 +84,14 @@ object EventQueries {
         .orderBy($"user_id", $"session_start_us")
     }),
 
+    // The STREAMING twin of e14 under the SAME oracle: native
+    // session_window aggregation with Spark's built-in session state
+    // store (merge-on-arrival, watermark eviction, append-mode emit on
+    // close) — engine-managed session state, where e05 manages it by
+    // hand in flatMapGroupsWithState. Sentinel flush as in e05/e06.
+    "e15_stream_session_window" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.sessionWindowAvailableNow(s, dir)),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -246,6 +254,24 @@ object EventQueries {
     // identity by start time, not ordinal, because that's what
     // session_window emits
     "e14_native_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         |w AS (SELECT user_id, event_id, tus,
+         |        CASE WHEN lag(tus, 1) OVER win IS NULL
+         |                  OR tus - lag(tus, 1) OVER win > $SessionGapUs
+         |             THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (SELECT user_id, tus,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |      FROM w)
+         |SELECT user_id, CAST(min(tus) AS BIGINT) AS session_start_us,
+         |       CAST(max(tus) AS BIGINT) AS session_end_us, count(*) AS n_events
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    // identical SQL to e14: the streaming native-session-window run
+    // must reproduce the batch generator exactly (same gap, same >
+    // boundary, every tail session flushed by the sentinel)
+    "e15_stream_session_window" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
          |w AS (SELECT user_id, event_id, tus,
          |        CASE WHEN lag(tus, 1) OVER win IS NULL

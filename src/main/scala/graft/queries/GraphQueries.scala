@@ -102,7 +102,7 @@ object GraphQueries {
         .unionByName(cs.select($"sv".as("src"), $"c".as("dst")))
       val seeds = dTbl("customer").filter($"c_custkey" === 0)
         .select(($"c_custkey" * 2).as("id"))
-      Graphs.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 4)
+      Graphs.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
         .select(expr("id div 2").as("vertex_id"),
           when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
           $"hops")
@@ -157,10 +157,10 @@ object GraphQueries {
          |ORDER BY c.doc_id""".stripMargin
     },
 
-    // Same namespacing, same edge set, BFS unrolled to 4 relaxation
+    // Same namespacing, same edge set, BFS unrolled to 3 relaxation
     // rounds (d_{i} = min over d_{i-1} ∪ neighbors+1).
     "g03_bfs_reach" -> {
-      val bfsCtes = (1 to 4).map { i =>
+      val bfsCtes = (1 to 3).map { i =>
         s"""d$i AS (
            |  SELECT u, min(h) AS h FROM (
            |    SELECT u, h FROM d${i - 1}
@@ -178,7 +178,7 @@ object GraphQueries {
          |SELECT u // 2 AS vertex_id,
          |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  CAST(h AS BIGINT) AS hops
-         |FROM d4 ORDER BY kind, vertex_id""".stripMargin
+         |FROM d3 ORDER BY kind, vertex_id""".stripMargin
     },
 
     // Naive id-ordered triangle join — provably the same triangle set

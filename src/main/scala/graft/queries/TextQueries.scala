@@ -209,6 +209,35 @@ object TextQueries {
     // along from the same aggregate, and levenshtein runs only inside
     // blocks. Edit distance is exact integer DP — identical in any
     // engine.
+    // Collocation mining: bigram lift = P(w1w2)-vs-independence ratio
+    // c12·N / (c1·c2) over the corpus — the phrase-detection pass
+    // (word2vec-style phrase merging, stopword-phrase filtering) runs
+    // before tokenizer training. Exact rational arithmetic in doubles:
+    // every product stays < 2^53 (counts are bounded by corpus token
+    // count), so one exact multiply + one correctly-rounded divide is
+    // bit-identical in any engine. Shape: two token-keyed aggregates
+    // + two vocab-keyed joins + a broadcast 1-row total — no
+    // all-pairs, vocabulary-sized state only.
+    "t19_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val uni = d.select(explode(tokenize($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cw"))
+      val ntok = uni.agg(sum($"cw").as("ntok"))
+      val bi = d.select(explode(ngrams(tokenize($"text"), 2)).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("c12"))
+        .filter($"c12" >= 20)
+        .select(substring_index($"bg", " ", 1).as("w1"),
+          substring_index($"bg", " ", -1).as("w2"), $"c12")
+      bi.join(uni.select($"w".as("w1"), $"cw".as("cw1")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
+        .crossJoin(broadcast(ntok))
+        .select($"w1", $"w2", $"c12",
+          round(($"c12".cast("double") * $"ntok") /
+            ($"cw1" * $"cw2").cast("double"), 6).as("lift"))
+        .orderBy($"lift".desc, $"w1", $"w2")
+    }),
+
     "t18_fuzzy_match" -> ((s, dir) => {
       import s.implicits._
       val names = Tables.load(s, dir, "part")
@@ -432,6 +461,22 @@ object TextQueries {
          |        FROM sc GROUP BY doc_id)
          |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score FROM agg
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same counts, same (exact-multiply, one-divide) association and
+    // left-to-right order — the doubles must match bit-for-bit
+    "t19_collocations" ->
+      s"""WITH toks AS (SELECT $SqlToks AS t FROM documents),
+         |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         |n AS (SELECT CAST(sum(cw) AS BIGINT) AS ntok FROM uni),
+         |bi AS (SELECT bg, count(*) AS c12 FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+         |    FROM toks) GROUP BY bg
+         |  HAVING count(*) >= 20),
+         |l AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12 FROM bi)
+         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         |  round(CAST(c12 AS DOUBLE) * ntok / CAST(u1.cw * u2.cw AS DOUBLE), 6) AS lift
+         |FROM l JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2 CROSS JOIN n
+         |ORDER BY lift DESC, w1, w2""".stripMargin,
 
     // Same blocking (noun = second token) and the same exact edit
     // distance; the pair predicate and threshold are stated

@@ -197,6 +197,61 @@ object StreamingJobs {
       .orderBy($"h")
   }
 
+  /** STREAMING native session-window aggregation, drained with
+    * AvailableNow: the engine-managed session-state twin of
+    * [[sessionizeAvailableNow]]'s hand-rolled flatMapGroupsWithState
+    * path — `groupBy(user, session_window(ts, gap))` in append mode,
+    * where merge/evict state is Spark's built-in session-window store
+    * instead of user code. Output matches batch e14 (start-keyed
+    * sessions). The same sentinel push closes tail sessions: in
+    * append mode a session emits only once the watermark passes its
+    * window end. */
+  def sessionWindowAvailableNow(s: SparkSession, dir: String,
+                                gapUs: Long = StreamingSessionize.DefaultGapUs): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "e15", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
+    val evBatch = Tables.load(s, dir, "events")
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None =>
+        return Seq.empty[(Long, Long, Long, Long)]
+          .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+    }
+    Seq((SentinelUser, (maxTus + SentinelSpacingUs) * 1000),
+        (SentinelUser, (maxTus + 2 * SentinelSpacingUs) * 1000))
+      .toDF("user_id", "ts")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def shaped(df: DataFrame) =
+      df.select($"user_id", expr("ts div 1000").as("tus"))
+    val real = shaped(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = shaped(s.readStream
+      .schema("user_id LONG, ts LONG").parquet(sentinelDir))
+
+    val sessions = real.union(sentinel)
+      .withColumn("tsc", timestamp_micros($"tus"))
+      .withWatermark("tsc", "30 minutes")
+      .groupBy($"user_id", session_window($"tsc", s"$gapUs microseconds").as("win"))
+      .agg(max($"tus").as("session_end_us"), count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"win.start").as("session_start_us"),
+        $"session_end_us", $"n_events")
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = sessions.writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .filter($"user_id" =!= SentinelUser)
+      .select($"user_id", $"session_start_us", $"session_end_us", $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   /** STREAM-STATIC novelty filter, drained with AvailableNow — the
     * incremental-ingest twin of the batch bloom anti-join (x05):
     * incoming documents stream in, and each micro-batch anti-joins its

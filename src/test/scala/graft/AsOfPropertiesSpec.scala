@@ -94,4 +94,55 @@ class AsOfPropertiesSpec extends SparkSpec {
     assert(allGaps.contains(0L) && allGaps.contains(20L),
       "generated data lost its equal-timestamp / tolerance-boundary gaps")
   }
+
+  /** Nearest contract: min |lt−rt| within tolerance; equidistant
+    * backward-vs-forward resolves backward; same-time ties use the
+    * per-direction id order (backward max rid, forward min rid). */
+  private def nearestOracle(c: Case, tol: Option[Long]): Map[Long, Option[Long]] =
+    c.lefts.map { case (lid, lto) =>
+      lid -> lto.flatMap { lt =>
+        val cands = c.rights.collect {
+          case (rid, Some(rt)) if tol.forall(t => math.abs(lt - rt) <= t) => (rt, rid)
+        }
+        if (cands.isEmpty) None
+        else Some(cands.minBy { case (rt, rid) =>
+          val back = rt <= lt
+          (math.abs(lt - rt), if (back) 0L else 1L, if (back) -rid else rid)
+        }._2)
+      }
+    }.toMap
+
+  test(s"asofNearest matches the per-key oracle on $NCases generated cases " +
+    "x {no tol, tol=0, tol=20} (the 10-grid makes equidistant ties constant)") {
+    val left = cases.zipWithIndex.flatMap { case (c, k) =>
+      c.lefts.map { case (lid, t) => (k.toLong, lid, t) }
+    }.toDF("k", "lid", "lt")
+    val right = cases.zipWithIndex.flatMap { case (c, k) =>
+      c.rights.map { case (rid, t) => (k.toLong, rid, t) }
+    }.toDF("k", "rid", "rt")
+
+    for (tol <- Seq(None, Some(0L), Some(20L))) {
+      val got = AsOf.asofNearest(left, right, Seq("k"), "lt", "rt",
+          toleranceUs = tol, tieBreak = Seq("rid"))
+        .select($"k", $"lid", $"rid")
+        .as[(Long, Long, Option[Long])].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      cases.zipWithIndex.foreach { case (c, k) =>
+        val want = nearestOracle(c, tol)
+        val have = got.getOrElse(k.toLong, Map.empty)
+        assert(have == want,
+          s"case $k tol=$tol: got $have want $want\n  case: $c")
+      }
+    }
+    // equidistant backward/forward pairs must actually occur
+    val equidistant = cases.exists { c =>
+      c.lefts.exists { case (_, Some(lt)) =>
+        val ds = c.rights.collect { case (_, Some(rt)) => rt - lt }
+        ds.exists(d => d > 0 && ds.contains(-d))
+      case _ => false
+      }
+    }
+    assert(equidistant, "generated data lost its equidistant-tie cases")
+  }
 }
