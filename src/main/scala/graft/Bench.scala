@@ -96,12 +96,16 @@ object Bench {
       def signedMed: Double = if (failed) -med else med
     }
     val results = ordered.map { case (name, fn) =>
-      // two rounds: one gc ENQUEUES dead references, the cleaner drains
-      // them async — the second gc+sleep gives multi-job queries
-      // (iterative operators, drains) a cleaner-quiet start
-      settle(spark, rounds = 2, sleepMs = 250)
+      settle(spark, rounds = 1, sleepMs = 250)
       var failed = false
-      val times = Array.fill(3) {
+      // settle BETWEEN the three repetitions too, not only before the
+      // query: rep 1 of a heavy query leaves its own cleaner debt
+      // (broadcast + shuffle blocks), and back-to-back reps absorb it
+      // — measured as min ≈ isolated warm but med ≈ 1.9× (d03 1.60 /
+      // 3.02 / 3.18 in the 124-query run). Same total settle budget
+      // as the old 2-rounds-before shape, spent where the noise is.
+      val times = Array.tabulate(3) { rep =>
+        if (rep > 0) settle(spark, rounds = 1, sleepMs = 150)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9

@@ -257,10 +257,10 @@ object Multimodal {
       buf.array()
     }
 
-    /** Decode via the real AudioSystem parser and reduce to format
-      * metadata + the signed-sample sum. None on unparseable bytes —
-      * at corpus scale a bad container is data, not a task death. */
-    def decodeStats(bytes: Array[Byte]): Option[AudioStats] =
+    /** Decode via the real AudioSystem parser to raw 16-bit LE PCM.
+      * None on unparseable bytes — at corpus scale a bad container is
+      * data, not a task death. */
+    def decodePcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
       try {
         val ais = AudioSystem.getAudioInputStream(
           new BufferedInputStream(new ByteArrayInputStream(bytes)))
@@ -270,13 +270,49 @@ object Multimodal {
           else {
             val data = ais.readAllBytes()
             val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-            var sum = 0L
-            while (bb.remaining() >= 2) sum += bb.getShort
-            Some(AudioStats(f.getSampleRate.toInt, f.getChannels, 16,
-              data.length / f.getFrameSize, sum))
+            val out = new Array[Short](data.length / 2)
+            var i = 0
+            while (bb.remaining() >= 2) { out(i) = bb.getShort; i += 1 }
+            Some((f.getSampleRate.toInt, f.getChannels, out))
           }
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Format metadata + the signed-sample sum, from a real decode. */
+    def decodeStats(bytes: Array[Byte]): Option[AudioStats] =
+      decodePcm16(bytes).map { case (rate, channels, samples) =>
+        var sum = 0L
+        samples.foreach(s => sum += s)
+        AudioStats(rate, channels, 16, samples.length.toLong / channels, sum)
+      }
+
+    /** Energy-derivative acoustic fingerprint over really-decoded PCM
+      * (the Shazam-family primitive, reduced to its integer core):
+      * frame into `win`-sample windows (partial tail dropped),
+      * per-window energy = Σ|sample|, bit w set iff E_w > E_{w−1}.
+      * All-integer → bit-reproducible, and robust to uniform gain
+      * changes of sign-preserving arithmetic. Returns
+      * `(n_windows, fingerprint)`. */
+    def fingerprint(bytes: Array[Byte], win: Int): Option[(Long, Long)] = {
+      require(win >= 1 && win <= 8192, s"window $win out of range")
+      decodePcm16(bytes).map { case (_, _, samples) =>
+        val full = samples.length / win
+        val en = Array.tabulate(full) { w =>
+          var e = 0L
+          var i = w * win
+          val end = i + win
+          while (i < end) { e += math.abs(samples(i).toLong); i += 1 }
+          e
+        }
+        var fp = 0L
+        var w = 1
+        while (w < full && w < 64) {
+          if (en(w) > en(w - 1)) fp |= 1L << w
+          w += 1
+        }
+        (full.toLong, fp)
+      }
+    }
   }
 
   /** Deterministic synthetic WAV for doc `id`: mono 16-bit PCM whose
@@ -302,6 +338,24 @@ object Multimodal {
         }
       }
     }.toDF("id", "sample_rate", "channels", "n_frames", "sum_samples")
+  }
+
+  /** Batched distributed acoustic fingerprints (see
+    * [[AudioCodec.fingerprint]]); undecodable payloads report
+    * `(-1, 0)` rather than killing the task. */
+  def audioFingerprints(ds: Dataset[(Long, Array[Byte])], win: Int,
+                        batchSize: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          AudioCodec.fingerprint(bytes, win) match {
+            case Some((n, fp)) => (id, n, fp)
+            case None => (id, -1L, 0L)
+          }
+        }
+      }
+    }.toDF("id", "n_windows", "fprint")
   }
 
   /** REAL video-stream handling: MJPEG (Motion JPEG) elementary

@@ -85,6 +85,20 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     }),
 
+    // Acoustic fingerprints over REAL decoded PCM: 64-sample energy
+    // windows, derivative-sign bits (the Shazam-family primitive's
+    // integer core) — the near-dup audio detection pass, all-integer
+    // so the oracle replays the planted sample arithmetic exactly.
+    "m08_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthWav(id)))
+      Multimodal.audioFingerprints(wavs, win = 64)
+        .select($"id".as("doc_id"), $"n_windows", $"fprint")
+        .orderBy($"doc_id")
+    }),
+
     // REAL resize round trip: synth PNG → nearest-neighbor resize to
     // 16×12 (integer sampling, re-encoded lossless PNG) → distributed
     // decode → per-channel sums. The oracle replays the sampling
@@ -173,6 +187,23 @@ object MultimodalQueries {
         |  CAST(1 AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
         |  CAST(SUM((doc_id*31 + i*17) % 4096 - 2048) AS BIGINT) AS sum_samples
         |FROM s GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
+
+    // replay: sample i = (id·31 + i·17) mod 4096 − 2048, windows of
+    // 64 (partial tail dropped), E_w = Σ|s|, bit w iff E_w > E_{w−1}
+    "m08_audio_fingerprint" ->
+      """WITH n AS (SELECT doc_id, 100 + doc_id % 400 AS nf FROM documents),
+        |s AS (SELECT doc_id, i // 64 AS w,
+        |        abs((doc_id*31 + i*17) % 4096 - 2048) AS av
+        |      FROM (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM n)
+        |      WHERE i < (nf // 64) * 64),
+        |e AS (SELECT doc_id, w, SUM(av) AS en FROM s GROUP BY doc_id, w),
+        |b AS (SELECT doc_id, w,
+        |        CASE WHEN en > lag(en) OVER (PARTITION BY doc_id ORDER BY w)
+        |             THEN 1 ELSE 0 END AS bit
+        |      FROM e)
+        |SELECT doc_id, CAST(max(w) + 1 AS BIGINT) AS n_windows,
+        |  CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS fprint
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m04_image_resize" ->
       """WITH dims AS (

@@ -184,6 +184,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out._2.toSeq == junk.toSeq)
   }
 
+  test("AudioCodec.fingerprint: gain-invariant, content-sensitive, junk-safe") {
+    import graft.multimodal.Multimodal.AudioCodec
+    def wavOf(samples: Array[Short]) = AudioCodec.encodeWavPcm16(8000, samples)
+    // ramped energy: window energies strictly increase → bits 1..n-1 set
+    val up = Array.tabulate(256)(i => (i * 8).toShort)
+    val Some((n1, fp1)) = AudioCodec.fingerprint(wavOf(up), win = 64)
+    assert(n1 == 4L && fp1 == 0xEL) // bits 1,2,3
+    // halving the gain preserves every energy comparison → same bits
+    val half = up.map(s => (s / 2).toShort)
+    assert(AudioCodec.fingerprint(wavOf(half), 64) == Some((4L, 0xEL)))
+    // reversing the ramp flips the derivative signs → different print
+    val Some((_, fpRev)) = AudioCodec.fingerprint(wavOf(up.reverse), 64)
+    assert(fpRev == 0L)
+    // partial tail window is dropped; junk bytes decode to None
+    val Some((n2, _)) = AudioCodec.fingerprint(wavOf(up.take(130)), 64)
+    assert(n2 == 2L)
+    assert(AudioCodec.fingerprint("junk".getBytes, 64).isEmpty)
+  }
+
   test("decodeImageStats: distributed decode of real PNGs matches the arithmetic") {
     val ds = spark.range(0, 60).as[Long].map(i => (i, Multimodal.synthPng(i)))
     val rows = Multimodal.decodeImageStats(ds, batchSize = 16).collect()
