@@ -40,7 +40,7 @@ object AsOf {
     val overlap = (left.columns.toSet & right.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"asofJoin: non-key columns appear on both sides: $overlap — rename first")
-    val reserved = Set("_side", "_t", "_payload", "_match", "_m", "_mb", "_mf")
+    val reserved = Set("_side", "_t", "_payload", "_match", "_m", "_mb", "_mf", "_mbv", "_mfv")
     val clash = (left.columns.toSet ++ right.columns.toSet) & reserved
     require(clash.isEmpty,
       s"asofJoin: column names $clash collide with internal working columns — rename first")
@@ -162,5 +162,47 @@ object AsOf {
       .withColumn("_m", chosen)
       .select(leftCols.map(col) ++
         rightPayloadCols.map(c => col("_m").getField(c).as(c)): _*)
+  }
+
+  /** Bracket as-of: BOTH the best at-or-before and best at-or-after
+    * right rows per left row, appended with `_b` / `_f` suffixes —
+    * the primitive behind time-series interpolation (lerp between
+    * bracketing sensor readings), gap measurement, and staleness
+    * audits. Same single key-shuffle + two window carries as
+    * [[asofNearest]]; each side independently NULL when absent or
+    * out of tolerance. */
+  def asofBracket(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  toleranceUs: Option[Long] = None,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    val (tagged, leftCols, rightPayloadCols) =
+      taggedUnion(left, right, keys, leftTime, rightTime, toleranceUs)
+
+    def win(asc: Boolean) = {
+      val d: Column => Column = if (asc) c => c.asc else c => c.desc
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy((d(col("_t")) +: col("_side").asc +:
+          tieBreak.map(t => d(col("_payload").getField(t)))): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val carried = tagged
+      .withColumn("_mb", last(col("_payload"), ignoreNulls = true).over(win(asc = true)))
+      .withColumn("_mf", last(col("_payload"), ignoreNulls = true).over(win(asc = false)))
+      .filter(col("_side") === 1)
+
+    val db = col("_t") - col("_mb").getField(rightTime)
+    val df = col("_mf").getField(rightTime) - col("_t")
+    val tol = toleranceUs.map(lit(_)).getOrElse(lit(Long.MaxValue))
+    val nullPayload = lit(null).cast(tagged.schema("_payload").dataType)
+    val mb = when(col("_t").isNotNull && col("_mb").isNotNull && db <= tol, col("_mb"))
+      .otherwise(nullPayload)
+    val mf = when(col("_t").isNotNull && col("_mf").isNotNull && df <= tol, col("_mf"))
+      .otherwise(nullPayload)
+
+    carried
+      .withColumn("_mbv", mb).withColumn("_mfv", mf)
+      .select(leftCols.map(col) ++
+        rightPayloadCols.map(c => col("_mbv").getField(c).as(s"${c}_b")) ++
+        rightPayloadCols.map(c => col("_mfv").getField(c).as(s"${c}_f")): _*)
   }
 }

@@ -61,6 +61,37 @@ object AdvancedQueries {
         .orderBy($"purchase_id")
     }),
 
+    // Time-series interpolation at query points: each purchase gets
+    // the user's view-value linearly interpolated between the
+    // BRACKETING views (±2 h tolerance; one-sided falls back to the
+    // available side, coincident brackets to the backward row). Built
+    // on AsOf.asofBracket — both bracket carries ride the same single
+    // key-shuffle; the lerp is per-row arithmetic with an exact
+    // association order shared with the oracle.
+    "a12_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("tus"), $"value")
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("ptus"))
+      val v = e.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"tus".as("vtus"),
+          $"value".as("vval"))
+      graft.operators.AsOf.asofBracket(p, v, Seq("user_id"),
+          leftTime = "ptus", rightTime = "vtus",
+          toleranceUs = Some(7200000000L), tieBreak = Seq("view_id"))
+        .filter($"vtus_b".isNotNull || $"vtus_f".isNotNull)
+        .select($"purchase_id",
+          round(
+            when($"vtus_b".isNull, $"vval_f")
+              .when($"vtus_f".isNull, $"vval_b")
+              .when($"vtus_f" === $"vtus_b", $"vval_b")
+              .otherwise($"vval_b" + ($"vval_f" - $"vval_b") *
+                ($"ptus" - $"vtus_b").cast("double") /
+                ($"vtus_f" - $"vtus_b").cast("double")), 6).as("v_interp"))
+        .orderBy($"purchase_id")
+    }),
+
     // Range join: views of the same user within the hour before each
     // purchase, via the library operator ([[graft.operators.RangeJoin]]):
     // hour-bucketed equi-join on (user_id, bucket), so a hot user's
@@ -232,6 +263,34 @@ object AdvancedQueries {
         |      WHERE abs(ptus - ctus) <= 3600000000)
         |SELECT purchase_id, click_id, CAST(adist_us AS BIGINT) AS adist_us
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // naive bracket spelling: best at-or-before (ties: latest time,
+    // largest id) and best at-or-after (ties: earliest time, smallest
+    // id) per purchase, then the same CASE/lerp chain and association
+    // order as the engine
+    "a12_interpolate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus, value FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, tus AS vtus, value AS vval FROM e WHERE event_type = 'view'),
+        |b AS (SELECT purchase_id, vtus AS tb, vval AS vb FROM (
+        |  SELECT p.purchase_id, v.vtus, v.vval,
+        |    row_number() OVER (PARTITION BY p.purchase_id ORDER BY v.vtus DESC, v.view_id DESC) AS rn
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE v.vtus <= p.ptus AND p.ptus - v.vtus <= 7200000000) WHERE rn = 1),
+        |f AS (SELECT purchase_id, vtus AS tf, vval AS vf FROM (
+        |  SELECT p.purchase_id, v.vtus, v.vval,
+        |    row_number() OVER (PARTITION BY p.purchase_id ORDER BY v.vtus ASC, v.view_id ASC) AS rn
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE v.vtus >= p.ptus AND v.vtus - p.ptus <= 7200000000) WHERE rn = 1)
+        |SELECT p.purchase_id,
+        |  round(CASE WHEN b.vb IS NULL THEN f.vf
+        |             WHEN f.vf IS NULL THEN b.vb
+        |             WHEN f.tf = b.tb THEN b.vb
+        |             ELSE b.vb + (f.vf - b.vb) * CAST(p.ptus - b.tb AS DOUBLE)
+        |                  / CAST(f.tf - b.tb AS DOUBLE) END, 6) AS v_interp
+        |FROM p LEFT JOIN b USING (purchase_id) LEFT JOIN f USING (purchase_id)
+        |WHERE b.tb IS NOT NULL OR f.tf IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
 
     "a02_range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),

@@ -402,6 +402,28 @@ object RelationalQueries {
         .orderBy($"o_orderpriority", $"o_orderkey")
     }),
 
+    // Manually salted skew join under the gate: 70% of lineitem rows
+    // collapse onto one hot supplier key (manufactured heavy hitter —
+    // the host-/boilerplate-key shape web corpora produce), then
+    // Skew.saltedJoin scatters the probe side across 8 salt buckets
+    // with the build side replicated to match. Result must equal the
+    // plain join exactly (the oracle IS the plain join) — the salt is
+    // a physical rewrite, never a semantic one. For AQE-reachable
+    // sort-merge joins prefer spark.sql.adaptive.skewJoin; this
+    // primitive covers the broadcast-infeasible residue.
+    "q33_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .select(when($"l_orderkey" % 10 < 7, 1L).otherwise($"l_suppkey").as("skey"),
+          $"l_quantity")
+      val small = t(s, dir, "supplier")
+        .select($"s_suppkey".as("skey"), $"s_nationkey")
+      graft.operators.Skew.saltedJoin(big, small, Seq("skey"), saltBuckets = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"s_nationkey")
+    }),
+
     // Join on computed key + range predicate (non-equi residual).
     "q24_theta_join" -> ((s, dir) => {
       import s.implicits._
@@ -583,6 +605,16 @@ object RelationalQueries {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
         |WHERE p_size >= 48 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the PLAIN join — equality proves the salt rewrote physics only
+    "q33_salted_join" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_suppkey END AS skey,
+        |         l_quantity
+        |  FROM lineitem)
+        |SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM big JOIN supplier ON skey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q32_window_dist" ->
       """SELECT o_orderpriority, o_orderkey,

@@ -145,4 +145,31 @@ class AsOfPropertiesSpec extends SparkSpec {
     }
     assert(equidistant, "generated data lost its equidistant-tie cases")
   }
+
+  test("asofBracket's two sides equal the independent backward and forward joins") {
+    val left = cases.zipWithIndex.flatMap { case (c, k) =>
+      c.lefts.map { case (lid, t) => (k.toLong, lid, t) }
+    }.toDF("k", "lid", "lt")
+    val right = cases.zipWithIndex.flatMap { case (c, k) =>
+      c.rights.map { case (rid, t) => (k.toLong, rid, t) }
+    }.toDF("k", "rid", "rt")
+
+    for (tol <- Seq(None, Some(20L))) {
+      val bracket = AsOf.asofBracket(left, right, Seq("k"), "lt", "rt",
+          toleranceUs = tol, tieBreak = Seq("rid"))
+        .select($"k", $"lid", $"rid_b", $"rid_f")
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      def side(dir: String) = AsOf.asofJoin(left, right, Seq("k"), "lt", "rt",
+          direction = dir, toleranceUs = tol, tieBreak = Seq("rid"))
+        .select($"k", $"lid", $"rid")
+        .as[(Long, Long, Option[Long])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val back = side("backward"); val fwd = side("forward")
+      assert(bracket.keySet == back.keySet)
+      bracket.foreach { case (key, (b, f)) =>
+        assert(b == back(key) && f == fwd(key), s"$key tol=$tol: ($b,$f) vs (${back(key)},${fwd(key)})")
+      }
+    }
+  }
 }
