@@ -92,6 +92,41 @@ object AdvancedQueries {
         .orderBy($"purchase_id")
     }),
 
+    // Time-weighted average of each user's view value: each sample is
+    // weighted by how long it was the CURRENT value (until the next
+    // sample), the standard step-function mean for irregular series.
+    // One key shuffle total — the lead() window's hash partitioning
+    // already satisfies the per-user aggregate, so Catalyst plans the
+    // agg over the same exchange (no re-shuffle; PlanSpec-checkable).
+    "a13_time_weighted_avg" -> ((s, dir) => {
+      import s.implicits._
+      val v = ev(s, dir).filter($"event_type" === "view")
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"value")
+      graft.operators.TimeSeries.timeWeightedAvg(v, Seq("user_id"),
+          timeCol = "tus", valueCol = "value", tieBreak = Seq("event_id"),
+          outCol = "twa_raw")
+        .select($"user_id", round($"twa_raw", 6).as("twa_value"),
+          $"span_us", $"n_segments")
+        .orderBy($"user_id")
+    }),
+
+    // Regular-grid resampling (gap fill): each user's view series
+    // forward-filled onto the hourly grid between their first and
+    // last sample. The grid is generated MAP-SIDE from per-key bounds
+    // (sequence + explode — never a driver loop), then one ascending
+    // window carry fills values; an on-grid sample overrides the
+    // carry, simultaneous samples resolve latest-write-wins. Row
+    // growth is span/step per key — explicit and budgetable at 100 TB.
+    "a14_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val v = ev(s, dir).filter($"event_type" === "view")
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"value")
+      graft.operators.TimeSeries.gapFill(v, Seq("user_id"),
+          timeCol = "tus", valueCol = "value", stepUs = 3600000000L,
+          tieBreak = Seq("event_id"))
+        .orderBy($"user_id", $"grid_tus")
+    }),
+
     // Range join: views of the same user within the hour before each
     // purchase, via the library operator ([[graft.operators.RangeJoin]]):
     // hour-bucketed equi-join on (user_id, bucket), so a hot user's
@@ -291,6 +326,36 @@ object AdvancedQueries {
         |FROM p LEFT JOIN b USING (purchase_id) LEFT JOIN f USING (purchase_id)
         |WHERE b.tb IS NOT NULL OR f.tf IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    // step-function TWA: weight = time until the next sample; the
+    // final sample carries none. Zero-span users drop (HAVING).
+    "a13_time_weighted_avg" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+        |           FROM events WHERE event_type = 'view'),
+        |d AS (SELECT user_id, value,
+        |        lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dt
+        |      FROM v)
+        |SELECT user_id, round(SUM(value * dt) / SUM(dt), 6) AS twa_value,
+        |  CAST(SUM(dt) AS BIGINT) AS span_us, count(*) AS n_segments
+        |FROM d WHERE dt IS NOT NULL GROUP BY user_id HAVING SUM(dt) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    // independent spelling of the fill: hourly grid per user via
+    // range(), then the latest sample at-or-before each grid point
+    // (ties → largest event_id = latest write) as a correlated probe
+    "a14_gap_fill" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+        |           FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, min(tus) AS lo, max(tus) AS hi FROM v GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |        unnest(range((lo + 3599999999) // 3600000000,
+        |                     hi // 3600000000 + 1)) * 3600000000 AS grid_tus
+        |      FROM b)
+        |SELECT g.user_id, g.grid_tus,
+        |  (SELECT s.value FROM v s
+        |   WHERE s.user_id = g.user_id AND s.tus <= g.grid_tus
+        |   ORDER BY s.tus DESC, s.event_id DESC LIMIT 1) AS value
+        |FROM g ORDER BY user_id, grid_tus""".stripMargin,
 
     "a02_range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),

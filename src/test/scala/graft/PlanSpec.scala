@@ -159,6 +159,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "chunk explode missing")
   }
 
+  test("a13: TWA's aggregate rides the lead-window exchange — one hash shuffle") {
+    val p = plan("a13_time_weighted_avg")
+    assert(!p.contains("Join"), "TWA grew a join")
+    // hash exchanges: exactly the window's user_id partitioning; the
+    // groupBy(user_id) must be satisfied by it (partial+final agg,
+    // no second hash shuffle). The ORDER BY adds one rangepartitioning.
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"TWA re-shuffled after the window:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial+final agg")
+  }
+
+  test("a14: gap fill is two key shuffles (bounds agg + carry window), no probe join") {
+    val p = plan("a14_gap_fill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("SortMergeJoin"), "gap fill planned a per-grid-point join")
+    assert(p.contains("Generate explode"), "grid must be generated map-side")
+  }
+
   test("g01/g02: graph queries stay equi-join only over checkpointed edge lists") {
     for (q <- Seq("g01_pagerank", "g02_triangles")) {
       val p = plan(q)
