@@ -433,6 +433,74 @@ object Multimodal {
     def frameMeta(bytes: Array[Byte], slice: (Int, Int)): Option[(String, Int, Int)] =
       ImageCodec.readMeta(
         java.util.Arrays.copyOfRange(bytes, slice._1, slice._1 + slice._2))
+
+    /** Mean per-pixel-per-channel absolute RGB difference between two
+      * decoded frames, or None when either frame fails to decode or
+      * dimensions differ (a dimension change IS a cut — callers treat
+      * None accordingly). */
+    def frameDiff(bytes: Array[Byte], a: (Int, Int), b: (Int, Int)): Option[Double] = {
+      def img(s: (Int, Int)) =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(bytes, s._1, s._1 + s._2))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      for {
+        ia <- img(a); ib <- img(b)
+        if ia.getWidth == ib.getWidth && ia.getHeight == ib.getHeight
+      } yield {
+        var acc = 0L
+        var y = 0
+        while (y < ia.getHeight) {
+          var x = 0
+          while (x < ia.getWidth) {
+            val p = ia.getRGB(x, y); val q = ib.getRGB(x, y)
+            acc += math.abs(((p >> 16) & 0xFF) - ((q >> 16) & 0xFF)) +
+              math.abs(((p >> 8) & 0xFF) - ((q >> 8) & 0xFF)) +
+              math.abs((p & 0xFF) - (q & 0xFF))
+            x += 1
+          }
+          y += 1
+        }
+        acc.toDouble / (3.0 * ia.getWidth * ia.getHeight)
+      }
+    }
+  }
+
+  /** Scene-change (shot-boundary) detection over MJPEG streams: a cut
+    * at frame j when the mean absolute RGB distance to frame j−1
+    * exceeds `threshold` (or when either frame is undecodable /
+    * resized — a codec break is a boundary). Emits `(id, n_frames,
+    * n_cuts)`. The temporal sibling of the image-dedup pass: shot
+    * boundaries are where a video corpus gets sampled for training
+    * frames, one representative per shot instead of 30 near-identical
+    * frames per second.
+    *
+    * REAL pixel decode of every frame via the JDK JPEG reader, batched
+    * `mapPartitions` like every decode stage — payload bytes never
+    * visit the driver, cost is linear in frames, nothing shuffles but
+    * the per-video result row. Threshold calibration: adjacent frames
+    * of a continuous shot land at diff ≈ 0–5 (codec noise), a hard cut
+    * at ≥ 60 — the default 32 sits in the dead band. */
+  def sceneChanges(ds: Dataset[(Long, Array[Byte])], threshold: Double = 32.0,
+                   batchSize: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val slices = VideoCodec.frameSlices(bytes)
+          var cuts = 0L
+          var j = 1
+          while (j < slices.length) {
+            val cut = VideoCodec.frameDiff(bytes, slices(j - 1), slices(j)) match {
+              case Some(d) => d > threshold
+              case None => true
+            }
+            if (cut) cuts += 1
+            j += 1
+          }
+          (id, slices.length.toLong, cuts)
+        }
+      }
+    }.toDF("id", "n_frames", "n_cuts")
   }
 
   /** Deterministic synthetic MJPEG "video" for doc `id`:

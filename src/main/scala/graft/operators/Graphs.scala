@@ -195,5 +195,42 @@ object Graphs {
     dist.select(col("u").as(idCol), col("h").as("hops"))
   }
 
+  /** Common-neighbor link prediction over a bipartite edge list
+    * `(srcCol, dstCol)`: for every pair of src vertices sharing at
+    * least `minCommon` dst neighbors, the shared-neighbor count — the
+    * classic "who should be linked but isn't" score (suppliers with
+    * overlapping catalogs, documents citing the same sources, users
+    * touching the same items).
+    *
+    * Scale shape: candidate pairs are mined by self-joining the edge
+    * list on the CENTER (dst) vertex, so the blowup is Σ deg(dst)² —
+    * `maxDegree` drops hub centers first (a center shared by everyone
+    * predicts nothing, exactly like d03's boilerplate-shingle cap),
+    * making the wedge volume an explicit budget. The pair aggregate
+    * collapses wedges to one row per (a, b); `minCommon` prunes the
+    * long singleton tail before the final exchange. Two hash
+    * equi-joins + one aggregate, no cartesian anywhere. */
+  def commonNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
+                      maxDegree: Option[Long] = None,
+                      minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("_s"),
+        col(dstCol).cast("long").as("_c"))
+      .filter(col("_s").isNotNull && col("_c").isNotNull)
+      .distinct()
+    val centered = maxDegree match {
+      case Some(cap) =>
+        val keep = e.groupBy(col("_c")).agg(count(lit(1)).as("_d"))
+          .filter(col("_d") <= cap).select(col("_c"))
+        e.join(keep, Seq("_c"))
+      case None => e
+    }
+    centered.select(col("_c"), col("_s").as("a"))
+      .join(centered.select(col("_c"), col("_s").as("b")), Seq("_c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
   private def unpersistOf(df: DataFrame): Unit = Checkpoints.free(df)
 }

@@ -314,6 +314,44 @@ object TextAnalysis {
         round(col("_sn").cast("double") / col("_sd").cast("double"), 4).as("score"))
   }
 
+  /** Vocabulary-growth (Heaps'-law) profile: cumulative distinct-type
+    * and total-token counts at every `bucketDocs`-document checkpoint
+    * of the `idCol` order. The classic corpus diagnostic — V(N) ≈
+    * K·N^β says whether a crawl is still finding new language or
+    * re-reading itself, and the measured β calibrates dedup budgets.
+    *
+    * Shape: "distinct over every prefix" does NOT need a pass per
+    * checkpoint — a type is new at exactly one document (its first
+    * occurrence), so one `min(doc)` aggregate per type places every
+    * type in its checkpoint bucket, and a cumulative sum over the
+    * bucketed counts replays the whole curve. Two corpus-sized
+    * aggregates (per-type min, per-bucket token count) and then a
+    * window over the OUTPUT (one row per checkpoint — driver-sized by
+    * construction: pick bucketDocs so corpus/bucketDocs stays in the
+    * thousands; the single-partition window is over that result, not
+    * the corpus). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  bucketDocs: Long): DataFrame = {
+    require(bucketDocs > 0, s"bucketDocs must be positive: $bucketDocs")
+    val toks = docs.select(col(idCol), explode(tokenize(col(textCol))).as("token"))
+    val newTypes = toks.groupBy(col("token"))
+      .agg(min(col(idCol)).as("_first"))
+      .groupBy(expr(s"_first div $bucketDocs").as("_bucket"))
+      .agg(count(lit(1)).as("_new_types"))
+    val bucketToks = toks
+      .groupBy(expr(s"$idCol div $bucketDocs").as("_bucket"))
+      .agg(count(lit(1)).as("_n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketToks.join(newTypes, Seq("_bucket"), "left")
+      .select(col("_bucket"), col("_n_toks"),
+        coalesce(col("_new_types"), lit(0L)).as("_nt"))
+      .select(((col("_bucket") + 1) * bucketDocs).as("n_docs"),
+        sum(col("_nt")).over(w).as("vocab_size"),
+        sum(col("_n_toks")).over(w).as("total_tokens"))
+  }
+
   /** 128-bit content fingerprint of the canonical token stream. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenize(text)).cast("binary"))

@@ -109,6 +109,25 @@ object GraphQueries {
         .orderBy($"kind", $"vertex_id")
     }),
 
+    // Common-neighbor link prediction over the part–supplier
+    // bipartite graph: supplier pairs sharing ≥2 distinct parts —
+    // "overlapping catalogs", the score every who-should-be-linked
+    // recommender starts from. Candidate pairs come from self-joining
+    // on the CENTER (part) vertex, so blowup is Σ deg(part)² with a
+    // hub cap of 50 (a part everyone supplies predicts nothing — the
+    // graph twin of d03's boilerplate-shingle cap). TPC-H part degree
+    // is ~4, so wedge volume ≈ 16·|parts|: linear in practice, capped
+    // by construction in the adversarial case.
+    "g04_link_predict" -> ((s, dir) => {
+      import s.implicits._
+      val ps = graft.Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".as("part"), $"l_suppkey".as("supp"))
+      Graphs.commonNeighbors(ps, srcCol = "supp", dstCol = "part",
+          maxDegree = Some(50L), minCommon = 2L)
+        .select($"a".as("supp_a"), $"b".as("supp_b"), $"n_common")
+        .orderBy($"supp_a", $"supp_b")
+    }),
+
     // Per-vertex triangle counts over the planted-trio slice: each
     // (doc, copy+1e6, copy+2e6) trio is a 3-clique; organic near-dups
     // inside the slice add their own wedges. Degree-ordered
@@ -127,6 +146,17 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // independent naive spelling: distinct edges, hub-part cap,
+    // center self-join, pair count ≥ 2
+    "g04_link_predict" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv FROM lineitem),
+        |keep AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= 50),
+        |e AS (SELECT ps.p, ps.sv FROM ps JOIN keep USING (p))
+        |SELECT a.sv AS supp_a, b.sv AS supp_b, count(*) AS n_common
+        |FROM e a JOIN e b ON a.p = b.p AND a.sv < b.sv
+        |GROUP BY a.sv, b.sv HAVING count(*) >= 2
+        |ORDER BY supp_a, supp_b""".stripMargin,
 
     "g01_pagerank" -> {
       val corpusCte =

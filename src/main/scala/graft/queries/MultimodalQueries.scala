@@ -148,6 +148,25 @@ object MultimodalQueries {
     // encode→decode→hash→cluster path collapses exactly the planted
     // classes: 100 clusters, no more (no hash collision across
     // classes), no fewer (no instability within a class).
+    // Shot-boundary detection over REAL MJPEG decode: every frame's
+    // pixels come back through the JDK JPEG reader, consecutive
+    // frames diff in RGB space, a cut is a diff above threshold. The
+    // synthetic streams drift one gray level per frame (diff ≈ 0 after
+    // codec noise) except when the 8-bit channel WRAPS 255→0 — a
+    // maximal hard cut. The oracle replays the wrap arithmetic; the
+    // threshold sits in the dead band (≈0 vs ≈85), so the lossy codec
+    // cannot flip a verdict. Temporal sibling of m07's image dedup:
+    // shot boundaries are where a video corpus gets sampled.
+    "m09_scene_change" -> ((s, dir) => {
+      import s.implicits._
+      val vids = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthMjpeg(id)))
+      Multimodal.sceneChanges(vids, threshold = 32.0)
+        .select($"id".as("doc_id"), $"n_frames", $"n_cuts")
+        .orderBy($"doc_id")
+    }),
+
     "m07_image_dedup" -> ((s, dir) => {
       import s.implicits._
       val imgs = Tables.load(s, dir, "documents")
@@ -162,6 +181,18 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // frame j's blue plane is (doc_id + j) mod 256: consecutive frames
+    // differ by one gray level except at the 255→0 wrap — the planted
+    // hard cut. Cut at j iff (doc_id + j) ≡ 0 (mod 256), j ≥ 1.
+    "m09_scene_change" ->
+      """WITH n AS (SELECT doc_id, 1 + doc_id % 12 AS nf FROM documents),
+        |j AS (SELECT doc_id, unnest(range(1, nf)) AS jj FROM n),
+        |c AS (SELECT doc_id, count(*) AS cuts FROM j
+        |      WHERE (doc_id + jj) % 256 = 0 GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.nf AS BIGINT) AS n_frames,
+        |  CAST(COALESCE(c.cuts, 0) AS BIGINT) AS n_cuts
+        |FROM n LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // closed-form MP4 fixture arithmetic (see Mp4.synthMp4): the Spark
     // side walks real ISO-BMFF boxes, the oracle replays the formulas
     "m06_mp4_meta" ->

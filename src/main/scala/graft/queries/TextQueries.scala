@@ -218,6 +218,20 @@ object TextQueries {
     // bit-identical in any engine. Shape: two token-keyed aggregates
     // + two vocab-keyed joins + a broadcast 1-row total — no
     // all-pairs, vocabulary-sized state only.
+    // Heaps'-law vocabulary-growth curve: cumulative distinct types
+    // and total tokens at every 50-doc checkpoint. "Distinct over
+    // every prefix" needs no per-checkpoint pass — each type is new
+    // exactly once (min first-occurrence doc), so two corpus-sized
+    // aggregates place every type/token in its bucket and a window
+    // over the checkpoint ROWS (driver-sized output) replays the
+    // curve. The crawl-health diagnostic: a flattening curve means
+    // the corpus is re-reading itself and dedup budgets can shrink.
+    "t20_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.vocabGrowth(docs(s, dir), "doc_id", "text", bucketDocs = 50L)
+        .orderBy($"n_docs")
+    }),
+
     "t19_collocations" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
@@ -461,6 +475,20 @@ object TextQueries {
          |        FROM sc GROUP BY doc_id)
          |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score FROM agg
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // independent spelling of the prefix-distinct trick: per-type
+    // first-occurrence doc → checkpoint bucket → cumulative window
+    "t20_vocab_growth" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS token FROM documents),
+         |nt AS (SELECT first_doc // 50 AS bucket, count(*) AS new_types FROM
+         |        (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token)
+         |       GROUP BY 1),
+         |bt AS (SELECT doc_id // 50 AS bucket, count(*) AS n_toks FROM toks GROUP BY 1)
+         |SELECT CAST((bt.bucket + 1) * 50 AS BIGINT) AS n_docs,
+         |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY bt.bucket) AS BIGINT) AS vocab_size,
+         |  CAST(SUM(bt.n_toks) OVER (ORDER BY bt.bucket) AS BIGINT) AS total_tokens
+         |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
+         |ORDER BY n_docs""".stripMargin,
 
     // same counts, same (exact-multiply, one-divide) association and
     // left-to-right order — the doubles must match bit-for-bit
