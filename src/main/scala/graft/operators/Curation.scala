@@ -88,4 +88,24 @@ object Curation {
     survivors.select(col(idCol), col("pred_lang"), col("n_tokens"),
       round(col("alnum_ratio"), 4).as("alnum_ratio"))
   }
+
+  /** K-anonymity suppression: keep only rows whose quasi-identifier
+    * combination is shared by at least `k` rows — the release gate a
+    * training corpus runs so that metadata (language × source ×
+    * size-bucket × …) cannot single out an individual document or
+    * its author. Returns the input rows plus `group_size`.
+    *
+    * ONE hash shuffle on the quasi columns (a count window over that
+    * partitioning); no join-back — the window carries the group size
+    * onto every row in the same pass. Suppression-side note for
+    * 100 TB: the filter drops the LONG TAIL (small groups), which is
+    * most distinct key combinations but few rows — the surviving
+    * heavy groups are exactly the well-partitioned ones. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("group_size") >= k)
+  }
 }

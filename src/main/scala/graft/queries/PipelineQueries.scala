@@ -79,6 +79,21 @@ object PipelineQueries {
     // certainty, short ones proportionally. Map-side codegen filter,
     // zero shuffle; coin-vs-rate compare is exact double arithmetic
     // so the oracle is bit-identical.
+    // K-anonymity release gate: a doc survives only when ≥5 docs
+    // share its (lang, source, size-bucket) quasi-identifier combo —
+    // the privacy pass a corpus release runs so metadata can't single
+    // out one document/author. One hash shuffle (count window over
+    // the quasi partitioning, group size carried in the same pass, no
+    // join-back); the suppressed long tail is most KEY combos but few
+    // ROWS, so the filter is cheap and the survivors well-partitioned.
+    "x17_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val q = docs(s, dir).select($"doc_id", $"lang", $"source",
+        expr("n_chars div 256").as("len_bucket"))
+      graft.operators.Curation.kAnonymize(q, Seq("lang", "source", "len_bucket"), k = 5L)
+        .orderBy($"doc_id")
+    }),
+
     "x13_sample_weighted" -> ((s, dir) => {
       import s.implicits._
       Mixing.sampleWeighted(docs(s, dir), "doc_id",
@@ -312,6 +327,19 @@ object PipelineQueries {
          |WHERE ${sqlCoin("doc_id", "s42")} < th
          |ORDER BY doc_id""".stripMargin,
 
+    // independent spelling: explicit group-by + join-back instead of
+    // the window; identical survivor set and group sizes
+    "x17_k_anonymity" ->
+      """WITH q AS (SELECT doc_id, lang, source, n_chars // 256 AS len_bucket
+        |           FROM documents),
+        |g AS (SELECT lang, source, len_bucket, count(*) AS group_size
+        |      FROM q GROUP BY lang, source, len_bucket)
+        |SELECT q.doc_id, q.lang, q.source,
+        |  CAST(q.len_bucket AS BIGINT) AS len_bucket,
+        |  CAST(g.group_size AS BIGINT) AS group_size
+        |FROM q JOIN g USING (lang, source, len_bucket)
+        |WHERE g.group_size >= 5 ORDER BY doc_id""".stripMargin,
+
     // integer counts/sums + one division each for the two ratios —
     // identical association both sides
     "x14_dataset_card" ->
@@ -421,7 +449,7 @@ object PipelineQueries {
     // s07's Lloyd CTE chain (shared helper) + the same coin-ranked
     // per-cluster quota; rnk must match mixSources' (coin, key) order.
     "x16_cluster_sample" ->
-      s"""${SimilarityQueries.kmeansAssignCtes(2)},
+      s"""WITH ${SimilarityQueries.kmeansAssignCtes(2)},
          |r AS (
          |  SELECT vec_id, cluster,
          |    row_number() OVER (PARTITION BY cluster ORDER BY

@@ -116,6 +116,31 @@ object SimilarityQueries {
         .orderBy($"vec_id")
     }),
 
+    // Product quantization: the 64-dim embedding splits into four
+    // 16-dim subspaces, each quantized by its OWN deterministic
+    // k-means codebook (k=8, 2 iterations — the s07 operator applied
+    // per slice), codes packed base-8 into a 12-bit pq_code. THE
+    // memory story for ANN at 100 TB: 256 bytes of float32 become 12
+    // bits + a shared 4×8×16 codebook, and asymmetric-distance scans
+    // read codes, not vectors. Four independent slice-runs compose —
+    // nothing couples the subspaces, so they parallelize trivially;
+    // the oracle replays all four iteration chains in one WITH.
+    "s08_pq_codes" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val parts = (0 until 4).map { m =>
+        Clustering.kmeansInt(
+            e.select($"vec_id", slice($"embedding", m * 16 + 1, 16).as("embedding")),
+            "vec_id", "embedding", k = 8, iters = 2)
+          .withColumnRenamed("cluster", s"c$m")
+      }
+      parts.reduce(_.join(_, "vec_id"))
+        .select($"vec_id",
+          ($"c0" * 512 + $"c1" * 64 + $"c2" * 8 + $"c3").as("pq_code"),
+          $"c0", $"c1", $"c2", $"c3")
+        .orderBy($"vec_id")
+    }),
+
     // Label centroids: distributed mean vector per label — exercises
     // array aggregation without ever collecting vectors to the driver.
     "s04_label_centroid_norm" -> ((s, dir) => {
@@ -146,7 +171,13 @@ object SimilarityQueries {
     * All quantized coords are non-negative (shift=1), so `//` here and
     * `div` in Spark agree (truncation == floor). Shared with x16's
     * cluster-balanced sampling oracle via [[kmeansAssignCtes]]. */
-  private[queries] def kmeansAssignCtes(iters: Int): String = {
+  /** DuckDB CTE chain replaying [[graft.operators.Clustering.kmeansInt]]
+    * on `vecExpr` (default: the whole embedding). `sfx` namespaces the
+    * CTEs so several chains — one per PQ subspace — compose in one
+    * WITH; the chain is leading-keyword-free so callers join the
+    * `afinal$sfx` results. */
+  private[queries] def kmeansAssignCtes(iters: Int, sfx: String = "",
+                                        vecExpr: String = "embedding"): String = {
     def assignCte(name: String, cent: String): String =
       s"""$name AS (
          |  SELECT vec_id, q, cluster FROM (
@@ -154,32 +185,50 @@ object SimilarityQueries {
          |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |        list_sum(list_transform(range(1, len(p.q) + 1),
          |          i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.cluster) AS rn
-         |    FROM pts p CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+         |    FROM pts$sfx p CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
     def updateCtes(i: Int): String =
-      s"""u$i AS (
+      s"""u$i$sfx AS (
          |  SELECT cluster, i, CAST(sum(x) // count(*) AS BIGINT) AS cv
          |  FROM (SELECT cluster, unnest(q) AS x, generate_subscripts(q, 1) AS i
-         |        FROM a$i)
+         |        FROM a$i$sfx)
          |  GROUP BY cluster, i),
-         |cn$i AS (SELECT cluster, list(cv ORDER BY i) AS c FROM u$i GROUP BY cluster),
-         |c$i AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
-         |        FROM c${i - 1} p LEFT JOIN cn$i n USING (cluster))""".stripMargin
+         |cn$i$sfx AS (SELECT cluster, list(cv ORDER BY i) AS c FROM u$i$sfx GROUP BY cluster),
+         |c$i$sfx AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
+         |        FROM c${i - 1}$sfx p LEFT JOIN cn$i$sfx n USING (cluster))""".stripMargin
     val rounds = (1 to iters).map(i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCtes(i)).mkString(",\n")
-    s"""WITH pts AS (
-       |  SELECT vec_id, list_transform(embedding,
+      assignCte(s"a$i$sfx", s"c${i - 1}$sfx") + ",\n" + updateCtes(i)).mkString(",\n")
+    s"""pts$sfx AS (
+       |  SELECT vec_id, list_transform($vecExpr,
        |    x -> CAST(round((CAST(x AS DOUBLE) + 1.0e0) * 1000000) AS BIGINT)) AS q
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cluster, q AS c FROM pts WHERE vec_id < 8),
+       |c0$sfx AS (SELECT vec_id AS cluster, q AS c FROM pts$sfx WHERE vec_id < 8),
        |$rounds,
-       |${assignCte("afinal", s"c$iters")}""".stripMargin
+       |${assignCte(s"afinal$sfx", s"c$iters$sfx")}""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "s07_kmeans_assign" ->
-      s"""${kmeansAssignCtes(2)}
+      s"""WITH ${kmeansAssignCtes(2)}
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal
          |ORDER BY vec_id""".stripMargin,
+
+    // four independent 16-dim k-means chains (one per subspace), codes
+    // packed base-8 — the oracle replays every subspace's iterations
+    "s08_pq_codes" -> {
+      val subs = (0 until 4).map(m =>
+        kmeansAssignCtes(2, sfx = s"s$m",
+          vecExpr = s"embedding[${m * 16 + 1}:${(m + 1) * 16}]")).mkString(",\n")
+      s"""WITH $subs
+         |SELECT a0.vec_id,
+         |  CAST(a0.cluster * 512 + a1.cluster * 64 + a2.cluster * 8 + a3.cluster AS BIGINT) AS pq_code,
+         |  CAST(a0.cluster AS BIGINT) AS c0, CAST(a1.cluster AS BIGINT) AS c1,
+         |  CAST(a2.cluster AS BIGINT) AS c2, CAST(a3.cluster AS BIGINT) AS c3
+         |FROM afinals0 a0
+         |JOIN afinals1 a1 ON a1.vec_id = a0.vec_id
+         |JOIN afinals2 a2 ON a2.vec_id = a0.vec_id
+         |JOIN afinals3 a3 ON a3.vec_id = a0.vec_id
+         |ORDER BY a0.vec_id""".stripMargin
+    },
     // Planted-copy top-5: rank m is the copy at id q + m·1e6, cos 1.0.
     "s02_knn_lsh" ->
       """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,

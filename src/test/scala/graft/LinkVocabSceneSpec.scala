@@ -64,6 +64,31 @@ class LinkVocabSceneSpec extends SparkSpec {
     assert(got(254L)._2 == 1L && got(7L)._2 == 0L) // the fixture really cuts
   }
 
+  test("kAnonymize: small groups suppressed, group_size carried, k=1 keeps all") {
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "fr", "web"), (5L, "de", "book")
+    ).toDF("id", "lang", "source")
+    val k3 = graft.operators.Curation.kAnonymize(df, Seq("lang", "source"), 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(k3 == Set((1L, 3L), (2L, 3L), (3L, 3L)))
+    assert(graft.operators.Curation.kAnonymize(df, Seq("lang", "source"), 1L)
+      .count() == 5)
+  }
+
+  test("s08 PQ codes: in-range, pack arithmetic holds, partition-invariant") {
+    val q = SparkEntry.queries("s08_pq_codes")(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val Seq(code, c0, c1, c2, c3) = (1 to 5).map(r.getLong)
+      assert(Seq(c0, c1, c2, c3).forall(c => c >= 0 && c < 8))
+      assert(code == c0 * 512 + c1 * 64 + c2 * 8 + c3)
+    }
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "all vectors landed in one PQ cell — codebooks degenerate")
+  }
+
   test("sceneChanges: undecodable or resized frames count as cuts") {
     // two real JPEG frames with DIFFERENT dims -> dimension change = cut
     val f1 = Multimodal.ImageCodec.encode(16, 12, (x, y) => (x * 16) << 16, "jpg")
