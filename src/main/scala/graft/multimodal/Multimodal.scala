@@ -434,17 +434,20 @@ object Multimodal {
       ImageCodec.readMeta(
         java.util.Arrays.copyOfRange(bytes, slice._1, slice._1 + slice._2))
 
+    /** Decode one frame slice, or None on undecodable bytes. */
+    def decodeFrame(bytes: Array[Byte], s: (Int, Int)): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(bytes, s._1, s._1 + s._2))))
+      catch { case scala.util.control.NonFatal(_) => None }
+
     /** Mean per-pixel-per-channel absolute RGB difference between two
-      * decoded frames, or None when either frame fails to decode or
+      * decoded frames, or None when either frame failed to decode or
       * dimensions differ (a dimension change IS a cut — callers treat
       * None accordingly). */
-    def frameDiff(bytes: Array[Byte], a: (Int, Int), b: (Int, Int)): Option[Double] = {
-      def img(s: (Int, Int)) =
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-          java.util.Arrays.copyOfRange(bytes, s._1, s._1 + s._2))))
-        catch { case scala.util.control.NonFatal(_) => None }
+    def frameDiff(ia0: Option[java.awt.image.BufferedImage],
+                  ib0: Option[java.awt.image.BufferedImage]): Option[Double] = {
       for {
-        ia <- img(a); ib <- img(b)
+        ia <- ia0; ib <- ib0
         if ia.getWidth == ib.getWidth && ia.getHeight == ib.getHeight
       } yield {
         var acc = 0L
@@ -488,13 +491,19 @@ object Multimodal {
         batch.iterator.map { case (id, bytes) =>
           val slices = VideoCodec.frameSlices(bytes)
           var cuts = 0L
+          // stream the decode: each frame decodes ONCE and is compared
+          // against the held previous frame — never decode-per-pair
+          var prev = if (slices.isEmpty) None
+            else VideoCodec.decodeFrame(bytes, slices(0))
           var j = 1
           while (j < slices.length) {
-            val cut = VideoCodec.frameDiff(bytes, slices(j - 1), slices(j)) match {
+            val cur = VideoCodec.decodeFrame(bytes, slices(j))
+            val cut = VideoCodec.frameDiff(prev, cur) match {
               case Some(d) => d > threshold
               case None => true
             }
             if (cut) cuts += 1
+            prev = cur
             j += 1
           }
           (id, slices.length.toLong, cuts)
