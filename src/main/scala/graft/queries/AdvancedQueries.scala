@@ -127,6 +127,29 @@ object AdvancedQueries {
         .orderBy($"user_id", $"grid_tus")
     }),
 
+    // OHLC downsampling: each user's view series reduced to hourly
+    // open/high/low/close bars — the lossy-but-shaped compaction every
+    // metrics/market pipeline applies before long-horizon storage.
+    // ONE hash shuffle: open/close ride min_by/max_by over a
+    // composite (time, id) order key (deterministic under same-time
+    // ties), high/low/count are plain aggregates in the same
+    // partial+final pass — no window, no self-join, map-side combine
+    // does the heavy lifting at 100 TB.
+    "a15_ohlc_bars" -> ((s, dir) => {
+      import s.implicits._
+      val v = ev(s, dir).filter($"event_type" === "view")
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"value")
+        .withColumn("bar_tus", expr("(tus div 3600000000) * 3600000000"))
+      v.groupBy($"user_id", $"bar_tus")
+        .agg(
+          min_by($"value", struct($"tus", $"event_id")).as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max_by($"value", struct($"tus", $"event_id")).as("close"),
+          count(lit(1)).as("n_samples"))
+        .orderBy($"user_id", $"bar_tus")
+    }),
+
     // Range join: views of the same user within the hour before each
     // purchase, via the library operator ([[graft.operators.RangeJoin]]):
     // hour-bucketed equi-join on (user_id, bucket), so a hot user's
@@ -356,6 +379,26 @@ object AdvancedQueries {
         |   WHERE s.user_id = g.user_id AND s.tus <= g.grid_tus
         |   ORDER BY s.tus DESC, s.event_id DESC LIMIT 1) AS value
         |FROM g ORDER BY user_id, grid_tus""".stripMargin,
+
+    // open/close via row_number over the (tus, event_id) total order —
+    // an independent spelling of the composite-key min_by/max_by
+    "a15_ohlc_bars" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |             (epoch_us(ts) // 3600000000) * 3600000000 AS bar_tus
+        |           FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, bar_tus, value,
+        |        row_number() OVER (PARTITION BY user_id, bar_tus
+        |                           ORDER BY tus, event_id) AS ra,
+        |        row_number() OVER (PARTITION BY user_id, bar_tus
+        |                           ORDER BY tus DESC, event_id DESC) AS rd
+        |      FROM v)
+        |SELECT user_id, bar_tus,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n_samples
+        |FROM r GROUP BY user_id, bar_tus
+        |ORDER BY user_id, bar_tus""".stripMargin,
 
     "a02_range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
