@@ -42,4 +42,25 @@ object History {
       .agg(min(v).as("v_from"), max(v).as("v_to"), min(dg).as("digest"))
       .drop("_run")
   }
+
+  /** Point-in-time lookup against an scd2 history: for each probe
+    * row, the run whose `[v_from, v_to]` contains `atCol` — the
+    * feature-store read path ("the entity's state AT version v",
+    * never leaking a future revision into training features). LEFT
+    * join so probes that land in a deletion gap survive with null
+    * history columns instead of vanishing.
+    *
+    * Scale shape: one equi-join hashed on the entity id with the
+    * validity interval as a residual predicate. Runs per id are few
+    * by construction — collapsing versions into runs is the whole
+    * point of SCD2 — so the residual never multiplies. No snapshot
+    * materialization, no per-version explosion.
+    */
+  def pitLookup(hist: DataFrame, probes: DataFrame, idCol: String,
+                atCol: String): DataFrame =
+    probes.join(hist,
+        probes(idCol) === hist(idCol) &&
+          probes(atCol) >= hist("v_from") && probes(atCol) <= hist("v_to"),
+        "left")
+      .drop(hist(idCol))
 }

@@ -39,6 +39,28 @@ object PipelineQueries {
   // convention as d04/d05's planted duplicates.
   private val BenchPred = "doc_id % 40 = 7"
 
+  /** x15/x18's shared fixture: four corpus versions with deterministic
+    * revisions ((id+u) % 5 bumps the digest) and deletions
+    * ((id+v) % 13 drops the doc from snapshot v). */
+  private def versionSnaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    (1 to 4).map { v =>
+      val rev = (2 to v).map(u =>
+        when(($"doc_id" + u) % 5 === 0, 1L).otherwise(0L))
+        .foldLeft(lit(0L))(_ + _)
+      d.filter(($"doc_id" + v) % 13 =!= 0)
+        .select(lit(v.toLong).as("version"), $"doc_id",
+          substring(md5(concat($"text", lit(" rev"), rev)), 1, 12).as("digest"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The four probe versions as a 4-row frame (broadcast by size). */
+  private def spark_range_versions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (1L to 4L).toDF("q_version")
+  }
+
   // x02 stratified sampling rates / x03 source quotas — exercised over
   // the corpus's real strata (5 langs, 20 sources).
   private val Rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125)
@@ -260,18 +282,25 @@ object PipelineQueries {
     // re-crawl pipeline keeps instead of four full corpus copies.
     "x15_scd2_history" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir)
-      val snaps = (1 to 4).map { v =>
-        val rev = (2 to v).map(u =>
-          when(($"doc_id" + u) % 5 === 0, 1L).otherwise(0L))
-          .foldLeft(lit(0L))(_ + _)
-        d.filter(($"doc_id" + v) % 13 =!= 0)
-          .select(lit(v.toLong).as("version"), $"doc_id",
-            substring(md5(concat($"text", lit(" rev"), rev)), 1, 12).as("digest"))
-      }.reduce(_ unionByName _)
-      History.scd2(snaps, "doc_id", "version", "digest")
+      History.scd2(versionSnaps(s, dir), "doc_id", "version", "digest")
         .withColumn("is_current", ($"v_to" === 4).cast("long"))
         .orderBy($"doc_id", $"v_from")
+    }),
+
+    // Point-in-time-correct lookup against the SCD2 history — the
+    // feature-store probe: "what was this entity's state AT version
+    // v", never leaking future revisions into training features.
+    // History.pitLookup documents the scale shape; deleted-at-that-
+    // version probes surface as is_live = 0 instead of vanishing.
+    "x18_pit_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val hist = History.scd2(versionSnaps(s, dir), "doc_id", "version", "digest")
+      val probes = docs(s, dir).select($"doc_id")
+        .crossJoin(spark_range_versions(s))
+      History.pitLookup(hist, probes, "doc_id", "q_version")
+        .select($"doc_id", $"q_version", $"digest",
+          $"digest".isNotNull.cast("long").as("is_live"))
+        .orderBy($"doc_id", $"q_version")
     }),
 
     // Bloom-pruned novelty: incoming = the whole corpus, seen = the
@@ -326,6 +355,38 @@ object PipelineQueries {
          |  t(l, th) ON l = lang
          |WHERE ${sqlCoin("doc_id", "s42")} < th
          |ORDER BY doc_id""".stripMargin,
+
+    // x15's CTE chain + the probe join, BETWEEN on validity
+    "x18_pit_lookup" ->
+      """WITH vers AS (SELECT unnest(range(1, 5)) AS version),
+        |snaps AS (
+        |  SELECT v.version, d.doc_id,
+        |    substr(md5(d.text || ' rev' || CAST(
+        |      coalesce(list_sum(list_transform(range(2, v.version + 1),
+        |        u -> CASE WHEN (d.doc_id + u) % 5 = 0 THEN 1 ELSE 0 END)), 0)
+        |      AS VARCHAR)), 1, 12) AS digest
+        |  FROM documents d CROSS JOIN vers v
+        |  WHERE (d.doc_id + v.version) % 13 <> 0),
+        |flagged AS (
+        |  SELECT doc_id, version, digest,
+        |    CASE WHEN lag(digest) OVER w IS NULL OR lag(digest) OVER w <> digest
+        |           OR lag(version) OVER w <> version - 1 THEN 1 ELSE 0 END AS new_run
+        |  FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+        |runs AS (
+        |  SELECT doc_id, version, digest,
+        |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY version) AS run
+        |  FROM flagged),
+        |hist AS (
+        |  SELECT doc_id, min(version) AS v_from, max(version) AS v_to,
+        |    min(digest) AS digest
+        |  FROM runs GROUP BY doc_id, run),
+        |probes AS (SELECT d.doc_id, v.version AS q_version
+        |           FROM documents d CROSS JOIN vers v)
+        |SELECT p.doc_id, CAST(p.q_version AS BIGINT) AS q_version, h.digest,
+        |  CAST(CASE WHEN h.digest IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_live
+        |FROM probes p LEFT JOIN hist h
+        |  ON h.doc_id = p.doc_id AND p.q_version BETWEEN h.v_from AND h.v_to
+        |ORDER BY p.doc_id, p.q_version""".stripMargin,
 
     // independent spelling: explicit group-by + join-back instead of
     // the window; identical survivor set and group sizes

@@ -115,6 +115,28 @@ class NewQueriesR7Spec extends SparkSpec {
       (3L, 4L, 4L, "z")))
   }
 
+  test("History.pitLookup answers gaps as dead and never leaks future runs") {
+    import graft.operators.History
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "b"),
+      (2L, 1L, "x"), (2L, 3L, "x"),
+      (3L, 4L, "z")).toDF("id", "version", "digest")
+    val hist = History.scd2(rows, "id", "version", "digest")
+    val probes = Seq(
+      (1L, 2L), (1L, 3L), // mid-run, then the revision boundary
+      (2L, 2L),           // deletion gap: live before and after, dead AT 2
+      (3L, 1L),           // before the entity's first observation
+      (4L, 1L)            // entity never observed
+    ).toDF("id", "at")
+    val got = History.pitLookup(hist, probes, "id", "at")
+      .select($"id", $"at", $"digest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, Some("a")), (1L, 3L, Some("b")),
+      (2L, 2L, None), (3L, 1L, None), (4L, 1L, None)))
+  }
+
   test("kmeansInt matches a sequential Lloyd reference, any partitioning") {
     import graft.operators.Clustering
     val rnd = new scala.util.Random(7)
