@@ -63,4 +63,38 @@ object History {
           probes(atCol) >= hist("v_from") && probes(atCol) <= hist("v_to"),
         "left")
       .drop(hist(idCol))
+
+  /** Apply a CDC changelog to a snapshot: latest-wins merge. `log`
+    * carries `(keyCol, payload…, seqCol, opCol)` with op `"U"`
+    * (upsert) or `"D"` (delete); `snapshot` carries `(keyCol,
+    * payload…)` and is treated as an upsert at sequence 0. `(key,
+    * seq)` must be unique — a changelog with ambiguous ordering is a
+    * broken changelog, not a tiebreak problem. Returns the merged
+    * live rows `(keyCol, payload…, last_seq)`; keys whose final op is
+    * a delete are dropped.
+    *
+    * Scale shape: ONE shuffle hashed on the key — `max_by(payload,
+    * seq)` aggregates with map-side partials, so each partition
+    * contributes at most one candidate row per key to the exchange.
+    * No join, no window sort, no per-version materialization: exactly
+    * the MERGE-into-snapshot shape a 100 TB table maintenance pass
+    * wants.
+    */
+  def applyChangelog(snapshot: DataFrame, log: DataFrame, keyCol: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
+    val ordered = (keyCol +: payload) ++ Seq(seqCol, opCol)
+    val base = snapshot
+      .withColumn(seqCol, lit(0L))
+      .withColumn(opCol, lit("U"))
+      .select(ordered.map(col): _*)
+    val all = base.unionByName(log.select(ordered.map(col): _*))
+    all.groupBy(col(keyCol))
+      .agg(
+        max_by(struct((payload :+ opCol).map(col): _*), col(seqCol)).as("_last"),
+        max(col(seqCol)).as("last_seq"))
+      .filter(col(s"_last.$opCol") =!= "D")
+      .select(col(keyCol) +: payload.map(c => col(s"_last.$c").as(c))
+        :+ col("last_seq"): _*)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BloomJoin, Clustering, Decontaminate, Dedup, History, Mixing}
+import graft.operators.{Audit, BloomJoin, Clustering, Decontaminate, Dedup, History, Mixing}
 
 /** Corpus-composition queries (`x` group): the operators that turn a
   * deduplicated document pool into a training mix — benchmark
@@ -303,6 +303,66 @@ object PipelineQueries {
         .orderBy($"doc_id", $"q_version")
     }),
 
+    // Data-quality release gate: hard constraints (domain / range /
+    // uniqueness / referential integrity — all must hold at 0) plus
+    // quality screens (short docs, zero-discount lines — expected
+    // nonzero). Every per-table rule family folds into ONE aggregate
+    // pass over its scan; RI checks are one hashed join each against
+    // the distinct parent keys.
+    "x19_dq_audit" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val d = docs(s, dir)
+      Seq(
+        Audit.ruleAudit(orders, "orders", Seq(
+          "totalprice_pos" -> !($"o_totalprice" > 0),
+          "status_domain" -> !$"o_orderstatus".isin("O", "F", "P"),
+          "orderdate_notnull" -> $"o_orderdate".isNull)),
+        Audit.uniqueness(orders, "orders", "o_orderkey"),
+        Audit.orphanCount(orders, "orders", "o_custkey",
+          customer, "c_custkey"),
+        Audit.ruleAudit(lineitem, "lineitem", Seq(
+          "quantity_range" -> !($"l_quantity" >= 1 && $"l_quantity" <= 50),
+          "discount_range" -> !($"l_discount" >= 0 && $"l_discount" <= 0.1),
+          "screen_zero_discount" -> ($"l_discount" === 0))),
+        Audit.orphanCount(lineitem, "lineitem", "l_orderkey",
+          orders, "o_orderkey"),
+        Audit.ruleAudit(d, "documents", Seq(
+          "chars_consistent" -> ($"n_chars" =!= length($"text")),
+          "lang_domain" -> !$"lang".isin("en", "de", "es", "fr", "zh"),
+          "screen_short_doc" -> ($"n_chars" < 200))))
+        .reduce(_ unionByName _)
+        .orderBy($"tbl", $"check")
+    }),
+
+    // Latest-wins CDC merge: the corpus snapshot (doc_id % 4 <> 3)
+    // plus an interleaved changelog — three rounds of upserts (seq
+    // 1,3,5, digest revised per round) and deletes (seq 2,4,6) —
+    // collapsed by History.applyChangelog in one key-hashed shuffle
+    // with map-side max_by partials. Keys whose final op is a delete
+    // drop out; re-inserts after a delete survive.
+    "x20_apply_changelog" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val snap = d.filter($"doc_id" % 4 =!= 3)
+        .select($"doc_id",
+          substring(md5(concat($"text", lit(" rev0"))), 1, 12).as("digest"))
+      val log = (1 to 3).map { u =>
+        val up = d.filter(($"doc_id" + u) % 7 === 0)
+          .select($"doc_id",
+            substring(md5(concat($"text", lit(s" rev$u"))), 1, 12).as("digest"),
+            lit(2L * u - 1).as("seq"), lit("U").as("op"))
+        val del = d.filter(($"doc_id" + 3 * u) % 11 === 0)
+          .select($"doc_id", lit(null).cast("string").as("digest"),
+            lit(2L * u).as("seq"), lit("D").as("op"))
+        up.unionByName(del)
+      }.reduce(_ unionByName _)
+      History.applyChangelog(snap, log, "doc_id", "seq", "op")
+        .orderBy($"doc_id")
+    }),
+
     // Bloom-pruned novelty: incoming = the whole corpus, seen = the
     // content digests of docs with doc_id % 3 <> 0; exact novel set
     // out. The bloom prunes the definitely-novel majority before the
@@ -387,6 +447,66 @@ object PipelineQueries {
         |FROM probes p LEFT JOIN hist h
         |  ON h.doc_id = p.doc_id AND p.q_version BETWEEN h.v_from AND h.v_to
         |ORDER BY p.doc_id, p.q_version""".stripMargin,
+
+    // every rule spelled as coalesce(<violation>, TRUE) so NULLs
+    // count as violations on both engines
+    "x19_dq_audit" ->
+      """SELECT * FROM (
+        |SELECT 'orders' AS tbl, v.chk AS "check",
+        |  (SELECT count(*) FROM orders) AS n_checked, v.n AS n_violations
+        |FROM (VALUES
+        |  ('totalprice_pos', (SELECT CAST(sum(CASE WHEN coalesce(NOT (o_totalprice > 0), TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders)),
+        |  ('status_domain', (SELECT CAST(sum(CASE WHEN coalesce(o_orderstatus NOT IN ('O','F','P'), TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders)),
+        |  ('orderdate_notnull', (SELECT CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders)),
+        |  ('unique_o_orderkey', (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders)),
+        |  ('fk_o_custkey_to_c_custkey', (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL))
+        |) AS v(chk, n)
+        |UNION ALL
+        |SELECT 'lineitem', v.chk,
+        |  (SELECT count(*) FROM lineitem), v.n
+        |FROM (VALUES
+        |  ('quantity_range', (SELECT CAST(sum(CASE WHEN coalesce(NOT (l_quantity >= 1 AND l_quantity <= 50), TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)),
+        |  ('discount_range', (SELECT CAST(sum(CASE WHEN coalesce(NOT (l_discount >= 0 AND l_discount <= 0.1), TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)),
+        |  ('screen_zero_discount', (SELECT CAST(sum(CASE WHEN coalesce(l_discount = 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)),
+        |  ('fk_l_orderkey_to_o_orderkey', (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL))
+        |) AS v(chk, n)
+        |UNION ALL
+        |SELECT 'documents', v.chk,
+        |  (SELECT count(*) FROM documents), v.n
+        |FROM (VALUES
+        |  ('chars_consistent', (SELECT CAST(sum(CASE WHEN coalesce(n_chars <> length(text), TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM documents)),
+        |  ('lang_domain', (SELECT CAST(sum(CASE WHEN coalesce(lang NOT IN ('en','de','es','fr','zh'), TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM documents)),
+        |  ('screen_short_doc', (SELECT CAST(sum(CASE WHEN coalesce(n_chars < 200, TRUE) THEN 1 ELSE 0 END) AS BIGINT) FROM documents))
+        |) AS v(chk, n)
+        |) ORDER BY tbl, "check"""".stripMargin,
+
+    // independent spelling: one window over the unioned log instead
+    // of the max_by aggregate; identical survivor set
+    "x20_apply_changelog" ->
+      """WITH u3 AS (SELECT unnest(range(1, 4)) AS u),
+        |snap AS (
+        |  SELECT doc_id, substr(md5(text || ' rev0'), 1, 12) AS digest,
+        |         0 AS seq, 'U' AS op
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |ups AS (
+        |  SELECT d.doc_id,
+        |         substr(md5(d.text || ' rev' || CAST(u.u AS VARCHAR)), 1, 12) AS digest,
+        |         2 * u.u - 1 AS seq, 'U' AS op
+        |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + u.u) % 7 = 0),
+        |dels AS (
+        |  SELECT d.doc_id, CAST(NULL AS VARCHAR) AS digest,
+        |         2 * u.u AS seq, 'D' AS op
+        |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + 3 * u.u) % 11 = 0),
+        |allr AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM dels),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+        |         max(seq) OVER (PARTITION BY doc_id) AS mx
+        |  FROM allr)
+        |SELECT doc_id, digest, CAST(mx AS BIGINT) AS last_seq
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
 
     // independent spelling: explicit group-by + join-back instead of
     // the window; identical survivor set and group sizes

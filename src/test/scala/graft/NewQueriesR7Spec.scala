@@ -137,6 +137,33 @@ class NewQueriesR7Spec extends SparkSpec {
       (2L, 2L, None), (3L, 1L, None), (4L, 1L, None)))
   }
 
+  test("applyChangelog: latest wins, final-delete drops, reinsert survives") {
+    import graft.operators.History
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "digest")
+    val log = Seq(
+      (1L, "a2", 1L, "U"), (1L, "a3", 2L, "U"), // two revisions: last wins
+      (2L, null, 1L, "D"),                      // delete, never returns
+      (3L, null, 1L, "D"), (3L, "c2", 2L, "U"), // delete then reinsert
+      (4L, "d", 1L, "U"), (4L, null, 2L, "D"),  // insert then delete
+      (5L, "e", 3L, "U")                        // brand-new key
+    ).toDF("id", "digest", "seq", "op")
+    val got = History.applyChangelog(snap, log, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a3", 2L), (3L, "c2", 2L), (5L, "e", 3L)))
+  }
+
+  test("ruleAudit counts NULL predicate results as violations") {
+    import graft.operators.Audit
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (null, "ok"), (-5L, "bad"), (2L, null))
+      .toDF("v", "s")
+    val got = Audit.ruleAudit(df, "t", Seq(
+        "v_pos" -> !($"v" > 0),        // null v → null pred → violation
+        "s_domain" -> !$"s".isin("ok", "bad")))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("v_pos", 4L, 2L), ("s_domain", 4L, 1L)))
+  }
+
   test("kmeansInt matches a sequential Lloyd reference, any partitioning") {
     import graft.operators.Clustering
     val rnd = new scala.util.Random(7)
