@@ -38,13 +38,22 @@ object Clustering {
     * (they seed the initial centroids). */
   def kmeansInt(points: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int, quantScale: Long = 1000000L,
-                shift: Double = 1.0): DataFrame = {
+                shift: Double = 1.0): DataFrame =
+    kmeansIntModel(points, idCol, vecCol, k, iters, quantScale, shift)._1
+
+  /** [[kmeansInt]] plus the fitted model: the final quantized
+    * centroids (k × dim Longs — the "model on the driver" posture;
+    * never the data). Callers that score NEW points against the
+    * codebook (PQ asymmetric-distance tables, assignment of a probe
+    * stream) need the centroids themselves, not just the training
+    * assignment. */
+  def kmeansIntModel(points: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, quantScale: Long = 1000000L,
+                     shift: Double = 1.0): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1, s"k=$k must be >= 1")
     require(iters >= 0, s"iters=$iters must be >= 0")
     val q = points.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol),
-          x => round((x.cast("double") + shift) * quantScale).cast("long"))
-          .as("q"))
+        quantized(col(vecCol), quantScale, shift).as("q"))
       .transform(Checkpoints.materialize)
 
     var centroids: Array[Array[Long]] = q.filter(col("id") < k).orderBy(col("id"))
@@ -79,6 +88,14 @@ object Clustering {
       centroids = next
       require(centroids.forall(_.length == dim))
     }
-    assigned(centroids).select(col("id").as(idCol), col("cluster"))
+    (assigned(centroids).select(col("id").as(idCol), col("cluster")),
+      centroids)
   }
+
+  /** Quantize a raw vector column onto the SAME integer grid the
+    * codebook was fitted on — the scoring-side twin of the fit-side
+    * quantization above. */
+  def quantized(vec: Column, quantScale: Long = 1000000L,
+                shift: Double = 1.0): Column =
+    transform(vec, x => round((x.cast("double") + shift) * quantScale).cast("long"))
 }

@@ -72,6 +72,57 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: scores the 12-bit CODES, not
+    * the vectors — the memory story that makes ANN viable at 100 TB
+    * (the scan reads `M` small ints per row; the float vectors never
+    * leave storage). Distance tables are built on the QUERY side only
+    * — per query × subspace, the exact integer squared-L2 from the
+    * query's quantized subvector to each of the k_codebook centroids
+    * (O(|queries|·k·subDim), embarrassingly small) — then broadcast,
+    * so each corpus code row costs M O(1) `element_at` lookups + a
+    * sum. One window per query_id ranks; everything is integer
+    * arithmetic on the shared quantization grid, hence bit-exact
+    * under a cross-engine oracle.
+    *
+    * `codes` carries `(idCol, c0 … c{M-1})` from per-subspace
+    * [[Clustering.kmeansIntModel]] fits; `codebooks(m)` is subspace
+    * m's final quantized centroids.
+    */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, codebooks: Seq[Array[Array[Long]]],
+                subDim: Int, k: Int, quantScale: Long = 1000000L,
+                shift: Double = 1.0): DataFrame = {
+    val m = codebooks.size
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val withQq = (0 until m).foldLeft(q0) { (df, i) =>
+      df.withColumn(s"_qq$i",
+        Clustering.quantized(slice(col("qvec"), i * subDim + 1, subDim),
+          quantScale, shift))
+    }
+    val withDts = (0 until m).foldLeft(withQq) { (df, i) =>
+      val dts = array(codebooks(i).map { cvec =>
+        val cLit = array(cvec.map(lit(_)): _*)
+        aggregate(zip_with(col(s"_qq$i"), cLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)
+      df.withColumn(s"_dt$i", dts)
+    }
+    val qside = withDts.select(col("query_id") +:
+      (0 until m).map(i => col(s"_dt$i")): _*)
+    val adc = (0 until m).map(i =>
+        element_at(col(s"_dt$i"), col(s"c$i").cast("int") + 1))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qside))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), adc.as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k. Candidates = corpus rows sharing
     * ≥1 bucket with the query in any table; exact cosine re-ranks. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

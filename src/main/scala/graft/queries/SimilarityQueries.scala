@@ -141,6 +141,29 @@ object SimilarityQueries {
         .orderBy($"vec_id")
     }),
 
+    // ADC scan over the s08 codebooks: approximate top-5 by
+    // asymmetric distance — query-side integer distance tables
+    // (4 subspaces × 8 centroids), broadcast, then element_at
+    // lookups per 12-bit code. The ANN read path PQ exists for:
+    // the corpus contributes codes only. All integer arithmetic on
+    // the shared quantization grid → full cross-engine oracle, no
+    // planted-copy construction needed.
+    "s09_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val fits = (0 until 4).map { m =>
+        Clustering.kmeansIntModel(
+          e.select($"vec_id", slice($"embedding", m * 16 + 1, 16).as("embedding")),
+          "vec_id", "embedding", k = 8, iters = 2)
+      }
+      val codes = fits.zipWithIndex.map { case ((a, _), m) =>
+        a.withColumnRenamed("cluster", s"c$m")
+      }.reduce(_.join(_, "vec_id"))
+      Similarity.pqAdcTopK(codes, e.filter($"vec_id" < 8), "vec_id",
+          "embedding", fits.map(_._2), subDim = 16, k = 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Label centroids: distributed mean vector per label — exercises
     // array aggregation without ever collecting vectors to the driver.
     "s04_label_centroid_norm" -> ((s, dir) => {
@@ -229,6 +252,48 @@ object SimilarityQueries {
          |JOIN afinals3 a3 ON a3.vec_id = a0.vec_id
          |ORDER BY a0.vec_id""".stripMargin
     },
+    // replays the four codebook chains, rebuilds the query-side
+    // distance tables from the final centroids (c2s*), and re-ranks —
+    // every step integer, so values match bit-for-bit
+    "s09_pq_adc" -> {
+      val subs = (0 until 4).map(m =>
+        kmeansAssignCtes(2, sfx = s"s$m",
+          vecExpr = s"embedding[${m * 16 + 1}:${(m + 1) * 16}]")).mkString(",\n")
+      val dts = (0 until 4).map(m =>
+        s"""dt$m AS (
+           |  SELECT p.vec_id AS query_id, c.cluster AS j,
+           |    list_sum(list_transform(range(1, len(p.q) + 1),
+           |      i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS d
+           |  FROM ptss$m p CROSS JOIN c2s$m c WHERE p.vec_id < 8)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH $subs,
+         |$dts,
+         |codes AS (
+         |  SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+         |         a2.cluster AS c2, a3.cluster AS c3
+         |  FROM afinals0 a0
+         |  JOIN afinals1 a1 ON a1.vec_id = a0.vec_id
+         |  JOIN afinals2 a2 ON a2.vec_id = a0.vec_id
+         |  JOIN afinals3 a3 ON a3.vec_id = a0.vec_id),
+         |adc AS (
+         |  SELECT d0.query_id, k.vec_id AS neighbor_id,
+         |         d0.d + d1.d + d2.d + d3.d AS adc_dist
+         |  FROM codes k
+         |  JOIN dt0 d0 ON d0.j = k.c0
+         |  JOIN dt1 d1 ON d1.query_id = d0.query_id AND d1.j = k.c1
+         |  JOIN dt2 d2 ON d2.query_id = d0.query_id AND d2.j = k.c2
+         |  JOIN dt3 d3 ON d3.query_id = d0.query_id AND d3.j = k.c3
+         |  WHERE k.vec_id <> d0.query_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+         |       CAST(rnk AS BIGINT) AS rank
+         |FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     // Planted-copy top-5: rank m is the copy at id q + m·1e6, cos 1.0.
     "s02_knn_lsh" ->
       """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,

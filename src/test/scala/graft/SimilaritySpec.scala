@@ -70,4 +70,46 @@ class SimilaritySpec extends SparkSpec {
       .select($"q", $"scale").as[(Seq[Long], Double)].head()
     assert(zq._1.forall(_ == 0L) && zq._2 == 0.0)
   }
+
+  test("pqAdcTopK matches a sequential ADC reference (decode-to-centroid L2)") {
+    import graft.operators.Clustering
+    val subDim = 16
+    val fits = (0 until 4).map { m =>
+      Clustering.kmeansIntModel(
+        emb.select($"vec_id", slice($"embedding", m * subDim + 1, subDim).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 2)
+    }
+    val codes = fits.zipWithIndex.map { case ((a, _), m) =>
+      a.withColumnRenamed("cluster", s"c$m")
+    }.reduce(_.join(_, "vec_id"))
+    val queries = emb.filter($"vec_id" < 6)
+    val got = Similarity.pqAdcTopK(codes, queries, "vec_id", "embedding",
+        fits.map(_._2), subDim = subDim, k = 5)
+      .select($"query_id", $"neighbor_id", $"adc_dist", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // sequential reference: quantize every vector on the same grid,
+    // reconstruct each corpus vector as its per-subspace centroid
+    // concat, exact integer L2 to the query's quantized vector
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.round((x.toDouble + 1.0) * 1000000L)).toArray
+    val vecs = emb.select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getLong(i).toInt)).toMap
+    val expected = (0L until 6L).flatMap { qid =>
+      val qq = quant(vecs(qid))
+      val scoredAll = vecs.keys.filter(_ != qid).map { nid =>
+        val recon = (0 until 4).flatMap(m => fits(m)._2(codeMap(nid)(m)))
+        val d = qq.indices.map { i =>
+          val diff = qq(i) - recon(i); diff * diff
+        }.sum
+        (nid, d)
+      }.toSeq.sortBy { case (nid, d) => (d, nid) }.take(5)
+      scoredAll.zipWithIndex.map { case ((nid, d), i) =>
+        (qid, nid, d, (i + 1).toLong)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+  }
 }
