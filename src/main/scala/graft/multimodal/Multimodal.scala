@@ -340,6 +340,34 @@ object Multimodal {
     }.toDF("id", "sample_rate", "channels", "n_frames", "sum_samples")
   }
 
+  /** Per-window energies over really-decoded PCM: `win`-sample
+    * windows (partial tail dropped), energy = Σ|sample| — the
+    * integer primitive under VAD-style activity segmentation. The
+    * decode stays in mapPartitions (payloads never on the driver);
+    * segmentation over the (id, w, energy) rows is DECLARATIVE
+    * downstream — windows/aggregates Catalyst can plan, instead of
+    * per-doc imperative loops. Undecodable payloads yield no rows. */
+  def audioWindowEnergies(ds: Dataset[(Long, Array[Byte])],
+                          win: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        AudioCodec.decodePcm16(bytes) match {
+          case Some((_, _, samples)) =>
+            val nw = samples.length / win
+            (0 until nw).iterator.map { w =>
+              var e = 0L
+              var i = w * win
+              val end = i + win
+              while (i < end) { e += math.abs(samples(i).toLong); i += 1 }
+              (id, w.toLong, e)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("id", "w", "energy")
+  }
+
   /** Batched distributed acoustic fingerprints (see
     * [[AudioCodec.fingerprint]]); undecodable payloads report
     * `(-1, 0)` rather than killing the task. */

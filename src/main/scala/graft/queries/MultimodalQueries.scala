@@ -99,6 +99,42 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     }),
 
+    // VAD-style activity segmentation over REAL decoded PCM: 64-sample
+    // energy windows, per-doc integer-mean threshold, consecutive
+    // above-threshold windows collapse into maximal segments (the
+    // lag + running-sum run detection, same shape as SCD2). Decode is
+    // mapPartitions; everything after is declarative windows/aggs.
+    "m10_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wavs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthWav(id)))
+      val en = Multimodal.audioWindowEnergies(wavs, win = 64)
+      val wDoc = Window.partitionBy($"id")
+      val byW = Window.partitionBy($"id").orderBy($"w")
+      val flagged = en
+        .withColumn("_se", sum($"energy").over(wDoc))
+        .withColumn("_nw", count(lit(1)).over(wDoc))
+        .withColumn("act", $"energy" > expr("_se div _nw"))
+        .withColumn("_nr",
+          when($"act" && !coalesce(lag($"act", 1).over(byW), lit(false)), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum($"_nr").over(byW))
+      val perDoc = flagged.groupBy($"id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum($"act".cast("long")).as("n_active"))
+      val segAgg = flagged.filter($"act")
+        .groupBy($"id", $"run").agg(count(lit(1)).as("len"))
+        .groupBy($"id")
+        .agg(count(lit(1)).as("n_segments"), max($"len").as("longest"))
+      perDoc.join(segAgg, Seq("id"), "left")
+        .select($"id".as("doc_id"), $"n_windows", $"n_active",
+          coalesce($"n_segments", lit(0L)).as("n_segments"),
+          coalesce($"longest", lit(0L)).as("longest"))
+        .orderBy($"doc_id")
+    }),
+
     // REAL resize round trip: synth PNG → nearest-neighbor resize to
     // 16×12 (integer sampling, re-encoded lossless PNG) → distributed
     // decode → per-channel sums. The oracle replays the sampling
@@ -218,6 +254,39 @@ object MultimodalQueries {
         |  CAST(1 AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
         |  CAST(SUM((doc_id*31 + i*17) % 4096 - 2048) AS BIGINT) AS sum_samples
         |FROM s GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
+
+    // replay: same window energies as m08, threshold = per-doc
+    // floor-mean, runs of consecutive active windows via lag + cumsum
+    "m10_audio_segments" ->
+      """WITH n AS (SELECT doc_id, 100 + doc_id % 400 AS nf FROM documents),
+        |s AS (SELECT doc_id, i // 64 AS w,
+        |        abs((doc_id*31 + i*17) % 4096 - 2048) AS av
+        |      FROM (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM n)
+        |      WHERE i < (nf // 64) * 64),
+        |e AS (SELECT doc_id, w, SUM(av) AS en FROM s GROUP BY doc_id, w),
+        |t AS (SELECT doc_id, w, en,
+        |        SUM(en) OVER (PARTITION BY doc_id) // COUNT(*) OVER (PARTITION BY doc_id) AS thr
+        |      FROM e),
+        |f AS (SELECT doc_id, w, en > thr AS act,
+        |        CASE WHEN en > thr AND NOT coalesce(
+        |          lag(en > thr) OVER (PARTITION BY doc_id ORDER BY w), FALSE)
+        |        THEN 1 ELSE 0 END AS nr
+        |      FROM t),
+        |r AS (SELECT doc_id, act,
+        |        SUM(nr) OVER (PARTITION BY doc_id ORDER BY w) AS run
+        |      FROM f),
+        |seg AS (SELECT doc_id, run, count(*) AS len
+        |        FROM r WHERE act GROUP BY doc_id, run),
+        |sa AS (SELECT doc_id, count(*) AS n_segments, max(len) AS longest
+        |       FROM seg GROUP BY doc_id),
+        |pd AS (SELECT doc_id, count(*) AS n_windows,
+        |         SUM(CASE WHEN act THEN 1 ELSE 0 END) AS n_active
+        |       FROM r GROUP BY doc_id)
+        |SELECT pd.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(longest, 0) AS BIGINT) AS longest
+        |FROM pd LEFT JOIN sa USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
 
     // replay: sample i = (id·31 + i·17) mod 4096 − 2048, windows of
     // 64 (partial tail dropped), E_w = Σ|s|, bit w iff E_w > E_{w−1}

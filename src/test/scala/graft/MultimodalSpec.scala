@@ -164,6 +164,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioWindowEnergies: per-window sums match hand arithmetic; junk yields no rows") {
+    val id = 7L
+    val ds = spark.createDataset(Seq(
+      (id, Multimodal.synthWav(id)),
+      (99L, "not audio at all".getBytes)))
+    val rows = Multimodal.audioWindowEnergies(ds, win = 64).collect()
+    val n = (100 + id % 400).toInt
+    assert(rows.forall(_.getAs[Long]("id") == id)) // junk contributed nothing
+    assert(rows.length == n / 64)                  // partial tail dropped
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w").toInt
+      val exp = (w * 64 until (w + 1) * 64)
+        .map(i => math.abs(((id * 31 + i * 17) % 4096) - 2048)).sum
+      assert(r.getAs[Long]("energy") == exp, s"window $w")
+    }
+  }
+
   test("resizeImageNearest: integer sampling is exact through the PNG round trip") {
     import Multimodal.ImageCodec
     val id = 11L
