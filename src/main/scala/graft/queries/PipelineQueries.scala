@@ -61,6 +61,35 @@ object PipelineQueries {
     (1L to 4L).toDF("q_version")
   }
 
+  /** Shared oracle for the x20 batch merge and its x21 streaming
+    * twin: one window over the unioned snapshot + changelog instead
+    * of the max_by aggregate; identical survivor set either way. */
+  private val ChangelogSql =
+    """WITH u3 AS (SELECT unnest(range(1, 4)) AS u),
+      |snap AS (
+      |  SELECT doc_id, substr(md5(text || ' rev0'), 1, 12) AS digest,
+      |         0 AS seq, 'U' AS op
+      |  FROM documents WHERE doc_id % 4 <> 3),
+      |ups AS (
+      |  SELECT d.doc_id,
+      |         substr(md5(d.text || ' rev' || CAST(u.u AS VARCHAR)), 1, 12) AS digest,
+      |         2 * u.u - 1 AS seq, 'U' AS op
+      |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + u.u) % 7 = 0),
+      |dels AS (
+      |  SELECT d.doc_id, CAST(NULL AS VARCHAR) AS digest,
+      |         2 * u.u AS seq, 'D' AS op
+      |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + 3 * u.u) % 11 = 0),
+      |allr AS (
+      |  SELECT * FROM snap UNION ALL SELECT * FROM ups
+      |  UNION ALL SELECT * FROM dels),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+      |         max(seq) OVER (PARTITION BY doc_id) AS mx
+      |  FROM allr)
+      |SELECT doc_id, digest, CAST(mx AS BIGINT) AS last_seq
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY doc_id""".stripMargin
+
   // x02 stratified sampling rates / x03 source quotas — exercised over
   // the corpus's real strata (5 langs, 20 sources).
   private val Rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125)
@@ -363,6 +392,14 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // STREAMING twin of x20: the same snapshot + changelog arrive as
+    // a stream; per-key state holds only the highest-sequence record
+    // and flushes once the watermark passes — the materialized-view
+    // maintenance path. Same oracle as x20: the merged tables must be
+    // identical however the changelog is consumed.
+    "x21_stream_upsert" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.upsertAvailableNow(s, dir)),
+
     // Bloom-pruned novelty: incoming = the whole corpus, seen = the
     // content digests of docs with doc_id % 3 <> 0; exact novel set
     // out. The bloom prunes the definitely-novel majority before the
@@ -482,31 +519,11 @@ object PipelineQueries {
 
     // independent spelling: one window over the unioned log instead
     // of the max_by aggregate; identical survivor set
-    "x20_apply_changelog" ->
-      """WITH u3 AS (SELECT unnest(range(1, 4)) AS u),
-        |snap AS (
-        |  SELECT doc_id, substr(md5(text || ' rev0'), 1, 12) AS digest,
-        |         0 AS seq, 'U' AS op
-        |  FROM documents WHERE doc_id % 4 <> 3),
-        |ups AS (
-        |  SELECT d.doc_id,
-        |         substr(md5(d.text || ' rev' || CAST(u.u AS VARCHAR)), 1, 12) AS digest,
-        |         2 * u.u - 1 AS seq, 'U' AS op
-        |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + u.u) % 7 = 0),
-        |dels AS (
-        |  SELECT d.doc_id, CAST(NULL AS VARCHAR) AS digest,
-        |         2 * u.u AS seq, 'D' AS op
-        |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + 3 * u.u) % 11 = 0),
-        |allr AS (
-        |  SELECT * FROM snap UNION ALL SELECT * FROM ups
-        |  UNION ALL SELECT * FROM dels),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
-        |         max(seq) OVER (PARTITION BY doc_id) AS mx
-        |  FROM allr)
-        |SELECT doc_id, digest, CAST(mx AS BIGINT) AS last_seq
-        |FROM r WHERE rn = 1 AND op <> 'D'
-        |ORDER BY doc_id""".stripMargin,
+    "x20_apply_changelog" -> ChangelogSql,
+
+    // the stream must converge to the SAME merged table as the batch
+    // merge — one oracle gates both consumption paths
+    "x21_stream_upsert" -> ChangelogSql,
 
     // independent spelling: explicit group-by + join-back instead of
     // the window; identical survivor set and group sizes

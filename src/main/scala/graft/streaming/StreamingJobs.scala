@@ -514,4 +514,61 @@ object StreamingJobs {
       .select($"key".as("user_id"), $"n_events")
       .orderBy($"user_id")
   }
+
+  /** STREAMING latest-wins CDC merge drained with AvailableNow — the
+    * streaming twin of batch x20 ([[graft.operators.History
+    * .applyChangelog]]), same fixture: the corpus snapshot as
+    * sequence-0 upserts plus three interleaved upsert/delete rounds,
+    * all derived from the documents stream. Per-key state is one
+    * (seq, digest, op) record; the far-future sentinel pushes the
+    * final watermark past every key's timeout so AvailableNow flushes
+    * the complete merged table. */
+  def upsertAvailableNow(s: SparkSession, dir: String,
+                         horizonUs: Long = 365L * 24 * 3600 * 1000000): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "x21", dir)
+    wipe(s, work)
+    val docsBatch = Tables.load(s, dir, "documents")
+    if (docsBatch.isEmpty)
+      return Seq.empty[(Long, String, Long)].toDF("doc_id", "digest", "last_seq")
+    val sentinelDir = new HPath(work, "sentinel").toString
+    Seq((SentinelUser, None: Option[String], 0L, "U", SentinelSpacingUs),
+        (SentinelUser, None: Option[String], 0L, "U", 2 * SentinelSpacingUs))
+      .toDF("key", "digest", "seq", "op", "tus")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    val stream = s.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    def rev(u: Int) =
+      substring(md5(concat($"text", lit(s" rev$u"))), 1, 12)
+    val snap = stream.filter($"doc_id" % 4 =!= 3)
+      .select($"doc_id".as("key"), rev(0).as("digest"),
+        lit(0L).as("seq"), lit("U").as("op"))
+    val ups = (1 to 3).map(u => stream.filter(($"doc_id" + u) % 7 === 0)
+      .select($"doc_id".as("key"), rev(u).as("digest"),
+        lit(2L * u - 1).as("seq"), lit("U").as("op")))
+    val dels = (1 to 3).map(u => stream.filter(($"doc_id" + 3 * u) % 11 === 0)
+      .select($"doc_id".as("key"), lit(null).cast("string").as("digest"),
+        lit(2L * u).as("seq"), lit("D").as("op")))
+    val real = (snap +: (ups ++ dels)).reduce(_ unionByName _)
+      .withColumn("tus", $"seq" + 1)
+    val sentinel = s.readStream
+      .schema("key LONG, digest STRING, seq LONG, op STRING, tus LONG")
+      .parquet(sentinelDir)
+    val live = StreamingUpsert.latestWins(
+      real.unionByName(sentinel).as[StreamingUpsert.Change], horizonUs)
+
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = live.toDF().writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .filter($"key" =!= SentinelUser)
+      .select($"key".as("doc_id"), $"digest", $"last_seq")
+      .orderBy($"doc_id")
+  }
 }
