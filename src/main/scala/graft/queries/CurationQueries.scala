@@ -176,7 +176,53 @@ object CurationQueries {
     // lost and duplicated nothing.
     "p05_stream_publish" -> ((s, dir) =>
       graft.streaming.StreamingJobs.publishAvailableNow(s, dir)),
+
+    // Bucketed co-located join: both sides land bucketed (8 buckets,
+    // same key) + sorted, so the fact-fact join runs WITHOUT a
+    // shuffle — each task merge-joins its matching bucket files. THE
+    // storage-layout lever at 100 TB: the shuffle that dominates a
+    // repeated big join is paid once at write time and amortized over
+    // every subsequent join on that key. BucketedJoinSpec pins the
+    // no-exchange plan; the oracle only sees the join's ANSWER, which
+    // layout must not change.
+    "p08_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val (o, l) = bucketedTables(s, dir)
+      o.hint("merge").join(l, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+            .as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
   )
+
+  /** Land orders + lineitem bucketed by the join key (8 buckets,
+    * sorted within buckets) as session-catalog tables over the shared
+    * scratch, and hand back the two table frames. The layout is a
+    * WRITE-ONCE artifact (that is the whole point of bucketing), so
+    * repeat invocations in one session reuse the landed tables —
+    * names are corpus-tagged so two sf dirs never collide — and only
+    * the first call pays the write; same posture as s05's cached IVF
+    * index. */
+  private[graft] def bucketedTables(s: SparkSession,
+                                    dir: String): (DataFrame, DataFrame) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val (oT, lT) = (s"graft_p08_orders_$tag", s"graft_p08_lineitem_$tag")
+    if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(lT)) {
+      val out = sinkScratch(s, "p08", dir)
+      Tables.load(s, dir, "orders").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", out + "/orders").mode("overwrite")
+        .saveAsTable(oT)
+      Tables.load(s, dir, "lineitem").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", out + "/lineitem").mode("overwrite")
+        .saveAsTable(lT)
+    }
+    (s.table(oT), s.table(lT))
+  }
 
   private def oracleSql: String = {
     val hits = TextAnalysis.LangMarkers.map { case (lang, ms) =>
@@ -307,6 +353,13 @@ object CurationQueries {
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
         |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // layout-independent answer: the oracle joins the ORIGINAL tables
+    "p08_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "p05_stream_publish" ->
       """SELECT lang, count(*) AS n,
