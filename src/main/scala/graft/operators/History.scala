@@ -97,4 +97,50 @@ object History {
       .select(col(keyCol) +: payload.map(c => col(s"_last.$c").as(c))
         :+ col("last_seq"): _*)
   }
+
+  /** Incremental view maintenance: carry a grouped (count, sum)
+    * aggregate across a changelog WITHOUT recomputing it from the new
+    * snapshot. `v1` is the standing view (count + sum of `valCol` per
+    * `groupCol` — in production it is STORED, here recomputed as the
+    * starting point); the maintenance path touches only:
+    *
+    *  1. the changelog, collapsed to one final op per key (one
+    *     log-sized shuffle — never the snapshot);
+    *  2. the snapshot rows for CHANGED keys only (equi-join on the
+    *     key; at scale the collapsed changelog broadcasts and prunes
+    *     the snapshot scan);
+    *  3. contribution rows — (-1, -old_val) under the old group,
+    *     (+1, +new_val) under the new group (group moves included) —
+    *     aggregated into a group-sized delta and outer-merged into v1.
+    *
+    * At 100 TB with a 0.1% daily churn, that is the difference
+    * between re-aggregating 100 TB and shuffling ~100 GB of deltas.
+    * Groups whose count reaches zero drop out. Output:
+    * `(groupCol, n_rows, sum_val)`.
+    */
+  def incrementalAgg(snapshot: DataFrame, log: DataFrame, keyCol: String,
+                     groupCol: String, valCol: String, seqCol: String,
+                     opCol: String): DataFrame = {
+    val v1 = snapshot.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(valCol)).as("sum_val"))
+    val lastOps = log.groupBy(col(keyCol))
+      .agg(max_by(struct(col(groupCol), col(valCol), col(opCol)),
+        col(seqCol)).as("_last"))
+      .select(col(keyCol), col(s"_last.$groupCol").as("_g_new"),
+        col(s"_last.$valCol").as("_v_new"), col(s"_last.$opCol").as("_op"))
+    val neg = lastOps.join(snapshot, Seq(keyCol))
+      .select(col(groupCol).as("_g"), lit(-1L).as("_dn"),
+        (-col(valCol)).as("_dv"))
+    val pos = lastOps.filter(col("_op") === "U")
+      .select(col("_g_new").as("_g"), lit(1L).as("_dn"), col("_v_new").as("_dv"))
+    val delta = neg.unionByName(pos).groupBy(col("_g"))
+      .agg(sum(col("_dn")).as("_dn"), sum(col("_dv")).as("_dv"))
+    v1.join(delta, v1(groupCol) === delta("_g"), "full_outer")
+      .select(coalesce(v1(groupCol), col("_g")).as(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_val"), lit(0L)) + coalesce(col("_dv"), lit(0L)))
+          .as("sum_val"))
+      .filter(col("n_rows") > 0)
+  }
 }

@@ -392,6 +392,36 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Incremental view maintenance: the per-source (count, chars)
+    // summary carried across the changelog by DELTAS — the log
+    // collapses in one log-sized shuffle, changed keys prune the
+    // snapshot via the equi-join, and the group-sized delta merges
+    // into the standing view. The oracle recomputes the post-change
+    // state from scratch: incremental and full recompute must agree
+    // exactly. Upserts here also grow the doc (n_chars + round) so
+    // value deltas, not just membership, are exercised.
+    "x22_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val snap = d.filter($"doc_id" % 4 =!= 3)
+        .select($"doc_id", $"source", $"n_chars")
+      val log = (1 to 3).map { u =>
+        val up = d.filter(($"doc_id" + u) % 7 === 0)
+          .select($"doc_id", $"source", ($"n_chars" + u).as("n_chars"),
+            lit(2L * u - 1).as("seq"), lit("U").as("op"))
+        val del = d.filter(($"doc_id" + 3 * u) % 11 === 0)
+          .select($"doc_id", lit(null).cast("string").as("source"),
+            lit(null).cast("long").as("n_chars"),
+            lit(2L * u).as("seq"), lit("D").as("op"))
+        up.unionByName(del)
+      }.reduce(_ unionByName _)
+      History.incrementalAgg(snap, log, "doc_id", "source", "n_chars",
+          "seq", "op")
+        .select($"source", $"n_rows".as("n_docs"),
+          $"sum_val".as("sum_chars"))
+        .orderBy($"source")
+    }),
+
     // STREAMING twin of x20: the same snapshot + changelog arrive as
     // a stream; per-key state holds only the highest-sequence record
     // and flushes once the watermark passes — the materialized-view
@@ -524,6 +554,33 @@ object PipelineQueries {
     // the stream must converge to the SAME merged table as the batch
     // merge — one oracle gates both consumption paths
     "x21_stream_upsert" -> ChangelogSql,
+
+    // FULL RECOMPUTE of the post-change state: latest-wins collapse
+    // of snapshot (chars payload) + changelog, then the aggregate —
+    // the incremental delta path must land on exactly this
+    "x22_incremental_agg" ->
+      """WITH u3 AS (SELECT unnest(range(1, 4)) AS u),
+        |base AS (
+        |  SELECT doc_id, source, n_chars, 0 AS seq, 'U' AS op
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |ups AS (
+        |  SELECT d.doc_id, d.source, d.n_chars + u.u AS n_chars,
+        |         2 * u.u - 1 AS seq, 'U' AS op
+        |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + u.u) % 7 = 0),
+        |dels AS (
+        |  SELECT d.doc_id, CAST(NULL AS VARCHAR) AS source,
+        |         CAST(NULL AS BIGINT) AS n_chars, 2 * u.u AS seq, 'D' AS op
+        |  FROM documents d CROSS JOIN u3 u WHERE (d.doc_id + 3 * u.u) % 11 = 0),
+        |allr AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM dels),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |  FROM allr),
+        |final AS (SELECT doc_id, source, n_chars FROM r WHERE rn = 1 AND op <> 'D')
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final GROUP BY source ORDER BY source""".stripMargin,
 
     // independent spelling: explicit group-by + join-back instead of
     // the window; identical survivor set and group sizes

@@ -152,6 +152,31 @@ class NewQueriesR7Spec extends SparkSpec {
     assert(got == Set((1L, "a3", 2L), (3L, "c2", 2L), (5L, "e", 3L)))
   }
 
+  test("incrementalAgg equals full recompute: moves, inserts, group death") {
+    import graft.operators.History
+    val snap = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), // group a: two rows
+      (3L, "b", 30L),                 // group b: dies when 3 is deleted
+      (4L, "c", 40L)).toDF("id", "grp", "v")
+    val log = Seq[(Long, Option[String], Option[Long], Long, String)](
+      (1L, Some("d"), Some(11L), 1L, "U"),  // group MOVE a→d, value change
+      (3L, None, None, 1L, "D"),            // kills group b entirely
+      (5L, Some("a"), Some(50L), 1L, "U"),  // brand-new key into group a
+      (6L, Some("e"), Some(60L), 1L, "U"),
+      (6L, None, None, 2L, "D"),            // insert+delete: no trace
+      (9L, None, None, 1L, "D")             // delete of a key never seen
+    ).toDF("id", "grp", "v", "seq", "op")
+    val inc = History.incrementalAgg(snap, log, "id", "grp", "v", "seq", "op")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the ground truth: apply the changelog, then aggregate
+    val merged = History.applyChangelog(snap, log, "id", "seq", "op")
+    val full = merged.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    assert(inc == Set(("a", 2L, 70L), ("c", 1L, 40L), ("d", 1L, 11L)))
+  }
+
   test("ruleAudit counts NULL predicate results as violations") {
     import graft.operators.Audit
     val df = Seq[(java.lang.Long, String)](
