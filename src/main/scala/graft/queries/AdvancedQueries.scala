@@ -242,6 +242,26 @@ object AdvancedQueries {
         .orderBy($"user_id")
     }),
 
+    // melt/UNPIVOT — a03's inverse: the wide per-user matrix unpivots
+    // back to long (user, type, n) rows via the native Dataset.unpivot
+    // (codegen'd Expand, one pass, no shuffle beyond the pivot's own
+    // agg). The oracle is the PLAIN group-by: the pivot→unpivot round
+    // trip must reproduce it exactly, zero-filled combos dropped.
+    "a16_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = ev(s, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val wide = pivoted.select(
+        $"user_id" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      wide.unpivot(Array($"user_id"), types.map(col).toArray,
+          "event_type", "n")
+        .filter($"n" > 0)
+        .orderBy($"user_id", $"event_type")
+    }),
+
     // Exact interpolated percentiles per event type.
     "a04_percentiles" -> ((s, dir) => {
       import s.implicits._
@@ -453,6 +473,12 @@ object AdvancedQueries {
         |SELECT c.click_id, j.purchase_id, CAST(j.gap_us AS BIGINT) AS gap_us
         |FROM c LEFT JOIN j ON c.click_id = j.click_id AND j.rn = 1
         |ORDER BY c.click_id""".stripMargin,
+
+    // the round trip must land back on the plain group-by
+    "a16_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "a03_pivot" ->
       """SELECT user_id,

@@ -92,6 +92,13 @@ object EventQueries {
     "e15_stream_session_window" -> ((s, dir) =>
       graft.streaming.StreamingJobs.sessionWindowAvailableNow(s, dir)),
 
+    // STREAMING data-quality gate — x19's streaming twin: hard
+    // constraints + screens per tumbling hour, every rule folded into
+    // ONE windowed aggregate (a handful of longs per open window),
+    // flushed append-mode as the watermark closes each hour.
+    "e16_stream_dq" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.dqAuditAvailableNow(s, dir)),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -290,6 +297,25 @@ object EventQueries {
       """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
         |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch replay of the hourly rule aggregate, melted by UNION ALL
+    "e16_stream_dq" ->
+      """WITH a AS (
+        |  SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS w,
+        |    count(*) AS n,
+        |    sum(CASE WHEN coalesce(NOT (value >= 0 AND value <= 500), TRUE) THEN 1 ELSE 0 END) AS value_range,
+        |    sum(CASE WHEN coalesce(event_type NOT IN ('click','error','purchase','signup','view'), TRUE) THEN 1 ELSE 0 END) AS type_domain,
+        |    sum(CASE WHEN coalesce(value > 400, TRUE) THEN 1 ELSE 0 END) AS screen_big_value,
+        |    sum(CASE WHEN coalesce(event_type = 'error', TRUE) THEN 1 ELSE 0 END) AS screen_error
+        |  FROM events GROUP BY 1)
+        |SELECT w AS window_start_us, "check", CAST(n AS BIGINT) AS n_events,
+        |       CAST(nv AS BIGINT) AS n_violations
+        |FROM (
+        |  SELECT w, n, 'screen_big_value' AS "check", screen_big_value AS nv FROM a
+        |  UNION ALL SELECT w, n, 'screen_error', screen_error FROM a
+        |  UNION ALL SELECT w, n, 'type_domain', type_domain FROM a
+        |  UNION ALL SELECT w, n, 'value_range', value_range FROM a)
+        |ORDER BY window_start_us, "check"""".stripMargin,
 
     "e13_stream_sliding" ->
       """WITH e AS (

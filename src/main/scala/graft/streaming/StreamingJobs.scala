@@ -471,6 +471,74 @@ object StreamingJobs {
       .orderBy($"window_start_us", $"event_type")
   }
 
+  /** STREAMING data-quality gate, drained with AvailableNow — the
+    * streaming twin of batch x19 ([[graft.operators.Audit]]): hard
+    * constraints + quality screens evaluated per tumbling hour over
+    * the event stream, every rule folded into the ONE windowed
+    * aggregate (state = a handful of longs per open window, flushed
+    * append-mode as the watermark closes each hour). The monitoring
+    * shape a live ingest pipeline alerts on: per-window violation
+    * counts, not a global post-hoc audit. Rules use the same
+    * `coalesce(pred, true)` convention as Audit — a NULL predicate
+    * is a violation. */
+  def dqAuditAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "e16", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
+    val evBatch = Tables.load(s, dir, "events")
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None =>
+        return Seq.empty[(Long, String, Long, Long)]
+          .toDF("window_start_us", "check", "n_events", "n_violations")
+    }
+    Seq(((maxTus + SentinelSpacingUs) * 1000, "__sentinel", 0.0),
+        ((maxTus + 2 * SentinelSpacingUs) * 1000, "__sentinel", 0.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def shaped(df: DataFrame) =
+      df.select(expr("ts div 1000").as("tus"), $"event_type", $"value")
+    val real = shaped(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = shaped(s.readStream
+      .schema("ts LONG, event_type STRING, value DOUBLE").parquet(sentinelDir))
+
+    def viol(pred: org.apache.spark.sql.Column) =
+      sum(coalesce(pred, lit(true)).cast("long"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val audited = real.union(sentinel)
+      .withColumn("ts_micro", timestamp_micros($"tus"))
+      .withWatermark("ts_micro", "1 hour")
+      .groupBy(window($"ts_micro", "1 hour"))
+      .agg(count(lit(1)).as("_n"),
+        viol(!($"value" >= 0 && $"value" <= 500)).as("_v_value_range"),
+        viol(!$"event_type".isin(types: _*)).as("_v_type_domain"),
+        viol($"value" > 400).as("_v_screen_big_value"),
+        viol($"event_type" === "error").as("_v_screen_error"))
+      .select(unix_micros($"window.start").as("window_start_us"), $"_n",
+        expr("""stack(4,
+          'screen_big_value', _v_screen_big_value,
+          'screen_error', _v_screen_error,
+          'type_domain', _v_type_domain,
+          'value_range', _v_value_range) AS (check, n_violations)"""))
+      .select($"window_start_us", $"check", $"_n".as("n_events"),
+        $"n_violations")
+
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = audited.writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .filter($"window_start_us" <= maxTus) // drop the sentinel's own windows
+      .orderBy($"window_start_us", $"check")
+  }
+
   /** Streaming per-user exact counts with a heavy-hitter threshold,
     * drained with AvailableNow — each user's counter flushes once the
     * sentinel-pushed watermark passes its horizon, so the result
