@@ -212,24 +212,56 @@ object Graphs {
     * equi-joins + one aggregate, no cartesian anywhere. */
   def commonNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
                       maxDegree: Option[Long] = None,
-                      minCommon: Long = 2L): DataFrame = {
+                      minCommon: Long = 2L): DataFrame =
+    commonNeighborPairs(
+      centeredEdges(edges, srcCol, dstCol, maxDegree), minCommon)
+
+  /** Deduped, hub-capped `(_s, _c)` edge list — the shared prep for
+    * the neighbor-overlap family. */
+  private def centeredEdges(edges: DataFrame, srcCol: String,
+                            dstCol: String,
+                            maxDegree: Option[Long]): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("_s"),
         col(dstCol).cast("long").as("_c"))
       .filter(col("_s").isNotNull && col("_c").isNotNull)
       .distinct()
-    val centered = maxDegree match {
+    maxDegree match {
       case Some(cap) =>
         val keep = e.groupBy(col("_c")).agg(count(lit(1)).as("_d"))
           .filter(col("_d") <= cap).select(col("_c"))
         e.join(keep, Seq("_c"))
       case None => e
     }
+  }
+
+  private def commonNeighborPairs(centered: DataFrame,
+                                  minCommon: Long): DataFrame =
     centered.select(col("_c"), col("_s").as("a"))
       .join(centered.select(col("_c"), col("_s").as("b")), Seq("_c"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
+
+  /** [[commonNeighbors]] normalized to the Jaccard of the two
+    * neighbor SETS, in exact basis points: `⌊10000·|A∩B| /
+    * |A∪B|⌋` with `|A∪B| = deg(a) + deg(b) − |A∩B|`. Degrees are
+    * measured on the SAME capped edge list the pairs are mined from,
+    * so the score is internally consistent. Integer arithmetic end to
+    * end → bit-reproducible across engines. Adds only two hashed
+    * joins against the src-degree aggregate (vertex-sized, broadcast
+    * at scale); the wedge shuffle stays the budgeted cost. */
+  def jaccardNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxDegree: Option[Long] = None,
+                       minCommon: Long = 2L): DataFrame = {
+    val centered = centeredEdges(edges, srcCol, dstCol, maxDegree)
+    val deg = centered.groupBy(col("_s")).agg(count(lit(1)).as("_d"))
+    commonNeighborPairs(centered, minCommon)
+      .join(deg.select(col("_s").as("a"), col("_d").as("_da")), Seq("a"))
+      .join(deg.select(col("_s").as("b"), col("_d").as("_db")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"),
+        expr("(n_common * 10000) div (_da + _db - n_common)")
+          .as("jaccard_bp"))
   }
 
   private def unpersistOf(df: DataFrame): Unit = Checkpoints.free(df)

@@ -128,6 +128,21 @@ object GraphQueries {
         .orderBy($"supp_a", $"supp_b")
     }),
 
+    // g04 normalized: Jaccard of the two neighbor sets in exact basis
+    // points — same wedge budget, plus two vertex-sized degree joins.
+    // Separates "many shared parts" from "mostly-overlapping
+    // catalogs": the score a recommender actually thresholds on.
+    "g05_jaccard_predict" -> ((s, dir) => {
+      import s.implicits._
+      val ps = graft.Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".as("part"), $"l_suppkey".as("supp"))
+      Graphs.jaccardNeighbors(ps, srcCol = "supp", dstCol = "part",
+          maxDegree = Some(50L), minCommon = 2L)
+        .select($"a".as("supp_a"), $"b".as("supp_b"), $"n_common",
+          $"jaccard_bp")
+        .orderBy($"supp_a", $"supp_b")
+    }),
+
     // Per-vertex triangle counts over the planted-trio slice: each
     // (doc, copy+1e6, copy+2e6) trio is a 3-clique; organic near-dups
     // inside the slice add their own wedges. Degree-ordered
@@ -156,6 +171,23 @@ object GraphQueries {
         |SELECT a.sv AS supp_a, b.sv AS supp_b, count(*) AS n_common
         |FROM e a JOIN e b ON a.p = b.p AND a.sv < b.sv
         |GROUP BY a.sv, b.sv HAVING count(*) >= 2
+        |ORDER BY supp_a, supp_b""".stripMargin,
+
+    // g04's CTEs + src degrees; all-integer basis points
+    "g05_jaccard_predict" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv FROM lineitem),
+        |keep AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= 50),
+        |e AS (SELECT ps.p, ps.sv FROM ps JOIN keep USING (p)),
+        |deg AS (SELECT sv, count(*) AS d FROM e GROUP BY sv),
+        |pairs AS (
+        |  SELECT a.sv AS supp_a, b.sv AS supp_b, count(*) AS n_common
+        |  FROM e a JOIN e b ON a.p = b.p AND a.sv < b.sv
+        |  GROUP BY a.sv, b.sv HAVING count(*) >= 2)
+        |SELECT supp_a, supp_b, n_common,
+        |  CAST((n_common * 10000) // (da.d + db.d - n_common) AS BIGINT) AS jaccard_bp
+        |FROM pairs
+        |JOIN deg da ON da.sv = supp_a
+        |JOIN deg db ON db.sv = supp_b
         |ORDER BY supp_a, supp_b""".stripMargin,
 
     "g01_pagerank" -> {

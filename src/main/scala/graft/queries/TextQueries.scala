@@ -232,6 +232,28 @@ object TextQueries {
         .orderBy($"n_docs")
     }),
 
+    // Zipf's-law fit per language: token frequencies ranked (count
+    // desc, token tiebreak → deterministic ranks), then the
+    // log-log regression slope + r² via the built-in regr_*
+    // aggregates — the distributional sanity check a corpus release
+    // runs (natural text ≈ -1; generated/templated text drifts).
+    // One tokenize scan → one (lang, token) agg → one rank window →
+    // one regression agg; all shuffles vocabulary-sized.
+    "t21_zipf_fit" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val freqs = docs(s, dir)
+        .select($"lang", explode(tokenize($"text")).as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
+      val ranked = freqs.withColumn("rnk", row_number()
+        .over(Window.partitionBy($"lang").orderBy($"n".desc, $"w")))
+      ranked.groupBy($"lang")
+        .agg(count(lit(1)).as("n_types"),
+          round(expr("regr_slope(ln(n), ln(rnk))"), 4).as("zipf_slope"),
+          round(expr("regr_r2(ln(n), ln(rnk))"), 4).as("zipf_r2"))
+        .orderBy($"lang")
+    }),
+
     "t19_collocations" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
@@ -489,6 +511,22 @@ object TextQueries {
          |  CAST(SUM(bt.n_toks) OVER (ORDER BY bt.bucket) AS BIGINT) AS total_tokens
          |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
          |ORDER BY n_docs""".stripMargin,
+
+    // same deterministic ranks (count desc, token tiebreak), same
+    // regr_* aggregates over the same log points
+    "t21_zipf_fit" ->
+      s"""WITH toks AS (SELECT lang, $SqlToks AS t FROM documents),
+         |freqs AS (
+         |  SELECT lang, w, count(*) AS n
+         |  FROM (SELECT lang, unnest(t) AS w FROM toks) GROUP BY lang, w),
+         |ranked AS (
+         |  SELECT lang, n, row_number() OVER (
+         |    PARTITION BY lang ORDER BY n DESC, w) AS rnk
+         |  FROM freqs)
+         |SELECT lang, count(*) AS n_types,
+         |  round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+         |  round(regr_r2(ln(n), ln(rnk)), 4) AS zipf_r2
+         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same counts, same (exact-multiply, one-divide) association and
     // left-to-right order — the doubles must match bit-for-bit
