@@ -33,35 +33,42 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Fitted-codebook memo (same posture as Similarity's IVF
+    * quantizer cache): the centroids are deterministic in the input,
+    * so a cache hit changes nothing but the number of Lloyd scans a
+    * session pays. Keyed by caller-supplied corpus identity + fit
+    * params; size-capped wholesale. */
+  private val centroidCache =
+    new graft.functions.BoundedMemo[(String, Int, Int, Long, Double),
+      Array[Array[Long]]](32)
+
   /** Lloyd iterations as above; returns `(idCol, cluster)` for every
     * point. `points(idCol)` must be unique; ids `0 .. k-1` must exist
     * (they seed the initial centroids). */
   def kmeansInt(points: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int, quantScale: Long = 1000000L,
-                shift: Double = 1.0): DataFrame =
-    kmeansIntModel(points, idCol, vecCol, k, iters, quantScale, shift)._1
+                shift: Double = 1.0,
+                cacheKey: Option[String] = None): DataFrame =
+    kmeansIntModel(points, idCol, vecCol, k, iters, quantScale, shift,
+      cacheKey)._1
 
   /** [[kmeansInt]] plus the fitted model: the final quantized
     * centroids (k × dim Longs — the "model on the driver" posture;
     * never the data). Callers that score NEW points against the
     * codebook (PQ asymmetric-distance tables, assignment of a probe
     * stream) need the centroids themselves, not just the training
-    * assignment. */
+    * assignment. `cacheKey` (an identity for the points frame, e.g.
+    * "sfdir#sub0") reuses a previously fitted codebook — the fit is
+    * deterministic, so the hit is exact; assignment still runs. */
   def kmeansIntModel(points: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int, quantScale: Long = 1000000L,
-                     shift: Double = 1.0): (DataFrame, Array[Array[Long]]) = {
+                     shift: Double = 1.0,
+                     cacheKey: Option[String] = None): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1, s"k=$k must be >= 1")
     require(iters >= 0, s"iters=$iters must be >= 0")
     val q = points.select(col(idCol).cast("long").as("id"),
         quantized(col(vecCol), quantScale, shift).as("q"))
       .transform(Checkpoints.materialize)
-
-    var centroids: Array[Array[Long]] = q.filter(col("id") < k).orderBy(col("id"))
-      .select(col("q")).collect()
-      .map(_.getSeq[Long](0).toArray)
-    require(centroids.length == k,
-      s"need points with ids 0..${k - 1} to seed $k centroids, found ${centroids.length}")
-    val dim = centroids.head.length
 
     def assigned(cs: Array[Array[Long]]): DataFrame = {
       val candidates: Seq[Column] = cs.zipWithIndex.map { case (c, j) =>
@@ -74,19 +81,34 @@ object Clustering {
       q.withColumn("cluster", least(candidates: _*).getField("j"))
     }
 
-    for (_ <- 1 to iters) {
-      val a = assigned(centroids)
-      val perDim = a.select(col("cluster"), posexplode(col("q")).as(Seq("i", "x")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("i"), expr("s div n").as("c"))
-        .collect()
-      val next = centroids.map(_.clone)
-      perDim.foreach { r =>
-        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2)
+    def fit(): Array[Array[Long]] = {
+      var centroids: Array[Array[Long]] = q.filter(col("id") < k)
+        .orderBy(col("id")).select(col("q")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(centroids.length == k,
+        s"need points with ids 0..${k - 1} to seed $k centroids, found ${centroids.length}")
+      val dim = centroids.head.length
+      for (_ <- 1 to iters) {
+        val a = assigned(centroids)
+        val perDim = a.select(col("cluster"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy(col("cluster"), col("i"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("i"), expr("s div n").as("c"))
+          .collect()
+        val next = centroids.map(_.clone)
+        perDim.foreach { r =>
+          next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2)
+        }
+        centroids = next
+        require(centroids.forall(_.length == dim))
       }
-      centroids = next
-      require(centroids.forall(_.length == dim))
+      centroids
+    }
+
+    val centroids = cacheKey match {
+      case Some(key) => centroidCache.getOrCompute(
+        (key, k, iters, quantScale, shift), _ => fit())
+      case None => fit()
     }
     (assigned(centroids).select(col("id").as(idCol), col("cluster")),
       centroids)

@@ -92,6 +92,20 @@ object Similarity {
                 vecCol: String, codebooks: Seq[Array[Array[Long]]],
                 subDim: Int, k: Int, quantScale: Long = 1000000L,
                 shift: Double = 1.0): DataFrame = {
+    val qside = adcQuerySide(queries, idCol, vecCol, codebooks, subDim,
+      quantScale, shift)
+    val scored = codes.crossJoin(broadcast(qside))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("neighbor_id", col(idCol))
+    adcRank(scored, codebooks.size, k)
+  }
+
+  /** Query-side ADC distance tables: `(query_id, _dt0 … _dt{M-1})`,
+    * each `_dtI` the exact integer squared-L2 from the query's
+    * quantized subvector to every centroid of codebook I. */
+  private def adcQuerySide(queries: DataFrame, idCol: String, vecCol: String,
+                           codebooks: Seq[Array[Array[Long]]], subDim: Int,
+                           quantScale: Long, shift: Double): DataFrame = {
     val m = codebooks.size
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val withQq = (0 until m).foldLeft(q0) { (df, i) =>
@@ -107,20 +121,88 @@ object Similarity {
       }: _*)
       df.withColumn(s"_dt$i", dts)
     }
-    val qside = withDts.select(col("query_id") +:
-      (0 until m).map(i => col(s"_dt$i")): _*)
+    withDts.select(col("query_id") +: (0 until m).map(i => col(s"_dt$i")): _*)
+  }
+
+  /** Score + rank `(query_id, neighbor_id, c0…c{M-1}, _dt0…_dt{M-1})`
+    * rows: ADC distance = Σ table lookups, top-k per query with the
+    * (dist, id) tiebreak. */
+  private def adcRank(scored: DataFrame, m: Int, k: Int): DataFrame = {
     val adc = (0 until m).map(i =>
         element_at(col(s"_dt$i"), col(s"c$i").cast("int") + 1))
       .reduce(_ + _)
-    val scored = codes.crossJoin(broadcast(qside))
-      .filter(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"), adc.as("adc_dist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** The production ANN composition — IVF coarse pruning + PQ ADC
+    * rerank, every stage in the deterministic integer arithmetic of
+    * [[Clustering.kmeansIntModel]] so the WHOLE index (coarse lists,
+    * probe choice, codes, distances, ranks) is bit-reproducible under
+    * a cross-engine oracle:
+    *
+    *  1. coarse: integer k-means on the full vector → every corpus
+    *     vector files into one of `nLists` inverted lists;
+    *  2. probe: each query scores the nLists coarse centroids
+    *     (map-side, centroids are a literal) and keeps the `nProbe`
+    *     nearest (id tiebreak) — candidates are ONLY the vectors in
+    *     those lists, |corpus|·nProbe/nLists of the corpus;
+    *  3. rerank: PQ codes of the candidates score by ADC table
+    *     lookups ([[pqAdcTopK]]'s machinery over the pruned pairs).
+    *
+    * At 100 TB the scan cost drops by nLists/nProbe AND reads codes
+    * instead of vectors — multiplicative with PQ's per-row saving. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, subspaces: Int = 4, subDim: Int = 16,
+                nLists: Int = 8, nProbe: Int = 2, iters: Int = 2,
+                quantScale: Long = 1000000L, shift: Double = 1.0,
+                cacheKey: Option[String] = None): DataFrame = {
+    val (coarseAssign, coarseCents) = Clustering.kmeansIntModel(
+      corpus, idCol, vecCol, nLists, iters, quantScale, shift,
+      cacheKey.map(key => s"$key#full$nLists"))
+    val fits = (0 until subspaces).map { m =>
+      Clustering.kmeansIntModel(
+        corpus.select(col(idCol),
+          slice(col(vecCol), m * subDim + 1, subDim).as(vecCol)),
+        idCol, vecCol, k = 8, iters = iters, quantScale, shift,
+        cacheKey.map(key => s"$key#sub$m"))
+    }
+    val codes = fits.zipWithIndex.map { case ((a, _), m) =>
+      a.withColumnRenamed("cluster", s"c$m")
+    }.reduce(_.join(_, idCol))
+
+    // probe lists: nProbe nearest coarse centroids per query, exact
+    // integer distance with cluster-id tiebreak (array_sort orders
+    // structs field-by-field)
+    val qq = Clustering.quantized(col("qvec"), quantScale, shift)
+    val distStructs = array(coarseCents.zipWithIndex.map { case (cvec, j) =>
+      val cLit = array(cvec.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("_qq"), cLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(j.toLong).as("j"))
+    }: _*)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("_qq", qq)
+      .withColumn("_p", explode(slice(array_sort(distStructs), 1, nProbe)))
+      .select(col("query_id"), col("_p.j").as("_list"))
+
+    val qside = adcQuerySide(queries, idCol, vecCol, fits.map(_._2), subDim,
+      quantScale, shift)
+    val cand = coarseAssign.join(broadcast(probes),
+        coarseAssign("cluster") === probes("_list"))
+      .select(col("query_id"), col(idCol))
+      .filter(col("query_id") =!= col(idCol))
+    val scored = cand.join(codes, idCol)
+      .join(broadcast(qside), "query_id")
+      .withColumn("neighbor_id", col(idCol))
+    adcRank(scored, subspaces, k)
   }
 
   /** LSH-bucketed approximate top-k. Candidates = corpus rows sharing

@@ -295,7 +295,7 @@ object PipelineQueries {
       import s.implicits._
       val assign = Clustering.kmeansInt(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 2)
+        k = 8, iters = 2, cacheKey = Some(s"$dir#full8"))
       Mixing.mixSources(assign.withColumn("cl", $"cluster".cast("string")),
           "vec_id", "cl",
           quotas = (0 to 7).map(i => i.toString -> 25L).toMap, salt = "cb7")

@@ -112,7 +112,7 @@ object SimilarityQueries {
     "s07_kmeans_assign" -> ((s, dir) => {
       import s.implicits._
       Clustering.kmeansInt(emb(s, dir), "vec_id", "embedding",
-          k = 8, iters = 2)
+          k = 8, iters = 2, cacheKey = Some(s"$dir#full8"))
         .orderBy($"vec_id")
     }),
 
@@ -131,7 +131,8 @@ object SimilarityQueries {
       val parts = (0 until 4).map { m =>
         Clustering.kmeansInt(
             e.select($"vec_id", slice($"embedding", m * 16 + 1, 16).as("embedding")),
-            "vec_id", "embedding", k = 8, iters = 2)
+            "vec_id", "embedding", k = 8, iters = 2,
+            cacheKey = Some(s"$dir#sub$m"))
           .withColumnRenamed("cluster", s"c$m")
       }
       parts.reduce(_.join(_, "vec_id"))
@@ -154,13 +155,30 @@ object SimilarityQueries {
       val fits = (0 until 4).map { m =>
         Clustering.kmeansIntModel(
           e.select($"vec_id", slice($"embedding", m * 16 + 1, 16).as("embedding")),
-          "vec_id", "embedding", k = 8, iters = 2)
+          "vec_id", "embedding", k = 8, iters = 2,
+          cacheKey = Some(s"$dir#sub$m"))
       }
       val codes = fits.zipWithIndex.map { case ((a, _), m) =>
         a.withColumnRenamed("cluster", s"c$m")
       }.reduce(_.join(_, "vec_id"))
       Similarity.pqAdcTopK(codes, e.filter($"vec_id" < 8), "vec_id",
           "embedding", fits.map(_._2), subDim = 16, k = 5)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // The production ANN composition: IVF coarse pruning (integer
+    // k-means lists, nProbe=2 of 8) + PQ ADC rerank over the
+    // candidates' 12-bit codes. Every stage — list assignment, probe
+    // choice, codes, distances, ranks — is deterministic integer
+    // arithmetic, so the ENTIRE index is oracle-replayable: no
+    // planted-copy construction needed, the organic top-5 is checked
+    // bit-for-bit. At 100 TB the scan drops by nLists/nProbe AND
+    // reads codes, not vectors — multiplicative savings.
+    "s10_ivf_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter($"vec_id" < 8), "vec_id",
+          "embedding", k = 5, cacheKey = Some(dir))
         .orderBy($"query_id", $"rank")
     }),
 
@@ -284,6 +302,60 @@ object SimilarityQueries {
          |  JOIN dt2 d2 ON d2.query_id = d0.query_id AND d2.j = k.c2
          |  JOIN dt3 d3 ON d3.query_id = d0.query_id AND d3.j = k.c3
          |  WHERE k.vec_id <> d0.query_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+         |       CAST(rnk AS BIGINT) AS rank
+         |FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // full replay: the coarse chain (s07's, namespaced cg), the four
+    // codebook chains, probe selection, candidate pruning, ADC rerank
+    "s10_ivf_pq" -> {
+      val coarse = kmeansAssignCtes(2, sfx = "cg")
+      val subs = (0 until 4).map(m =>
+        kmeansAssignCtes(2, sfx = s"s$m",
+          vecExpr = s"embedding[${m * 16 + 1}:${(m + 1) * 16}]")).mkString(",\n")
+      val dts = (0 until 4).map(m =>
+        s"""dt$m AS (
+           |  SELECT p.vec_id AS query_id, c.cluster AS j,
+           |    list_sum(list_transform(range(1, len(p.q) + 1),
+           |      i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS d
+           |  FROM ptss$m p CROSS JOIN c2s$m c WHERE p.vec_id < 8)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH $coarse,
+         |$subs,
+         |$dts,
+         |qc AS (
+         |  SELECT p.vec_id AS query_id, c.cluster AS list_id,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, len(p.q) + 1),
+         |        i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.cluster) AS pr
+         |  FROM ptscg p CROSS JOIN c2cg c WHERE p.vec_id < 8),
+         |probes AS (SELECT query_id, list_id FROM qc WHERE pr <= 2),
+         |cand AS (
+         |  SELECT pr.query_id, a.vec_id AS neighbor_id
+         |  FROM afinalcg a JOIN probes pr ON a.cluster = pr.list_id
+         |  WHERE a.vec_id <> pr.query_id),
+         |codes AS (
+         |  SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+         |         a2.cluster AS c2, a3.cluster AS c3
+         |  FROM afinals0 a0
+         |  JOIN afinals1 a1 ON a1.vec_id = a0.vec_id
+         |  JOIN afinals2 a2 ON a2.vec_id = a0.vec_id
+         |  JOIN afinals3 a3 ON a3.vec_id = a0.vec_id),
+         |adc AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |         d0.d + d1.d + d2.d + d3.d AS adc_dist
+         |  FROM cand cd
+         |  JOIN codes k ON k.vec_id = cd.neighbor_id
+         |  JOIN dt0 d0 ON d0.query_id = cd.query_id AND d0.j = k.c0
+         |  JOIN dt1 d1 ON d1.query_id = cd.query_id AND d1.j = k.c1
+         |  JOIN dt2 d2 ON d2.query_id = cd.query_id AND d2.j = k.c2
+         |  JOIN dt3 d3 ON d3.query_id = cd.query_id AND d3.j = k.c3),
          |r AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk

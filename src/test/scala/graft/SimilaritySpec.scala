@@ -71,6 +71,27 @@ class SimilaritySpec extends SparkSpec {
     assert(zq._1.forall(_ == 0L) && zq._2 == 0.0)
   }
 
+  test("ivfPqTopK with nProbe = nLists equals the full ADC scan") {
+    import graft.operators.Clustering
+    val subDim = 16
+    val queries = emb.filter($"vec_id" < 6)
+    val full = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fits = (0 until 4).map { m =>
+      Clustering.kmeansIntModel(
+        emb.select($"vec_id", slice($"embedding", m * subDim + 1, subDim).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 2)
+    }
+    val codes = fits.zipWithIndex.map { case ((a, _), m) =>
+      a.withColumnRenamed("cluster", s"c$m")
+    }.reduce(_.join(_, "vec_id"))
+    val brute = Similarity.pqAdcTopK(codes, queries, "vec_id", "embedding",
+        fits.map(_._2), subDim = subDim, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == brute)
+  }
+
   test("pqAdcTopK matches a sequential ADC reference (decode-to-centroid L2)") {
     import graft.operators.Clustering
     val subDim = 16
