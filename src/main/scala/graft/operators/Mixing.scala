@@ -122,6 +122,36 @@ object Mixing {
       .filter(col("_rank") <= quotaOf)
   }
 
+  /** TOKEN-budget mixing — [[mixSources]] with the quota in tokens
+    * instead of documents, which is how a training-mix spec is
+    * actually written ("30B tokens of web, 5B of code"). Within each
+    * source, docs rank by the deterministic coin (ties by key) and a
+    * doc survives iff the RUNNING token total up to and including it
+    * fits the source's budget. The filter is a strict prefix of the
+    * coin order: once the cumsum overflows, every later doc's cumsum
+    * is larger still — deterministic, resumable, and oracle-exact
+    * (no "skip the big doc, squeeze in a later small one" dependence
+    * on scan order). One window shuffle hashed on the source; rank
+    * and cumsum ride the same sort. Emits `_rank` and `_cum_tokens`.
+    */
+  def mixTokenBudget(df: DataFrame, keyCol: String, sourceCol: String,
+                     tokenCol: String, budgets: Map[String, Long],
+                     defaultBudget: Long = 0L,
+                     salt: String = "graft"): DataFrame = {
+    require(!df.columns.contains("_rank") && !df.columns.contains("_cum_tokens"),
+      "mixTokenBudget: input already has a _rank/_cum_tokens column " +
+        "(the operator emits its own) — rename it first")
+    val entries = budgets.toSeq.sortBy(_._1)
+      .flatMap { case (k, q) => Seq(lit(k), lit(q)) }
+    val budgetOf = coalesce(element_at(map(entries: _*), col(sourceCol)),
+      lit(defaultBudget))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(coin(col(keyCol), salt), col(keyCol))
+    df.withColumn("_rank", row_number().over(w).cast("long"))
+      .withColumn("_cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("_cum_tokens") <= budgetOf)
+  }
+
   /** Deterministic corpus shuffle with materialized positions: order
     * rows by the md5 coin (ties by key) and emit a contiguous 1-based
     * `pos` — the reproducible "training order" a data loader consumes.

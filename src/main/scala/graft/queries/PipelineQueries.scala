@@ -94,6 +94,7 @@ object PipelineQueries {
   // the corpus's real strata (5 langs, 20 sources).
   private val Rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125)
   private val Quotas = Map("src0" -> 10L, "src3" -> 5L, "src7" -> 17L, "src12" -> 25L)
+  private val TokenBudgets = Map("src1" -> 400L, "src5" -> 900L, "src9" -> 150L)
   private val HoldoutSplits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,6 +393,23 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Token-budget mixing: the mix spec in TOKENS ("budget B of
+    // src0"), filled greedily in deterministic coin order within each
+    // source — the strict-prefix contract (cumsum ≤ budget) keeps it
+    // resumable and oracle-exact. One window shuffle on the source;
+    // rank and running total ride the same sort.
+    "x23_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val withToks = docs(s, dir)
+        .select($"doc_id", $"source",
+          graft.operators.TextAnalysis.tokenCount($"text").as("n_tok"))
+      Mixing.mixTokenBudget(withToks, "doc_id", "source", "n_tok",
+          TokenBudgets, defaultBudget = 0L, salt = "tb42")
+        .select($"doc_id", $"source", $"n_tok",
+          $"_rank".as("rnk"), $"_cum_tokens".as("cum_tok"))
+        .orderBy($"doc_id")
+    }),
+
     // Incremental view maintenance: the per-source (count, chars)
     // summary carried across the changelog by DELTAS — the log
     // collapses in one log-sized shuffle, changed keys prune the
@@ -628,6 +646,25 @@ object PipelineQueries {
          |  JOIN (VALUES ${Quotas.toSeq.sorted.map { case (k, q) =>
               s"('$k', $q)" }.mkString(", ")}) t(src, quota) ON src = source) sub
          |WHERE rnk <= quota
+         |ORDER BY doc_id""".stripMargin,
+
+    // same rank + running-sum window; strict-prefix budget filter
+    "x23_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($SqlToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT t.doc_id, t.source, t.n_tok, b.budget,
+         |    CAST(row_number() OVER w AS BIGINT) AS rnk,
+         |    CAST(sum(t.n_tok) OVER w AS BIGINT) AS cum_tok
+         |  FROM t
+         |  JOIN (VALUES ${TokenBudgets.toSeq.sorted.map { case (k, q) =>
+              s"('$k', $q)" }.mkString(", ")}) b(src, budget) ON b.src = t.source
+         |  WINDOW w AS (PARTITION BY t.source
+         |    ORDER BY ${sqlCoin("doc_id", "tb42")}, t.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT doc_id, source, n_tok, rnk, cum_tok
+         |FROM r WHERE cum_tok <= budget
          |ORDER BY doc_id""".stripMargin,
 
     "x04_pack_sequences" ->

@@ -62,6 +62,39 @@ class MixingPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("mixTokenBudget keeps exactly the coin-order prefix that fits") {
+    // 120 generated sources with 0..12 docs of 0..50 tokens, budgets
+    // 0..300: survivors must equal the sequential greedy prefix.
+    val srcGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      budget <- Gen.choose(0L, 300L)
+    } yield (toks, budget)
+    val cases = Gen.listOfN(120, srcGen)
+      .pureApply(Gen.Parameters.default, Seed(20260815L)).toVector
+    val rows = cases.zipWithIndex.flatMap { case ((toks, _), g) =>
+      toks.zipWithIndex.map { case (t, i) => (g * 1000L + i, s"s$g", t) }
+    }
+    val budgets = cases.zipWithIndex.map { case ((_, b), g) => s"s$g" -> b }.toMap
+    val got = Mixing.mixTokenBudget(rows.toDF("id", "src", "n_tok"),
+        "id", "src", "n_tok", budgets, salt = "pt")
+      .select($"id").as[Long].collect().toSet
+    // sequential reference: coin order (computed via Spark for the md5,
+    // one tiny job), then a running-total prefix per source
+    val ordered = rows.toDF("id", "src", "n_tok")
+      .withColumn("_c", substring(md5(concat($"id".cast("string"),
+        lit(":pt")).cast("binary")), 1, 8))
+      .collect().map(r => (r.getString(1), r.getString(3), r.getLong(0), r.getLong(2)))
+    val want = ordered.groupBy(_._1).toSeq.flatMap { case (src, docs) =>
+      var cum = 0L
+      docs.sortBy(d => (d._2, d._3)).toSeq.flatMap { case (_, _, id, t) =>
+        cum += t
+        if (cum <= budgets(src)) Some(id) else None
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("assignSplits is a partition: every row gets exactly one valid label") {
     val d = Tables.load(spark, sfDir, "documents")
     val splits = Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4)
