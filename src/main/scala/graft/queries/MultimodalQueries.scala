@@ -214,6 +214,28 @@ object MultimodalQueries {
         .select($"keep_id", $"n_copies")
         .orderBy($"keep_id")
     }),
+
+    // REAL animated-GIF round trip: deterministic multi-frame GIF per
+    // doc (identity grayscale palette → lossless), EVERY frame decoded
+    // distributed from the actual GIF89a stream — frame count,
+    // dimensions, GraphicControlExtension delays, and exact pixel
+    // sums. The oracle replays the source arithmetic; the Spark side
+    // moves real LZW-compressed bytes through the batched
+    // mapPartitions decode.
+    "m11_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthGif(id)))
+      Multimodal.decodeGifFrames(gifs)
+        .groupBy($"id".as("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          max($"width").cast("long").as("width"),
+          max($"height").cast("long").as("height"),
+          sum($"delay_cs").cast("long").as("total_delay_cs"),
+          sum($"sum_gray").as("sum_gray"))
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -353,5 +375,31 @@ object MultimodalQueries {
         |  CAST(SUM((2*doc_id + 5*x + y) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((3*doc_id + x + 11*y) % 256) AS BIGINT) AS sum_b
         |FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // the m11 synth arithmetic replayed: gray(f,x,y) = (id+13f+3x+7y)%256,
+    // delay(f) = 4+(id+f)%7, over nf = 2+id%4 frames of (10+id%6)×(8+id%5)
+    "m11_gif_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 10 + doc_id % 6 AS w, 8 + doc_id % 5 AS h,
+        |         2 + doc_id % 4 AS nf
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM dims),
+        |xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM frames),
+        |cells AS (SELECT doc_id, f, x, unnest(range(0, h)) AS y, w, h FROM xs),
+        |gray AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id + 13*f + 3*x + 7*y) % 256) AS BIGINT) AS sum_gray
+        |  FROM cells GROUP BY doc_id),
+        |delay AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(4 + (doc_id + f) % 7) AS BIGINT) AS total_delay_cs
+        |  FROM frames GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  delay.total_delay_cs, gray.sum_gray
+        |FROM dims d
+        |JOIN gray USING (doc_id) JOIN delay USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }
