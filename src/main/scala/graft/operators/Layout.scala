@@ -86,4 +86,23 @@ object Layout {
       else withZ.repartitionByRange(col("_z"))
     parted.sortWithinPartitions(col("_z")).drop("_z")
   }
+
+  /** Zone maps — the min/max-per-block statistics a lakehouse scan
+    * consults to SKIP blocks whose value range cannot satisfy the
+    * predicate (parquet row-group stats, Delta/Iceberg file stats).
+    * One row per `zoneCol` value: row count plus `min_c`/`max_c` for
+    * every stat column. Building them is a single partial+final
+    * aggregate keyed on the zone id — min/max/count all combine
+    * map-side, so the exchange carries zone-count rows, never data
+    * rows, at any scale. Pair with [[zValue]]-derived zones to
+    * measure what a Z-ordered layout buys: zones from a Morton-key
+    * prefix cover small multi-dimensional BOXES, so their per-column
+    * ranges are narrow and far more predicates prune (x24 quantifies
+    * exactly that against arrival-order zones). */
+  def zoneMap(df: DataFrame, zoneCol: String, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "zoneMap: no stat columns")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(col(zoneCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

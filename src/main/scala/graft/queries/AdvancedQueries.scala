@@ -311,6 +311,41 @@ object AdvancedQueries {
         .agg(round(geo($"o_totalprice"), 2).as("geo_price"), count(lit(1)).as("n"))
         .orderBy($"o_orderpriority")
     }),
+
+    // Robust per-key outlier detection: median + MAD (median absolute
+    // deviation) of each user's view values, and how many samples sit
+    // beyond 3×MAD — the quality gate that survives the heavy-tailed
+    // value distributions where mean/stddev z-scores drown. Exactness
+    // trick: values are scaled to integer micro-units and both medians
+    // are carried DOUBLED (2·median of integers = middle-pair sum =
+    // exact in a double far below 2⁵³), so the 3×MAD comparison is
+    // pure integer arithmetic — no float interpolation drift between
+    // engines. Plan shape: every stage (two exact-percentile aggs,
+    // two join-backs, final agg) hashes on user_id, so Catalyst plans
+    // ONE exchange and reuses it; percentile state is per-group
+    // bounded by that user's sample count, never global.
+    "a17_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val v = ev(s, dir).filter($"event_type" === "view")
+        .select($"user_id",
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("vi"))
+      val med = v.groupBy($"user_id")
+        .agg(expr("CAST(2 * percentile(vi, 0.5D) AS BIGINT)").as("med2"),
+          count(lit(1)).as("n"))
+      val dev = v.join(med, "user_id")
+        .select($"user_id", $"n", $"med2",
+          abs(lit(2L) * $"vi" - $"med2").as("dev"))
+      val mad = dev.groupBy($"user_id")
+        .agg(expr("CAST(2 * percentile(dev, 0.5D) AS BIGINT)").as("mad4"))
+      dev.join(mad, "user_id")
+        .groupBy($"user_id")
+        .agg(max($"n").as("n_views"),
+          round(max($"med2") / 2e6, 6).as("med_value"),
+          round(max($"mad4") / 4e6, 6).as("mad_value"),
+          sum(when(lit(2L) * $"dev" > lit(3L) * $"mad4", 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy($"user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,5 +538,29 @@ object AdvancedQueries {
       """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 2) AS geo_price,
         |count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // integer micro-units; 2·median of BIGINTs = middle-pair sum,
+    // exact in the double median() returns (< 2^53), so every
+    // comparison below is integer-exact — mirrors the Spark spelling
+    "a17_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS vi
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT user_id, CAST(2 * median(vi) AS BIGINT) AS med2, count(*) AS n
+        |  FROM v GROUP BY user_id),
+        |d AS (
+        |  SELECT v.user_id, m.n, m.med2, abs(2 * v.vi - m.med2) AS dev
+        |  FROM v JOIN m USING (user_id)),
+        |md AS (
+        |  SELECT user_id, CAST(2 * median(dev) AS BIGINT) AS mad4
+        |  FROM d GROUP BY user_id)
+        |SELECT d.user_id, max(d.n) AS n_views,
+        |  round(max(d.med2) / 2000000.0, 6) AS med_value,
+        |  round(max(md.mad4) / 4000000.0, 6) AS mad_value,
+        |  CAST(SUM(CASE WHEN 2 * d.dev > 3 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin,
   )
 }

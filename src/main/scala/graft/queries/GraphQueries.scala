@@ -37,6 +37,10 @@ object GraphQueries {
   // trio is an exact-dup 3-clique, so triangles are guaranteed.
   private val TriPred = "doc_id % 20 = 1"
 
+  // g06: fixed HITS half-step count (see Graphs.hits for the
+  // unnormalized-integer overflow bound that keeps this ≤ 6)
+  private val HitsIters = 3
+
   /** Jaccard≥`minJ` pair CTEs over `corpus` — the SQL twin of
     * [[Dedup.ngramJaccardPairs]] (same chain d03/d07 use). */
   private def pairsSql(corpusCte: String, minJ: String = "0.5"): String =
@@ -143,6 +147,28 @@ object GraphQueries {
         .orderBy($"supp_a", $"supp_b")
     }),
 
+    // HITS hubs/authorities over the DIRECTED canonical pair graph
+    // (a_id → b_id, the a<b orientation d03 mines): authority = "how
+    // much duplicated content points AT this doc", hub = "how much
+    // this doc points at authorities" — the asymmetric centrality
+    // that separates templates (hubs) from their mirrors
+    // (authorities). Fixed 3 iterations in unnormalized integer
+    // arithmetic: per-step normalization is a global scalar, so
+    // rankings and ratios equal the normalized iterate while every
+    // sum stays exactly reproducible under the DuckDB oracle.
+    "g06_hits" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val planted = d.filter($"doc_id" < 25)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+      val corpus = d.unionByName(planted)
+      val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000)
+      Graphs.hits(pairs, "a_id", "b_id", corpus.select($"doc_id"), "doc_id",
+          iterations = HitsIters)
+        .orderBy($"doc_id")
+    }),
+
     // Per-vertex triangle counts over the planted-trio slice: each
     // (doc, copy+1e6, copy+2e6) trio is a 3-clique; organic near-dups
     // inside the slice add their own wedges. Degree-ordered
@@ -216,6 +242,40 @@ object GraphQueries {
          |$iterCtes
          |SELECT c.doc_id, CAST(coalesce(r.r, $PrBase) AS BIGINT) AS pr
          |FROM corpus c LEFT JOIN r$PrIters r ON r.u = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    },
+
+    // g01's corpus + DIRECTED a<b pair edges; the 3 HITS half-step
+    // pairs unrolled as CTEs in the same unnormalized integer
+    // arithmetic (a_i = Σ h_{i−1} over in-edges, h_i = Σ a_i over
+    // out-edges).
+    "g06_hits" -> {
+      val corpusCte =
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25)""".stripMargin
+      val graphCtes =
+        """ed AS (SELECT a_id AS u, b_id AS v FROM pairs),
+          |verts AS (SELECT DISTINCT u FROM (SELECT u FROM ed UNION ALL SELECT v FROM ed)),
+          |h0 AS (SELECT u, CAST(1 AS BIGINT) AS h FROM verts)""".stripMargin
+      val iterCtes = (1 to HitsIters).map { i =>
+        s"""a$i AS (
+           |  SELECT e.v, CAST(sum(p.h) AS BIGINT) AS a
+           |  FROM ed e JOIN h${i - 1} p ON p.u = e.u GROUP BY e.v),
+           |h$i AS (
+           |  SELECT e.u, CAST(sum(q.a) AS BIGINT) AS h
+           |  FROM ed e JOIN a$i q ON q.v = e.v GROUP BY e.u)""".stripMargin
+      }.mkString(",\n")
+      s"""${pairsSql(corpusCte)},
+         |$graphCtes,
+         |$iterCtes
+         |SELECT c.doc_id,
+         |  CAST(coalesce(fa.a, 0) AS BIGINT) AS auth,
+         |  CAST(coalesce(fh.h, 0) AS BIGINT) AS hub
+         |FROM corpus c
+         |LEFT JOIN a$HitsIters fa ON fa.v = c.doc_id
+         |LEFT JOIN h$HitsIters fh ON fh.u = c.doc_id
          |ORDER BY c.doc_id""".stripMargin
     },
 

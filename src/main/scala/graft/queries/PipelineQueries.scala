@@ -274,6 +274,41 @@ object PipelineQueries {
         .orderBy($"event_id")
     }),
 
+    // Zone-map skip audit: build min/max-per-block statistics (the
+    // thing parquet row-group pruning reads) under TWO layouts of the
+    // same events — arrival order (event_id blocks) vs Z-order
+    // ((user_id, hour) Morton-prefix blocks) — and measure how many
+    // blocks a user-band predicate can skip in each. The Z-order
+    // blocks cover small (user, hour) boxes, so their user ranges are
+    // narrow and almost all of them prune; arrival-order blocks span
+    // every user and prune nothing. Both zone ids are pure map-side
+    // arithmetic (no global sort, no row_number): at 100 TB the zone
+    // id IS the file the row lands in, and each zone map build is one
+    // zone-count-sized aggregate.
+    "x24_skip_stats" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id",
+          expr("(ts div 1000) div 3600000000").as("hour"))
+      val natural = graft.operators.Layout.zoneMap(
+        e.withColumn("zone", expr("event_id div 256")), "zone", Seq("user_id"))
+      val zord = graft.operators.Layout.zoneMap(
+        e.withColumn("zone", shiftright(
+          graft.operators.Layout.zValue(Seq($"user_id", $"hour"), bits = 16), 8)),
+        "zone", Seq("user_id"))
+      def audit(zm: DataFrame, label: String): DataFrame = {
+        val prunable = $"max_user_id" < 10L || $"min_user_id" > 19L
+        zm.agg(count(lit(1)).as("n_zones"),
+            sum(when(prunable, 1L).otherwise(0L)).as("n_prunable"),
+            sum($"n_rows").as("rows_total"),
+            sum(when(prunable, $"n_rows").otherwise(0L)).as("rows_skipped"))
+          .select(lit(label).as("layout"), $"n_zones", $"n_prunable",
+            $"rows_total", $"rows_skipped")
+      }
+      audit(natural, "natural").unionByName(audit(zord, "zorder"))
+        .orderBy($"layout")
+    }),
+
     // Temperature-flattened mixing: per-source quota = 3·⌊√n_source⌋
     // (α=0.5 reweighting) computed from the data in the same window
     // shuffle that ranks the coins — no driver action, no config.
@@ -692,6 +727,35 @@ object PipelineQueries {
         Seq("user_id", "(epoch_us(ts) // 3600000000)"), bits = 16)
       s"""SELECT event_id, CAST($z AS BIGINT) AS zkey
          |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    // same zone arithmetic (arrival blocks vs Morton-prefix blocks),
+    // same user-band probe, aggregated per layout
+    "x24_skip_stats" -> {
+      val z = graft.operators.Layout.zValueSql(
+        Seq("user_id", "(epoch_us(ts) // 3600000000)"), bits = 16)
+      s"""WITH nz AS (
+         |  SELECT event_id // 256 AS zone, count(*) AS n,
+         |    min(user_id) AS mn, max(user_id) AS mx
+         |  FROM events GROUP BY 1),
+         |zz AS (
+         |  SELECT CAST($z AS BIGINT) >> 8 AS zone, count(*) AS n,
+         |    min(user_id) AS mn, max(user_id) AS mx
+         |  FROM events GROUP BY 1),
+         |au AS (
+         |  SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_zones,
+         |    CAST(SUM(CASE WHEN mx < 10 OR mn > 19 THEN 1 ELSE 0 END) AS BIGINT) AS n_prunable,
+         |    CAST(SUM(n) AS BIGINT) AS rows_total,
+         |    CAST(SUM(CASE WHEN mx < 10 OR mn > 19 THEN n ELSE 0 END) AS BIGINT) AS rows_skipped
+         |  FROM nz
+         |  UNION ALL
+         |  SELECT 'zorder', CAST(count(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN mx < 10 OR mn > 19 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(n) AS BIGINT),
+         |    CAST(SUM(CASE WHEN mx < 10 OR mn > 19 THEN n ELSE 0 END) AS BIGINT)
+         |  FROM zz)
+         |SELECT layout, n_zones, n_prunable, rows_total, rows_skipped
+         |FROM au ORDER BY layout""".stripMargin
     },
 
     "x11_temperature_mix" ->
