@@ -321,5 +321,56 @@ object Graphs {
         coalesce(col("h"), lit(0L)).as("hub"))
   }
 
+  /** Newman modularity of an EXTERNALLY-GIVEN partition against an
+    * undirected edge list — per partition block c:
+    * `contrib_c = m_c/m − (deg_c/2m)²`, so `Q = Σ_c contrib_c`
+    * measures whether edges concentrate inside blocks (Q→1) or ignore
+    * them (Q≈0). The curation use: `membership` = document metadata
+    * (source, language, snapshot) and `edges` = the mined near-dup
+    * pair graph — "is duplication a within-source phenomenon or a
+    * cross-source one?" — which decides whether dedup can run
+    * per-source (cheap, parallel) or must be global.
+    *
+    * Exactness: m, m_c, deg_c are exact integer aggregates; the one
+    * float step `(4m·m_c − deg_c²) / 4m²` applies identical IEEE ops
+    * to identical integer-valued operands in any engine, so even the
+    * rounded contribution is bit-reproducible. Returns one row per
+    * membership block: `(partCol, intra_edges, deg_sum, q_contrib)`,
+    * blocks with no graph presence at 0. Scale shape: the edge list
+    * is materialized once (read for m, degrees, and both endpoint
+    * joins); everything else is vertex-keyed equi-joins + partial
+    * aggs, with the 1-row edge total broadcast. Vertices missing from
+    * `membership` count toward m via their edges but toward no block —
+    * give membership full coverage for Σ contrib to be Q exactly. */
+  def partitionModularity(edges: DataFrame, aCol: String, bCol: String,
+                          membership: DataFrame, idCol: String,
+                          partCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .transform(Checkpoints.materialize)
+    val mem = membership.select(col(idCol).cast("long").as("u"),
+      col(partCol).as("_p"))
+    val mTot = und.agg(count(lit(1)).as("_m"))
+    val deg = und.select(col("u")).union(und.select(col("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("_dg"))
+    val intra = und
+      .join(mem.select(col("u"), col("_p").as("_pa")), "u")
+      .join(mem.select(col("u").as("v"), col("_p").as("_pb")), "v")
+      .filter(col("_pa") === col("_pb"))
+      .groupBy(col("_pa").as("_p")).agg(count(lit(1)).as("_mc"))
+    val degSum = mem.join(deg, Seq("u"), "left")
+      .groupBy(col("_p")).agg(sum(coalesce(col("_dg"), lit(0L))).as("_dc"))
+    degSum.join(intra, Seq("_p"), "left").crossJoin(broadcast(mTot))
+      .select(col("_p").as(partCol),
+        coalesce(col("_mc"), lit(0L)).as("intra_edges"),
+        col("_dc").as("deg_sum"),
+        round((lit(4.0) * col("_m") * coalesce(col("_mc"), lit(0L))
+            - col("_dc") * col("_dc"))
+          / (lit(4.0) * col("_m") * col("_m")), 6).as("q_contrib"))
+  }
+
   private def unpersistOf(df: DataFrame): Unit = Checkpoints.free(df)
 }

@@ -187,6 +187,39 @@ object Mixing {
       .drop("_coin", "_bucket", "_rank", "_offset", "_n")
   }
 
+  /** Curriculum ordering: a global training position `pos` that walks
+    * difficulty levels in order (`levelCol` ascending) and shuffles
+    * content-addressably WITHIN each level — easy examples first,
+    * deterministic order inside a level, resumable from any position.
+    *
+    * Same distributed-ranking trick as [[enumerateShuffled]], with the
+    * level prepended to the order key: partitions are (level,
+    * coin-prefix) shards — 256 parallel shards per level, so one hot
+    * level never serializes through a single task — and the shard
+    * count table (levels × 256 rows) cumsums under a trivially cheap
+    * driver-side window before broadcasting back. `pos = shard_offset
+    * + rank-in-shard` equals the single global `row_number() OVER
+    * (ORDER BY level, coin, key)` without any single-partition stage. */
+  def curriculumOrder(df: DataFrame, keyCol: String, levelCol: String,
+                      salt: String = "graft"): DataFrame = {
+    val c = md5(concat(col(keyCol).cast("string"), lit(":" + salt)).cast("binary"))
+    val withCoin = df.withColumn("_coin", c)
+      .withColumn("_cb", substring(col("_coin"), 1, 2))
+    val w = Window.partitionBy(col(levelCol), col("_cb"))
+      .orderBy(col("_coin"), col(keyCol))
+    val ranked = withCoin.withColumn("_rank", row_number().over(w).cast("long"))
+    val offsets = withCoin.groupBy(col(levelCol), col("_cb"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col(levelCol), col("_cb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(levelCol), col("_cb"), col("_offset"))
+    ranked.join(broadcast(offsets), Seq(levelCol, "_cb"))
+      .withColumn("pos", col("_offset") + col("_rank"))
+      .drop("_coin", "_cb", "_rank", "_offset", "_n")
+  }
+
   /** Leakage-safe train/valid/test assignment: the coin is thrown on
     * `groupCol` (source, domain, …), so every row of a group lands in
     * the SAME split — near-duplicates cluster within groups, and

@@ -169,6 +169,21 @@ object GraphQueries {
         .orderBy($"doc_id")
     }),
 
+    // Modularity of the SOURCE partition against the organic near-dup
+    // graph: is duplication a within-source phenomenon (dedup can run
+    // per-source, cheap and parallel) or cross-source (must be
+    // global)? Per-source contribution in exact integer counts with
+    // one bit-reproducible float step; Q = Σ q_contrib.
+    "g07_source_modularity" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000)
+      Graphs.partitionModularity(pairs, "a_id", "b_id",
+          d.select($"doc_id", $"source"), "doc_id", "source")
+        .orderBy($"source")
+    }),
+
     // Per-vertex triangle counts over the planted-trio slice: each
     // (doc, copy+1e6, copy+2e6) trio is a 3-clique; organic near-dups
     // inside the slice add their own wedges. Degree-ordered
@@ -277,6 +292,34 @@ object GraphQueries {
          |LEFT JOIN a$HitsIters fa ON fa.v = c.doc_id
          |LEFT JOIN h$HitsIters fh ON fh.u = c.doc_id
          |ORDER BY c.doc_id""".stripMargin
+    },
+
+    // organic pairs (plain corpus), per-source intra-edge and degree
+    // sums, identical left-to-right float contribution
+    "g07_source_modularity" -> {
+      val corpusCte =
+        "WITH corpus AS (SELECT doc_id, text FROM documents)"
+      s"""${pairsSql(corpusCte)},
+         |e2 AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |       UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT u, count(*) AS dg FROM e2 GROUP BY u),
+         |mt AS (SELECT count(*) AS m FROM pairs),
+         |ds AS (SELECT doc_id, source FROM documents),
+         |mc AS (
+         |  SELECT sa.source, count(*) AS mc FROM pairs p
+         |  JOIN ds sa ON sa.doc_id = p.a_id
+         |  JOIN ds sb ON sb.doc_id = p.b_id
+         |  WHERE sa.source = sb.source GROUP BY sa.source),
+         |dc AS (
+         |  SELECT ds.source, SUM(coalesce(deg.dg, 0)) AS dc
+         |  FROM ds LEFT JOIN deg ON deg.u = ds.doc_id GROUP BY ds.source)
+         |SELECT dc.source,
+         |  CAST(coalesce(mc.mc, 0) AS BIGINT) AS intra_edges,
+         |  CAST(dc.dc AS BIGINT) AS deg_sum,
+         |  round((4.0 * mt.m * coalesce(mc.mc, 0) - dc.dc * dc.dc)
+         |        / (4.0 * mt.m * mt.m), 6) AS q_contrib
+         |FROM dc LEFT JOIN mc USING (source) CROSS JOIN mt
+         |ORDER BY dc.source""".stripMargin
     },
 
     // Same namespacing, same edge set, BFS unrolled to 3 relaxation

@@ -309,6 +309,20 @@ object PipelineQueries {
         .orderBy($"layout")
     }),
 
+    // Curriculum ordering: global training position that walks
+    // difficulty levels (length buckets) in order and shuffles
+    // content-addressably within each level. No single-partition
+    // window anywhere: ranks run per (level, coin-prefix) shard and a
+    // broadcast offset table stitches them into the global position —
+    // bit-identical to the naive global row_number the oracle runs.
+    "x25_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).withColumn("level", expr("n_chars div 200"))
+      Mixing.curriculumOrder(d, "doc_id", "level", salt = "cur42")
+        .select($"doc_id", $"level", $"pos")
+        .orderBy($"doc_id")
+    }),
+
     // Temperature-flattened mixing: per-source quota = 3·⌊√n_source⌋
     // (α=0.5 reweighting) computed from the data in the same window
     // shuffle that ranks the coins — no driver action, no config.
@@ -728,6 +742,17 @@ object PipelineQueries {
       s"""SELECT event_id, CAST($z AS BIGINT) AS zkey
          |FROM events ORDER BY event_id""".stripMargin
     },
+
+    // naive global spelling of the sharded rank: one row_number over
+    // (level, full coin, id)
+    "x25_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars // 200 AS level,
+        |         md5(CAST(doc_id AS VARCHAR) || ':cur42') AS coin
+        |  FROM documents)
+        |SELECT doc_id, CAST(level AS BIGINT) AS level,
+        |  CAST(row_number() OVER (ORDER BY level, coin, doc_id) AS BIGINT) AS pos
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // same zone arithmetic (arrival blocks vs Morton-prefix blocks),
     // same user-band probe, aggregated per layout

@@ -254,6 +254,31 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Code-vs-prose detection: the structural-character density gate a
+    // training mix uses to route documents to a code pipeline (or
+    // filter mis-scraped markup out of prose). Pure map-side integer
+    // arithmetic — length deltas after stripping the code-punctuation
+    // class, a permille ratio in integer division, threshold at 20‰ —
+    // zero shuffle, exact cross-engine. Every 13th doc gets a planted
+    // code block proportional to its length so both classes are
+    // exercised deterministically.
+    "t22_code_detect" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).withColumn("ptext",
+        when($"doc_id" % 13 === 0,
+          concat($"text",
+            expr("repeat(' {x=1;}', CAST(n_chars div 40 AS INT))")))
+          .otherwise($"text"))
+      planted
+        .select($"doc_id", length($"ptext").cast("long").as("n_chars"),
+          (length($"ptext") -
+            length(regexp_replace($"ptext", "[{}();=<>#]", "")))
+            .cast("long").as("code_punct"))
+        .withColumn("punct_permille", expr("code_punct * 1000 div n_chars"))
+        .withColumn("is_code", ($"punct_permille" >= 20L).cast("long"))
+        .orderBy($"doc_id")
+    }),
+
     "t19_collocations" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
@@ -527,6 +552,27 @@ object TextQueries {
          |  round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
          |  round(regr_r2(ln(n), ln(rnk)), 4) AS zipf_r2
          |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same plant (length-proportional code block on every 13th doc),
+    // same strip-and-diff count, same integer permille threshold
+    "t22_code_detect" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN text || repeat(' {x=1;}', CAST(n_chars // 40 AS INT))
+        |         ELSE text END AS ptext
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, length(ptext) AS n_chars,
+        |    length(ptext) -
+        |      length(regexp_replace(ptext, '[{}();=<>#]', '', 'g')) AS code_punct
+        |  FROM planted)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(code_punct AS BIGINT) AS code_punct,
+        |  CAST(code_punct * 1000 // n_chars AS BIGINT) AS punct_permille,
+        |  CAST(CASE WHEN code_punct * 1000 // n_chars >= 20
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // same counts, same (exact-multiply, one-divide) association and
     // left-to-right order — the doubles must match bit-for-bit
