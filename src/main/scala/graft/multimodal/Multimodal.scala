@@ -901,4 +901,103 @@ object Multimodal {
       }
     }.toDF("id", "frame_idx", "width", "height", "delay_cs", "sum_gray")
   }
+
+  /** REAL in-band metadata: PNG `tEXt` chunks through the JDK PNG
+    * writer/reader — the "typed metadata rides WITH the opaque binary"
+    * pattern (provenance, license, capture params) that lets a media
+    * corpus be re-sharded without a sidecar table to keep in sync.
+    * Keyword/value pairs are written into, and parsed back out of,
+    * the actual PNG chunk structure (`javax_imageio_png_1.0` tree). */
+  object PngText {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+
+    private val Fmt = "javax_imageio_png_1.0"
+
+    /** Encode a tiny PNG carrying `entries` as tEXt chunks (keywords
+      * must be 1–79 Latin-1 chars, PNG's own constraint). */
+    def encode(entries: Seq[(String, String)], width: Int = 4,
+               height: Int = 4, rgb: Int = 0x808080): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until height; x <- 0 until width) img.setRGB(x, y, rgb)
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+        val root = new IIOMetadataNode(Fmt)
+        val tEXt = new IIOMetadataNode("tEXt")
+        entries.foreach { case (k, v) =>
+          val e = new IIOMetadataNode("tEXtEntry")
+          e.setAttribute("keyword", k)
+          e.setAttribute("value", v)
+          tEXt.appendChild(e)
+        }
+        root.appendChild(tEXt)
+        meta.mergeTree(Fmt, root)
+        writer.write(new IIOImage(img, null, meta))
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** Parse every tEXt entry back from real PNG bytes; non-PNG or
+      * chunkless bytes → Nil (corpus data, not a task death). */
+    def read(bytes: Array[Byte]): Seq[(String, String)] =
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Nil
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val root = r.getImageMetadata(0).getAsTree(Fmt)
+                .asInstanceOf[IIOMetadataNode]
+              val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+              val kids = root.getChildNodes
+              for (i <- 0 until kids.getLength
+                   if kids.item(i).getNodeName == "tEXt") {
+                val es = kids.item(i).getChildNodes
+                for (j <- 0 until es.getLength) {
+                  val e = es.item(j).asInstanceOf[IIOMetadataNode]
+                  out += ((e.getAttribute("keyword"), e.getAttribute("value")))
+                }
+              }
+              out.toSeq
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Deterministic metadata payload for doc `id`: provenance-shaped
+    * keys whose values are pure arithmetic in the id (the m12 oracle
+    * replays them). */
+  def synthPngTagged(id: Long): Array[Byte] =
+    PngText.encode(Seq(
+      "doc" -> id.toString,
+      "lang" -> s"l${id % 5}",
+      "shard" -> ((id * 7) % 3).toString))
+
+  /** Batched tEXt extraction: `(id, bytes)` → one row per chunk entry
+    * `(id, key, value)`. Same mapPartitions batch shape as the other
+    * decoders; payloads stay on executors. */
+  def extractPngText(ds: Dataset[(Long, Array[Byte])],
+                     batchSize: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes) =>
+          PngText.read(bytes).map { case (k, v) => (id, k, v) }
+        }
+      }
+    }.toDF("id", "key", "value")
+  }
 }

@@ -346,6 +346,44 @@ object AdvancedQueries {
             .as("n_outliers"))
         .orderBy($"user_id")
     }),
+
+    // Winsorized per-user value sums: clip each user's views to their
+    // own [5th, 95th] percentile before aggregating — the tail-robust
+    // metric rollup. Exactness trick: the cut points are RANK-BASED
+    // order statistics (the ⌈n/20⌉-th smallest / largest element),
+    // not interpolated percentiles — an exact element of the multiset,
+    // so no float interpolation can drift between engines; values ride
+    // in integer micro-units end to end. One hash exchange: the rank
+    // window, the bounds aggregate, the join-back, and the final
+    // aggregate all hash on user_id, and the k-th-element trick needs
+    // no per-group sort beyond the window's.
+    "a18_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v = ev(s, dir).filter($"event_type" === "view")
+        .select($"user_id", $"event_id",
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("vi"))
+      val ranked = v
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"vi", $"event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .withColumn("klo", expr("(n + 19) div 20"))
+        .withColumn("khi", $"n" - $"klo" + 1L)
+      val bounds = ranked.groupBy($"user_id")
+        .agg(max(when($"rn" === $"klo", $"vi")).as("lo"),
+          max(when($"rn" === $"khi", $"vi")).as("hi"),
+          max($"n").as("nv"))
+      ranked.join(bounds, "user_id")
+        .groupBy($"user_id")
+        .agg(max($"nv").as("n_views"),
+          round(max($"lo") / 1e6, 6).as("lo_value"),
+          round(max($"hi") / 1e6, 6).as("hi_value"),
+          round(sum(least(greatest($"vi", $"lo"), $"hi")) / 1e6, 6)
+            .as("winsor_sum"),
+          sum(when($"vi" < $"lo" || $"vi" > $"hi", 1L).otherwise(0L))
+            .as("n_clipped"))
+        .orderBy($"user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -562,5 +600,33 @@ object AdvancedQueries {
         |    AS n_outliers
         |FROM d JOIN md USING (user_id)
         |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin,
+
+    // same rank-based cut points (⌈n/20⌉-th order statistics), same
+    // integer micro-unit clipping
+    "a18_winsorize" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, CAST(round(value * 1000000) AS BIGINT) AS vi
+        |  FROM events WHERE event_type = 'view'),
+        |r AS (
+        |  SELECT user_id, vi,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY vi, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM v),
+        |k AS (
+        |  SELECT *, (n + 19) // 20 AS klo,
+        |    n - ((n + 19) // 20) + 1 AS khi
+        |  FROM r),
+        |b AS (
+        |  SELECT user_id, max(CASE WHEN rn = klo THEN vi END) AS lo,
+        |    max(CASE WHEN rn = khi THEN vi END) AS hi, max(n) AS nv
+        |  FROM k GROUP BY user_id)
+        |SELECT k.user_id, max(b.nv) AS n_views,
+        |  round(max(b.lo) / 1000000.0, 6) AS lo_value,
+        |  round(max(b.hi) / 1000000.0, 6) AS hi_value,
+        |  round(SUM(least(greatest(k.vi, b.lo), b.hi)) / 1000000.0, 6) AS winsor_sum,
+        |  CAST(SUM(CASE WHEN k.vi < b.lo OR k.vi > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped
+        |FROM k JOIN b USING (user_id)
+        |GROUP BY k.user_id ORDER BY k.user_id""".stripMargin,
   )
 }

@@ -99,6 +99,13 @@ object EventQueries {
     "e16_stream_dq" -> ((s, dir) =>
       graft.streaming.StreamingJobs.dqAuditAvailableNow(s, dir)),
 
+    // STREAMING zone-map maintenance — x24's incremental twin: each
+    // hour's block statistics (count + id ranges) flushed once as the
+    // watermark closes the hour, so layout stats stay fresh without
+    // rescanning the table.
+    "e17_stream_zone_maps" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.zoneMapsAvailableNow(s, dir)),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -316,6 +323,14 @@ object EventQueries {
         |  UNION ALL SELECT w, n, 'type_domain', type_domain FROM a
         |  UNION ALL SELECT w, n, 'value_range', value_range FROM a)
         |ORDER BY window_start_us, "check"""".stripMargin,
+
+    // batch replay of the hourly zone-map aggregate
+    "e17_stream_zone_maps" ->
+      """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+        |    AS window_start_us,
+        |  count(*) AS n_rows, min(user_id) AS min_uid, max(user_id) AS max_uid,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e13_stream_sliding" ->
       """WITH e AS (

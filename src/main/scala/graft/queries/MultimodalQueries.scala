@@ -236,6 +236,22 @@ object MultimodalQueries {
           sum($"sum_gray").as("sum_gray"))
         .orderBy($"doc_id")
     }),
+
+    // REAL in-band metadata round trip: provenance-shaped tEXt chunks
+    // written into actual PNG bytes per doc, parsed back out of the
+    // chunk structure distributed. The oracle replays the arithmetic
+    // that generated the values; the Spark side moves real PNG chunk
+    // bytes — the "metadata travels WITH the binary" contract a media
+    // corpus needs to survive re-sharding without a sidecar join.
+    "m12_png_text" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .map(id => (id, Multimodal.synthPngTagged(id)))
+      Multimodal.extractPngText(pngs)
+        .select($"id".as("doc_id"), $"key", $"value")
+        .orderBy($"doc_id", $"key")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +417,18 @@ object MultimodalQueries {
         |FROM dims d
         |JOIN gray USING (doc_id) JOIN delay USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the m12 tag arithmetic replayed: doc=id, lang=l(id%5),
+    // shard=(7id)%3 — one row per (doc, key)
+    "m12_png_text" ->
+      """WITH tags AS (
+        |  SELECT doc_id, 'doc' AS key, CAST(doc_id AS VARCHAR) AS value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'lang', 'l' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'shard', CAST((doc_id * 7) % 3 AS VARCHAR) FROM documents)
+        |SELECT doc_id, key, value FROM tags
+        |ORDER BY doc_id, key""".stripMargin,
   )
 }

@@ -471,6 +471,62 @@ object StreamingJobs {
       .orderBy($"window_start_us", $"event_type")
   }
 
+  /** STREAMING zone-map maintenance, drained with AvailableNow — the
+    * incremental twin of the x24 stats build: per-hour block
+    * statistics (row count, user/event id ranges) flushed append-mode
+    * as the watermark closes each hour. At 100 TB this is how layout
+    * stats stay FRESH without rescanning the table: each closed hour
+    * emits its zone row exactly once, and a scan planner prunes on
+    * those rows the same way it prunes on parquet row-group min/max.
+    * State is five longs per open window. */
+  def zoneMapsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "e17", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
+    val evBatch = Tables.load(s, dir, "events")
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None =>
+        return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+          .toDF("window_start_us", "n_rows", "min_uid", "max_uid",
+            "min_eid", "max_eid")
+    }
+    Seq(((maxTus + SentinelSpacingUs) * 1000, SentinelUser, -1L),
+        ((maxTus + 2 * SentinelSpacingUs) * 1000, SentinelUser, -1L))
+      .toDF("ts", "user_id", "event_id")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def shaped(df: DataFrame) =
+      df.select(expr("ts div 1000").as("tus"), $"user_id", $"event_id")
+    val real = shaped(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = shaped(s.readStream
+      .schema("ts LONG, user_id LONG, event_id LONG").parquet(sentinelDir))
+
+    val zones = real.union(sentinel)
+      .withColumn("ts_micro", timestamp_micros($"tus"))
+      .withWatermark("ts_micro", "1 hour")
+      .groupBy(window($"ts_micro", "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"user_id").as("min_uid"), max($"user_id").as("max_uid"),
+        min($"event_id").as("min_eid"), max($"event_id").as("max_eid"))
+      .select(unix_micros($"window.start").as("window_start_us"),
+        $"n_rows", $"min_uid", $"max_uid", $"min_eid", $"max_eid")
+
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = zones.writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .filter($"window_start_us" <= maxTus) // drop the sentinel's windows
+      .orderBy($"window_start_us")
+  }
+
   /** STREAMING data-quality gate, drained with AvailableNow — the
     * streaming twin of batch x19 ([[graft.operators.Audit]]): hard
     * constraints + quality screens evaluated per tumbling hour over
