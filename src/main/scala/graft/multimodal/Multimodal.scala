@@ -763,6 +763,19 @@ object Multimodal {
       new IndexColorModel(8, 256, g, g, g)
     }
 
+    // ImageIO writer/reader instances are NOT thread-safe but ARE
+    // reusable across images (setOutput/setInput resets them) — and
+    // instantiation walks the service registry, which dominates the
+    // cost of encoding a tiny frame. One instance per executor thread
+    // amortizes that to zero: the per-batch "codec state initializes
+    // once" contract the other decoders document, realized here.
+    private val localWriter =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        ImageIO.getImageWritersByFormatName("gif").next())
+    private val localReader =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        ImageIO.getImageReadersByFormatName("gif").next())
+
     case class FrameStats(frameIdx: Int, width: Int, height: Int,
                           delayCs: Int, sumGray: Long)
 
@@ -772,16 +785,45 @@ object Multimodal {
     def encodeAnimated(width: Int, height: Int, nFrames: Int,
                        gray: (Int, Int, Int) => Int,
                        delayCs: Int => Int): Array[Byte] = {
-      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val writer = localWriter.get()
       val bos = new ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
+      // direct MemoryCache stream: ImageIO.createImageOutputStream
+      // consults the SPI registry per call, a measurable sync point
+      // under 32 codec threads
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
+        // all frames share dims + palette, so ONE default-metadata DOM
+        // serves the whole sequence — only the delay mutates per frame
+        val proto = new BufferedImage(width, height,
+          BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(proto), null)
+        val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        // find-or-create the GraphicControlExtension node, then pin
+        // the delay; the writer serializes it into the real GCE block
+        var gce: IIOMetadataNode = null
+        val kids = root.getChildNodes
+        var i = 0
+        while (i < kids.getLength && gce == null) {
+          if (kids.item(i).getNodeName == "GraphicControlExtension")
+            gce = kids.item(i).asInstanceOf[IIOMetadataNode]
+          i += 1
+        }
+        if (gce == null) {
+          gce = new IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(gce)
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
         var f = 0
         while (f < nFrames) {
-          val img = new BufferedImage(width, height,
-            BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val img = if (f == 0) proto
+            else new BufferedImage(width, height,
+              BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
           val raster = img.getRaster
           var y = 0
           while (y < height) {
@@ -789,27 +831,6 @@ object Multimodal {
             while (x < width) { raster.setSample(x, y, 0, gray(f, x, y)); x += 1 }
             y += 1
           }
-          val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
-          val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
-          val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
-          // find-or-create the GraphicControlExtension node, then pin
-          // the delay; the writer serializes it into the real GCE block
-          var gce: IIOMetadataNode = null
-          val kids = root.getChildNodes
-          var i = 0
-          while (i < kids.getLength && gce == null) {
-            if (kids.item(i).getNodeName == "GraphicControlExtension")
-              gce = kids.item(i).asInstanceOf[IIOMetadataNode]
-            i += 1
-          }
-          if (gce == null) {
-            gce = new IIOMetadataNode("GraphicControlExtension")
-            root.appendChild(gce)
-          }
-          gce.setAttribute("disposalMethod", "none")
-          gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
-          gce.setAttribute("transparentColorIndex", "0")
           gce.setAttribute("delayTime", delayCs(f).toString)
           meta.setFromTree(fmt, root)
           writer.writeToSequence(new IIOImage(img, null, meta), null)
@@ -817,55 +838,100 @@ object Multimodal {
         }
         writer.endWriteSequence()
       } finally {
-        writer.dispose()
+        writer.setOutput(null) // detach; the thread-local instance is reused
         ios.close()
       }
       bos.toByteArray
     }
 
+    /** GCE delays in frame order, read by walking the REAL GIF89a
+      * block structure (header → screen descriptor → global color
+      * table → extension / image-descriptor blocks) — the same
+      * pure-JDK container-walk discipline as [[Mp4]], and far cheaper
+      * than materializing a metadata DOM per frame. Malformed input
+      * stops the walk (whatever was parsed so far is returned). */
+    private def gceDelays(bytes: Array[Byte]): Array[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      @inline def u8(i: Int) = bytes(i) & 0xFF
+      if (bytes.length < 13) return out.toArray
+      var p = 6 // past "GIF89a"
+      val packed = u8(p + 4)
+      p += 7
+      if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1)) // GCT
+      var pendingDelay = 0
+      var ok = true
+      while (ok && p < bytes.length) u8(p) match {
+        case 0x21 => // extension: GCE carries the NEXT image's delay
+          val label = u8(p + 1)
+          p += 2
+          if (label == 0xF9 && p + 3 < bytes.length && u8(p) == 4)
+            pendingDelay = u8(p + 2) | (u8(p + 3) << 8)
+          while (p < bytes.length && u8(p) != 0) p += 1 + u8(p)
+          p += 1
+        case 0x2C => // image descriptor
+          out += pendingDelay
+          pendingDelay = 0
+          if (p + 9 < bytes.length) {
+            val ipacked = u8(p + 9)
+            p += 10
+            if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+            p += 1 // LZW min code size
+            while (p < bytes.length && u8(p) != 0) p += 1 + u8(p)
+            p += 1
+          } else ok = false
+        case 0x3B => ok = false // trailer
+        case _ => ok = false    // malformed: stop
+      }
+      out.toArray
+    }
+
     /** Decode EVERY frame of a real GIF: dimensions, the GCE delay,
-      * and the exact gray-pixel sum (the identity palette decodes to
-      * r = g = b = sample, so the red channel IS the gray value).
-      * Undecodable bytes → Nil: at corpus scale that is data, not a
-      * task death. */
+      * and the exact gray-pixel sum. Indexed frames sum through the
+      * decoded palette's red channel (identity palette ⇒ the sample
+      * IS the gray value, but the LUT keeps this correct even if a
+      * writer permutes the table); non-indexed frames fall back to
+      * getRGB. Undecodable bytes → Nil: at corpus scale that is data,
+      * not a task death. */
     def decodeFrames(bytes: Array[Byte]): Seq[FrameStats] =
       try {
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
         try {
-          val readers = ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) Nil
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              (0 until r.getNumImages(true)).map { f =>
-                val img = r.read(f)
-                var sum = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    sum += (img.getRGB(x, y) >> 16) & 0xFF
-                    x += 1
+          val r = localReader.get()
+          try {
+            r.setInput(iis)
+            val delays = gceDelays(bytes)
+            (0 until r.getNumImages(true)).map { f =>
+              val img = r.read(f)
+              var sum = 0L
+              img.getColorModel match {
+                case icm: IndexColorModel =>
+                  val lut = Array.tabulate(icm.getMapSize)(icm.getRed)
+                  val raster = img.getRaster
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      sum += lut(raster.getSample(x, y, 0))
+                      x += 1
+                    }
+                    y += 1
                   }
-                  y += 1
-                }
-                val meta = r.getImageMetadata(f)
-                val root = meta.getAsTree(meta.getNativeMetadataFormatName)
-                  .asInstanceOf[IIOMetadataNode]
-                var delay = 0
-                val kids = root.getChildNodes
-                var i = 0
-                while (i < kids.getLength) {
-                  if (kids.item(i).getNodeName == "GraphicControlExtension")
-                    delay = kids.item(i).asInstanceOf[IIOMetadataNode]
-                      .getAttribute("delayTime").toInt
-                  i += 1
-                }
-                FrameStats(f, img.getWidth, img.getHeight, delay, sum)
+                case _ =>
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      sum += (img.getRGB(x, y) >> 16) & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
               }
-            } finally r.dispose()
-          }
+              FrameStats(f, img.getWidth, img.getHeight,
+                if (f < delays.length) delays(f) else 0, sum)
+            }
+          } finally r.setInput(null) // detach; thread-local reuse
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => Nil }
   }

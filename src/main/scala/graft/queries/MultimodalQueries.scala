@@ -15,6 +15,20 @@ import graft.multimodal.{Mp4, Multimodal}
   */
 object MultimodalQueries {
 
+  /** The doc-id list REPARTITIONED to the session's parallelism before
+    * any codec map: the documents table is small enough to arrive as
+    * one file split, and without this every per-doc encode/decode in
+    * the family would run on a single thread — the classic "tiny
+    * driver table fans out heavy per-row work" shape. Only 8-byte ids
+    * move through the exchange; at 100 TB the table arrives in many
+    * splits and the repartition is a cheap rebalance. */
+  private def docIds(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // REAL JPEG metadata: encode a deterministic JPEG per doc with the
@@ -26,8 +40,7 @@ object MultimodalQueries {
     // real JPEG bytes.
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
-      val jpegs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val jpegs = docIds(s, dir)
         .map(id => (id, Multimodal.synthJpeg(id)))
       Multimodal.extractImageMeta(jpegs)
         .select($"id".as("doc_id"), $"format",
@@ -41,8 +54,7 @@ object MultimodalQueries {
     // real SOF header. The oracle recomputes the arithmetic.
     "m02_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      val vids = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val vids = docIds(s, dir)
         .map(id => (id, Multimodal.synthMjpeg(id)))
       Multimodal.sampleMjpegFrames(vids, everyK = 10)
         .groupBy($"id".as("doc_id"))
@@ -59,8 +71,7 @@ object MultimodalQueries {
     // recomputes that arithmetic; the Spark side moves real bytes.
     "m03_image_decode" -> ((s, dir) => {
       import s.implicits._
-      val pngs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val pngs = docIds(s, dir)
         .map(id => (id, Multimodal.synthPng(id)))
       Multimodal.decodeImageStats(pngs)
         .select($"id".as("doc_id"),
@@ -74,8 +85,7 @@ object MultimodalQueries {
     // sample arithmetic exactly.
     "m05_audio_decode" -> ((s, dir) => {
       import s.implicits._
-      val wavs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val wavs = docIds(s, dir)
         .map(id => (id, Multimodal.synthWav(id)))
       Multimodal.decodeAudioStats(wavs)
         .select($"id".as("doc_id"),
@@ -91,8 +101,7 @@ object MultimodalQueries {
     // so the oracle replays the planted sample arithmetic exactly.
     "m08_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val wavs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val wavs = docIds(s, dir)
         .map(id => (id, Multimodal.synthWav(id)))
       Multimodal.audioFingerprints(wavs, win = 64)
         .select($"id".as("doc_id"), $"n_windows", $"fprint")
@@ -107,8 +116,7 @@ object MultimodalQueries {
     "m10_audio_segments" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val wavs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val wavs = docIds(s, dir)
         .map(id => (id, Multimodal.synthWav(id)))
       val en = Multimodal.audioWindowEnergies(wavs, win = 64)
       val wDoc = Window.partitionBy($"id")
@@ -142,8 +150,7 @@ object MultimodalQueries {
     // (x·w/16, y·h/12), whose channels are the synthPng formulas.
     "m04_image_resize" -> ((s, dir) => {
       import s.implicits._
-      val pngs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val pngs = docIds(s, dir)
         .map(id => (id, Multimodal.synthPng(id)))
       Multimodal.decodeImageStats(Multimodal.resizeImages(pngs, 16, 12))
         .select($"id".as("doc_id"),
@@ -161,8 +168,7 @@ object MultimodalQueries {
     // recomputes the closed-form arithmetic.
     "m06_mp4_meta" -> ((s, dir) => {
       import s.implicits._
-      val vids = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val vids = docIds(s, dir)
         .map(id => (id, Mp4.synthMp4(id)))
       Mp4.extractMp4Meta(vids)
         .select($"id".as("doc_id"), $"brand",
@@ -195,8 +201,7 @@ object MultimodalQueries {
     // shot boundaries are where a video corpus gets sampled.
     "m09_scene_change" -> ((s, dir) => {
       import s.implicits._
-      val vids = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val vids = docIds(s, dir)
         .map(id => (id, Multimodal.synthMjpeg(id)))
       Multimodal.sceneChanges(vids, threshold = 32.0)
         .select($"id".as("doc_id"), $"n_frames", $"n_cuts")
@@ -205,8 +210,7 @@ object MultimodalQueries {
 
     "m07_image_dedup" -> ((s, dir) => {
       import s.implicits._
-      val imgs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val imgs = docIds(s, dir)
         .map(id => (id, Multimodal.synthPngPattern(id % 100)))
       Multimodal.imageHashes(imgs)
         .groupBy($"ahash")
@@ -224,8 +228,7 @@ object MultimodalQueries {
     // mapPartitions decode.
     "m11_gif_frames" -> ((s, dir) => {
       import s.implicits._
-      val gifs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val gifs = docIds(s, dir)
         .map(id => (id, Multimodal.synthGif(id)))
       Multimodal.decodeGifFrames(gifs)
         .groupBy($"id".as("doc_id"))
@@ -245,8 +248,7 @@ object MultimodalQueries {
     // corpus needs to survive re-sharding without a sidecar join.
     "m12_png_text" -> ((s, dir) => {
       import s.implicits._
-      val pngs = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      val pngs = docIds(s, dir)
         .map(id => (id, Multimodal.synthPngTagged(id)))
       Multimodal.extractPngText(pngs)
         .select($"id".as("doc_id"), $"key", $"value")
