@@ -321,6 +321,48 @@ object Graphs {
         coalesce(col("h"), lit(0L)).as("hub"))
   }
 
+  /** Fixed-round k-core peeling over undirected `edges`: each round
+    * drops every vertex with degree < `k` and every edge touching
+    * one, the standard iterative reduction to the maximal subgraph of
+    * minimum degree ≥ k. The dedup use: a duplicate CLUSTER (connected
+    * component) can be a star of partial copies or a clique of full
+    * mirrors — the 2-core strips the star fringe, and what survives
+    * is the densely mirrored center worth human review. A FIXED round
+    * count (not convergence-tested) keeps the whole computation one
+    * declarative job — k rounds of (degree agg + two vertex-keyed
+    * semi-joins), every shuffle on vertex id, edge list materialized
+    * per round so lineage stays flat — and puts the operator under an
+    * exact unrolled-CTE oracle, the same contract as [[pageRank]].
+    * Returns `(vertex, deg)` for the endpoints of surviving edges with
+    * their degree in the peeled subgraph. Rounds needed to CONVERGE is
+    * graph-dependent (a path peels one layer per round); callers
+    * wanting the true k-core loop until the edge count stops moving. */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
+                k: Long = 2L, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds out of [1, 8]")
+    var e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .transform(Checkpoints.materialize)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u")).union(e.select(col("v")))
+        .groupBy(col("u")).agg(count(lit(1)).as("_d"))
+      val keep = deg.filter(col("_d") >= k).select(col("u"))
+      val prev = e
+      e = e.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("v"))
+        .transform(Checkpoints.materialize)
+      unpersistOf(prev)
+    }
+    e.select(col("u")).union(e.select(col("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("vertex"), col("deg"))
+  }
+
   /** Newman modularity of an EXTERNALLY-GIVEN partition against an
     * undirected edge list — per partition block c:
     * `contrib_c = m_c/m − (deg_c/2m)²`, so `Q = Σ_c contrib_c`

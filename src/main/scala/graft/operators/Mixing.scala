@@ -220,6 +220,30 @@ object Mixing {
       .drop("_coin", "_cb", "_rank", "_offset", "_n")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: the shard
+    * whose `md5(key:shard:salt)` is lexicographically largest wins.
+    * The property that matters for a corpus: growing n → n+1 shards
+    * moves only the keys whose NEW shard's hash beats all old ones —
+    * an expected 1/(n+1) of the data — where `hash(key) mod n` would
+    * reshuffle nearly everything. Pure map-side codegen (a `greatest`
+    * over n (hash, shard) structs), zero shuffle, deterministic on
+    * key content — so shard assignment is reproducible anywhere,
+    * including in the DuckDB oracle. n stays a plan-size constant;
+    * for n beyond a few hundred, route through jump-consistent
+    * hashing instead (not needed at 16-way file sharding). */
+  def rendezvousShard(key: Column, nShards: Int,
+                      salt: String = "graft"): Column = {
+    require(nShards >= 2 && nShards <= 256,
+      s"nShards=$nShards out of [2, 256]")
+    val cands = (0 until nShards).map { sh =>
+      struct(
+        md5(concat(key.cast("string"), lit(s":$sh:$salt")).cast("binary"))
+          .as("h"),
+        lit(sh.toLong).as("s"))
+    }
+    greatest(cands: _*).getField("s")
+  }
+
   /** Leakage-safe train/valid/test assignment: the coin is thrown on
     * `groupCol` (source, domain, …), so every row of a group lands in
     * the SAME split — near-duplicates cluster within groups, and

@@ -184,6 +184,24 @@ object GraphQueries {
         .orderBy($"source")
     }),
 
+    // 2-core of the planted-trio pair graph (3 peeling rounds): the
+    // trio cliques survive peeling by construction, star fringes
+    // strip away — the "densely mirrored center" view of a dup
+    // cluster. Fixed rounds keep it one declarative job under the
+    // unrolled-CTE oracle.
+    "g08_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val slice = docs(s, dir).filter(expr(TriPred))
+      val corpus = slice
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + 1000000L))
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
+      val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000)
+      Graphs.kCorePeel(pairs, "a_id", "b_id", k = 2L, rounds = 3)
+        .select($"vertex".as("doc_id"), $"deg")
+        .orderBy($"doc_id")
+    }),
+
     // Per-vertex triangle counts over the planted-trio slice: each
     // (doc, copy+1e6, copy+2e6) trio is a 3-clique; organic near-dups
     // inside the slice add their own wedges. Degree-ordered
@@ -365,6 +383,35 @@ object GraphQueries {
          |SELECT vertex, count(*) AS n_tri FROM (
          |  SELECT unnest([a, b, c]) AS vertex FROM tri)
          |GROUP BY vertex ORDER BY vertex""".stripMargin
+    },
+
+    // g02's corpus + pairs, 3 peeling rounds unrolled: degree agg →
+    // keep-set → edge filter, then the survivors' final degrees
+    "g08_kcore" -> {
+      val corpusCte =
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE $TriPred
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE $TriPred
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, text FROM documents WHERE $TriPred)""".stripMargin
+      val peelCtes = (1 to 3).map { i =>
+        s"""d$i AS (
+           |  SELECT u, count(*) AS d FROM (
+           |    SELECT u FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+           |  GROUP BY u),
+           |k$i AS (SELECT u FROM d$i WHERE d >= 2),
+           |e$i AS (
+           |  SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""${pairsSql(corpusCte)},
+         |e0 AS (SELECT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+         |       FROM pairs),
+         |$peelCtes
+         |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT u FROM e3 UNION ALL SELECT v FROM e3)
+         |GROUP BY u ORDER BY doc_id""".stripMargin
     },
   )
 }

@@ -323,6 +323,22 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Resharding audit under rendezvous hashing: every doc's shard at
+    // n=16 and n=17, plus whether growing the fleet moves it. The
+    // deterministic content-addressed assignment is what makes
+    // incremental resharding auditable: ~1/17 of docs move, the rest
+    // provably stay — map-side codegen, zero shuffle (the ORDER BY is
+    // the oracle-compare convention).
+    "x26_reshard_audit" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id",
+          Mixing.rendezvousShard($"doc_id", 16, "rv42").as("shard16"),
+          Mixing.rendezvousShard($"doc_id", 17, "rv42").as("shard17"))
+        .withColumn("moved", ($"shard16" =!= $"shard17").cast("long"))
+        .orderBy($"doc_id")
+    }),
+
     // Temperature-flattened mixing: per-source quota = 3·⌊√n_source⌋
     // (α=0.5 reweighting) computed from the data in the same window
     // shuffle that ranks the coins — no driver action, no config.
@@ -742,6 +758,34 @@ object PipelineQueries {
       s"""SELECT event_id, CAST($z AS BIGINT) AS zkey
          |FROM events ORDER BY event_id""".stripMargin
     },
+
+    // independent argmax spelling: rank all n hashes per doc, keep
+    // rn = 1 (Spark side is a greatest() over (hash, shard) structs)
+    "x26_reshard_audit" ->
+      """WITH s16 AS (
+        |  SELECT doc_id, s AS shard16 FROM (
+        |    SELECT d.doc_id, sh.s,
+        |      row_number() OVER (PARTITION BY d.doc_id
+        |        ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |                     CAST(sh.s AS VARCHAR) || ':rv42') DESC,
+        |                 sh.s DESC) AS rn
+        |    FROM documents d
+        |    CROSS JOIN (SELECT unnest(range(0, 16)) AS s) sh)
+        |  WHERE rn = 1),
+        |s17 AS (
+        |  SELECT doc_id, s AS shard17 FROM (
+        |    SELECT d.doc_id, sh.s,
+        |      row_number() OVER (PARTITION BY d.doc_id
+        |        ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |                     CAST(sh.s AS VARCHAR) || ':rv42') DESC,
+        |                 sh.s DESC) AS rn
+        |    FROM documents d
+        |    CROSS JOIN (SELECT unnest(range(0, 17)) AS s) sh)
+        |  WHERE rn = 1)
+        |SELECT doc_id, CAST(shard16 AS BIGINT) AS shard16,
+        |  CAST(shard17 AS BIGINT) AS shard17,
+        |  CAST(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END AS BIGINT) AS moved
+        |FROM s16 JOIN s17 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // naive global spelling of the sharded rank: one row_number over
     // (level, full coin, id)
