@@ -106,6 +106,13 @@ object EventQueries {
     "e17_stream_zone_maps" -> ((s, dir) =>
       graft.streaming.StreamingJobs.zoneMapsAvailableNow(s, dir)),
 
+    // STREAMING exact COUNT(DISTINCT) per window: keyed dedup state
+    // chained into a windowed count, both evicted by the same
+    // hour-bucket watermark — the exact-cardinality pattern where the
+    // sketch answer isn't acceptable.
+    "e18_stream_window_users" -> ((s, dir) =>
+      graft.streaming.StreamingJobs.windowUsersAvailableNow(s, dir)),
+
     "e02_type_stats" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
@@ -323,6 +330,13 @@ object EventQueries {
         |  UNION ALL SELECT w, n, 'type_domain', type_domain FROM a
         |  UNION ALL SELECT w, n, 'value_range', value_range FROM a)
         |ORDER BY window_start_us, "check"""".stripMargin,
+
+    // batch replay: plain per-hour exact distinct users
+    "e18_stream_window_users" ->
+      """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+        |    AS window_start_us,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // batch replay of the hourly zone-map aggregate
     "e17_stream_zone_maps" ->

@@ -279,6 +279,39 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Windowed co-occurrence lift (the word2vec/GloVe statistic): how
+    // much more often w2 follows w1 within 3 tokens than unigram
+    // rates predict. Distinct from t19's ADJACENT-pair collocations —
+    // the window catches "new ... york" style skip associations. The
+    // offset-explode turns the position band join into a pure
+    // equi-join on (doc, position): row growth is exactly 3×, never
+    // quadratic, and every shuffle keys on (doc, pos) or a token.
+    "t23_window_pmi" -> ((s, dir) => {
+      import s.implicits._
+      val pos = docs(s, dir)
+        .select($"doc_id", posexplode(tokenize($"text")).as(Seq("i", "w")))
+      val uni = pos.groupBy($"w").agg(count(lit(1)).as("cw"))
+      val ntok = uni.agg(sum($"cw").as("ntok"))
+      val left = pos.select($"doc_id", $"i", $"w".as("w1"))
+        .withColumn("j", explode(array($"i" + 1, $"i" + 2, $"i" + 3)))
+      val pairs = left
+        .join(pos.select($"doc_id", $"i".as("j"), $"w".as("w2")),
+          Seq("doc_id", "j"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        .filter($"c12" >= 30)
+      // lift in exact integer parts-per-million: window-pair ratios
+      // are rationals that DO land on .5 rounding boundaries, where
+      // engines' double round() implementations can disagree — floor
+      // division of exact integers cannot. Long headroom holds to
+      // ~sf1 (c12·10⁶·ntok < 2⁶³); beyond that drop the scale to 10⁴.
+      pairs.join(uni.select($"w".as("w1"), $"cw".as("cw1")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
+        .crossJoin(broadcast(ntok))
+        .select($"w1", $"w2", $"c12",
+          expr("(c12 * 1000000 * ntok) div (cw1 * cw2)").as("lift_ppm"))
+        .orderBy($"lift_ppm".desc, $"w1", $"w2")
+    }),
+
     "t19_collocations" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
@@ -573,6 +606,29 @@ object TextQueries {
         |  CAST(CASE WHEN code_punct * 1000 // n_chars >= 20
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_code
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the window band spelled naively (positions join within the doc,
+    // 1 ≤ Δ ≤ 3); generate_subscripts' 1-base cancels in the delta
+    "t23_window_pmi" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+         |  FROM toks),
+         |uni AS (SELECT w, count(*) AS cw FROM pos GROUP BY w),
+         |nt AS (SELECT CAST(sum(cw) AS BIGINT) AS ntok FROM uni),
+         |pairs AS (
+         |  SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+         |  FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
+         |  GROUP BY 1, 2 HAVING count(*) >= 30)
+         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         |  CAST((c12 * 1000000 * nt.ntok) // (u1.cw * u2.cw) AS BIGINT)
+         |    AS lift_ppm
+         |FROM pairs
+         |JOIN uni u1 ON u1.w = w1
+         |JOIN uni u2 ON u2.w = w2
+         |CROSS JOIN nt
+         |ORDER BY lift_ppm DESC, w1, w2""".stripMargin,
 
     // same counts, same (exact-multiply, one-divide) association and
     // left-to-right order — the doubles must match bit-for-bit

@@ -527,6 +527,61 @@ object StreamingJobs {
       .orderBy($"window_start_us")
   }
 
+  /** STREAMING per-window EXACT distinct-user counts, drained with
+    * AvailableNow — two chained stateful operators: a keyed
+    * deduplication on (user, hour) whose state the watermark evicts,
+    * feeding a windowed count that flushes append-mode as each hour
+    * closes. This is the exact-cardinality streaming pattern (state =
+    * one empty-valued row per distinct key per open window) that a
+    * COUNT(DISTINCT) over a stream requires; the batch oracle is a
+    * plain per-hour COUNT(DISTINCT user_id). The watermark rides the
+    * hour-bucket timestamp itself, so dedup state and window state
+    * close together. */
+  def windowUsersAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = workRoot(s, "e18", dir)
+    wipe(s, work)
+    val sentinelDir = new HPath(work, "sentinel").toString
+    val evBatch = Tables.load(s, dir, "events")
+    val maxTus = maxTusOf(evBatch) match {
+      case Some(t) => t
+      case None =>
+        return Seq.empty[(Long, Long)].toDF("window_start_us", "n_users")
+    }
+    Seq(((maxTus + SentinelSpacingUs) * 1000, SentinelUser),
+        ((maxTus + 2 * SentinelSpacingUs) * 1000, SentinelUser))
+      .toDF("ts", "user_id")
+      .coalesce(1).write.parquet(sentinelDir)
+
+    def shaped(df: DataFrame) =
+      df.select(expr("ts div 1000").as("tus"), $"user_id")
+    val real = shaped(s.readStream.schema(evBatch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sentinel = shaped(s.readStream
+      .schema("ts LONG, user_id LONG").parquet(sentinelDir))
+
+    val counts = real.union(sentinel)
+      .withColumn("hour_ts",
+        timestamp_micros(expr("(tus div 3600000000) * 3600000000")))
+      .withWatermark("hour_ts", "1 hour")
+      .dropDuplicates("user_id", "hour_ts")
+      .groupBy(window($"hour_ts", "1 hour"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_micros($"window.start").as("window_start_us"), $"n_users")
+
+    val outDir = new HPath(work, "out").toString
+    withDrainPartitions(s) {
+      val q = counts.writeStream.format("parquet")
+        .option("checkpointLocation", new HPath(work, "ckpt").toString)
+        .option("path", outDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .filter($"window_start_us" <= maxTus) // drop the sentinel's windows
+      .orderBy($"window_start_us")
+  }
+
   /** STREAMING data-quality gate, drained with AvailableNow — the
     * streaming twin of batch x19 ([[graft.operators.Audit]]): hard
     * constraints + quality screens evaluated per tumbling hour over

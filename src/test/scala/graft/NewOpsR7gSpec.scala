@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+/** Round-7 additions part g: streaming exact distinct-per-window
+  * (e18), windowed co-occurrence lift (t23), and a randomized
+  * property test for k-core peeling. */
+class NewOpsR7gSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kCorePeel matches sequential peeling on random graphs") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 120)
+        .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val got = Graphs.kCorePeel(edges.toDF("a", "b"), "a", "b",
+          k = 2L, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var es = edges
+      for (_ <- 1 to 3) {
+        val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (v, o) => v -> o.size.toLong }
+        val keep = deg.filter(_._2 >= 2).keySet
+        es = es.filter(e => keep(e._1) && keep(e._2))
+      }
+      val ref = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (v, o) => v -> o.size.toLong }
+      assert(got == ref, s"trial $trial")
+    }
+  }
+
+  test("e18 streaming distinct users equal the batch per-hour counts") {
+    val got = SparkEntry.queries("e18_stream_window_users")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(expr("((ts div 1000) div 3600000000) * 3600000000").as("w"))
+      .agg(countDistinct($"user_id").as("n"))
+      .orderBy($"w").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == batch.toSeq)
+  }
+
+  test("t23 matches a sequential window-pair reference at sf0.001") {
+    val got = SparkEntry.queries("t23_window_pmi")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val pos = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", posexplode(graft.functions.TextFunctions.tokenize($"text"))
+        .as(Seq("i", "w")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = pos.groupBy(_._1)
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    byDoc.values.foreach { rows =>
+      val arr = rows.sortBy(_._2).map(_._3)
+      for (i <- arr.indices; j <- (i + 1) to math.min(i + 3, arr.length - 1))
+        pairCounts((arr(i), arr(j))) =
+          pairCounts.getOrElse((arr(i), arr(j)), 0L) + 1L
+    }
+    val uni = pos.groupBy(_._3).map { case (w, o) => w -> o.size.toLong }
+    val ntok = pos.length.toLong
+    val ref = pairCounts.filter(_._2 >= 30).map { case ((w1, w2), c12) =>
+      (w1, w2) -> ((c12, c12 * 1000000L * ntok / (uni(w1) * uni(w2))))
+    }.toMap
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+  }
+}
