@@ -67,6 +67,36 @@ object DedupQueries {
         .orderBy($"doc_id")
     }),
 
+    // Dedup threshold yield curve: how many pairs (and distinct docs)
+    // each Jaccard decile ≥ 0.5 would remove — the sweep a curation
+    // run does ONCE to pick its threshold, amortized over a single
+    // shingle computation instead of re-mining per candidate value.
+    // The decile floor is deterministic cross-engine because jaccard
+    // is one IEEE divide of exact integers in both. PARTIAL copies
+    // (70% / 85% character prefixes of every 15th doc) are planted so
+    // the middle deciles carry deterministic mass — organic near-dups
+    // in this corpus are all high-jaccard mirrors.
+    "d11_threshold_curve" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text", $"n_chars")
+      val slice = d.filter($"doc_id" % 15 === 2)
+      def prefixed(offset: Long, pct: Int) = slice.select(
+        ($"doc_id" + offset).as("doc_id"),
+        expr(s"substr(text, 1, CAST(n_chars * $pct div 100 AS INT))").as("text"))
+      val corpus = d.select($"doc_id", $"text")
+        .unionByName(prefixed(3000000L, 70))
+        .unionByName(prefixed(4000000L, 85))
+      val banded = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = 1000)
+        .select(floor($"jaccard" * 10).cast("long").as("band"),
+          $"a_id", $"b_id")
+      val perBand = banded.groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+      val docsPerBand = banded
+        .select($"band", explode(array($"a_id", $"b_id")).as("d"))
+        .groupBy($"band").agg(countDistinct($"d").as("n_docs"))
+      perBand.join(docsPerBand, "band").orderBy($"band")
+    }),
+
     // MinHash-LSH near-dup pairs over the corpus PLUS planted exact
     // copies of the first 25 docs (doc_id + 1e6). Planted pairs have
     // identical shingle sets → identical signatures → all 16 bands
@@ -251,6 +281,49 @@ object DedupQueries {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d03's pair CTEs over the partial-copy corpus, pairs bucketed
+    // into Jaccard deciles, endpoint docs deduped per band
+    "d11_threshold_curve" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, substr(text, 1, CAST(n_chars * 70 // 100 AS INT))
+        |  FROM documents WHERE doc_id % 15 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, substr(text, 1, CAST(n_chars * 85 // 100 AS INT))
+        |  FROM documents WHERE doc_id % 15 = 2),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pr AS (
+        |  SELECT a_id, b_id,
+        |    CAST(floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10) AS BIGINT) AS band
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |ep AS (SELECT band, a_id AS d FROM pr
+        |       UNION ALL SELECT band, b_id FROM pr)
+        |SELECT p.band, p.n_pairs, q.n_docs FROM
+        |  (SELECT band, count(*) AS n_pairs FROM pr GROUP BY band) p
+        |JOIN
+        |  (SELECT band, count(DISTINCT d) AS n_docs FROM ep GROUP BY band) q
+        |USING (band)
+        |ORDER BY p.band""".stripMargin,
 
     // Exact set-Jaccard over the planted corpus: the expected result of
     // the (deterministic, seeded) MinHash-LSH pipeline — see the d04
