@@ -86,6 +86,31 @@ object GraftSession {
 
 /** Table loading helpers for the driver's parquet fixtures. */
 object Tables {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, unix_micros}
+  import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+  /** The `events.ts` contract across the engine is "long nanos since
+    * epoch": the original fixtures stored parquet `timestamp[ns]`,
+    * which `nanosAsLong` surfaces as a raw long, and every query works
+    * in `ts div 1000` microseconds. Newer fixture generations store
+    * `timestamp[us]` instead (read as TIMESTAMP_NTZ, untouched by the
+    * legacy flag) — normalize back to the long-nanos view so the whole
+    * surface is storage-unit-stable. All engine sessions run in UTC,
+    * so the NTZ→instant cast is exact and matches DuckDB's naive
+    * `epoch_us(ts)` reading of the same file. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+
+  /** On-disk file schema, un-normalized — what `readStream.schema(…)`
+    * must be handed before [[normalizeTs]] is applied to the stream. */
+  def rawSchema(spark: SparkSession, sfDir: String, name: String) =
+    spark.read.parquet(s"$sfDir/$name.parquet").schema
+
   def load(spark: SparkSession, sfDir: String, name: String) =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 }

@@ -278,19 +278,39 @@ object AdvancedQueries {
     // percentile_approx's quantile sketch is bounded-size per group
     // and merges associatively, so the plan is an ordinary
     // partial+final aggregate whatever the group sizes. Sketch values
-    // are engine-specific → rows-only driver gate; ProfileApproxSpec
-    // gates the approx values against a04's exact ones.
+    // are engine-specific, so the driver-checkable output is the
+    // BOUNDED PROPERTY, not the value: the sketch guarantees the
+    // returned element's rank is within eps*n of the target rank, so
+    // each approx quantile q must fall between the EXACT percentiles
+    // at q-band and q+band (band = 0.01 >> eps = 1e-4, headroom for
+    // rank->fraction interpolation). The query emits those exact
+    // bounds (DuckDB recomputes them via quantile_cont — value-anchored)
+    // plus the ok flags (oracle: literal TRUE — property-anchored).
+    // The first agg is the production scale path; the bounds agg
+    // exists only to make the guarantee oracle-checkable, and the
+    // join is a broadcast of two group-count-sized frames.
     "a10_percentiles_approx" -> ((s, dir) => {
       import s.implicits._
-      ev(s, dir)
+      val qs = Seq("50" -> 0.50, "90" -> 0.90, "99" -> 0.99)
+      val approx = ev(s, dir)
         .groupBy($"event_type")
         .agg(expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)")
-          .as("ps"))
-        .select($"event_type",
-          round(element_at($"ps", 1), 4).as("p50"),
-          round(element_at($"ps", 2), 4).as("p90"),
-          round(element_at($"ps", 3), 4).as("p99"))
-        .orderBy($"event_type")
+          .as("ps"), count(lit(1)).as("n"))
+      val boundAggs = qs.flatMap { case (tag, q) =>
+        Seq(expr(s"percentile(value, ${math.max(0.0, q - 0.01)})").as(s"blo_$tag"),
+          expr(s"percentile(value, ${math.min(1.0, q + 0.01)})").as(s"bhi_$tag"))
+      }
+      val bounds = ev(s, dir).groupBy($"event_type")
+        .agg(boundAggs.head, boundAggs.tail: _*)
+      val joined = approx.join(broadcast(bounds), Seq("event_type"))
+      val out = qs.zipWithIndex.flatMap { case ((tag, _), i) =>
+        val v = element_at($"ps", i + 1)
+        Seq(round(col(s"blo_$tag"), 4).as(s"lo_p$tag"),
+          round(col(s"bhi_$tag"), 4).as(s"hi_p$tag"),
+          (v >= col(s"blo_$tag") - 1e-9 && v <= col(s"bhi_$tag") + 1e-9)
+            .as(s"ok_p$tag"))
+      }
+      joined.select($"event_type" +: $"n" +: out: _*).orderBy($"event_type")
     }),
 
     // JSON extraction from the props column.
@@ -566,6 +586,20 @@ object AdvancedQueries {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         |round(quantile_cont(value, 0.9), 4) AS p90,
         |round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // bounded-property oracle: DuckDB recomputes the exact rank-band
+    // bounds (value anchor) and asserts the within-band flags are
+    // literally TRUE (property anchor). A wrong approx value flips an
+    // ok_* flag on the Spark side and the hashes diverge.
+    "a10_percentiles_approx" ->
+      """SELECT event_type, count(*) AS n,
+        |round(quantile_cont(value, 0.49), 4) AS lo_p50,
+        |round(quantile_cont(value, 0.51), 4) AS hi_p50, TRUE AS ok_p50,
+        |round(quantile_cont(value, 0.89), 4) AS lo_p90,
+        |round(quantile_cont(value, 0.91), 4) AS hi_p90, TRUE AS ok_p90,
+        |round(quantile_cont(value, 0.98), 4) AS lo_p99,
+        |round(quantile_cont(value, 1.0), 4) AS hi_p99, TRUE AS ok_p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a05_json_extract" ->

@@ -362,24 +362,38 @@ object RelationalQueries {
     // scan row x4 before the partial agg — the right shape for an
     // exact oracle, the wrong one for a petabyte ANALYZE pass. HLL
     // sketches are fixed-size per column and merge associatively, so
-    // this plan is one ordinary partial+final aggregate over the scan:
-    // no Expand, no row multiplication (PlanSpec pins both). HLL
-    // values are engine-specific, so the driver records the weaker
-    // rows-only check; ProfileApproxSpec gates the NDV against the
-    // exact values within the documented rsd at two SFs.
+    // the profile agg is one ordinary partial+final aggregate over the
+    // scan: no Expand, no row multiplication (ProfileApproxSpec pins
+    // both). HLL values are engine-specific, so the driver-checkable
+    // output is the BOUNDED PROPERTY: exact anchors (min/max/nulls and
+    // the exact NDV, which DuckDB recomputes) plus an ndv_ok flag
+    // asserting |HLL - exact| <= 3*rsd*exact (oracle: literal TRUE).
+    // The exact-NDV gate twins are four SINGLE-distinct aggregates —
+    // each plans the two-level distinct shape with no Expand — and
+    // exist only to make the HLL error envelope oracle-checkable; the
+    // production scale path is the profile agg alone.
     "q31_profile_approx" -> ((s, dir) => {
       import s.implicits._
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val base = t(s, dir, "lineitem")
       val aggs = cols.flatMap { c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           approx_count_distinct(col(c)).as(s"ndv_$c"),
           count(when(col(c).isNull, 1)).as(s"nulls_$c"))
       }
-      val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val one = base.agg(aggs.head, aggs.tail: _*)
       val stackArgs = cols.map(c =>
         s"'$c', min_$c, max_$c, ndv_$c, nulls_$c").mkString(", ")
-      one.selectExpr(
-          s"stack(${cols.size}, $stackArgs) AS (column_name, min_v, max_v, ndv_approx, n_nulls)")
+      val approxProf = one.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, min_v, max_v, ndv_approx, n_nulls)")
+      val exactNdv = cols.map(c =>
+          base.agg(countDistinct(col(c)).as("ndv"))
+            .select(lit(c).as("column_name"), $"ndv".as("ndv")))
+        .reduce(_ unionAll _)
+      approxProf.join(broadcast(exactNdv), Seq("column_name"))
+        .select($"column_name", $"min_v", $"max_v", $"ndv", $"n_nulls",
+          (abs($"ndv_approx" - $"ndv").cast("double") <=
+            greatest(lit(1.0), $"ndv" * 0.15)).as("ndv_ok"))
         .orderBy($"column_name")
     }),
 
@@ -599,6 +613,16 @@ object RelationalQueries {
         s"""SELECT '$c' AS column_name, min($c) AS min_v, max($c) AS max_v,
            |count(DISTINCT $c) AS ndv,
            |count(*) FILTER (WHERE $c IS NULL) AS n_nulls FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    // bounded-property oracle: exact anchors recomputed by DuckDB;
+    // ndv_ok (|HLL - exact| within 3*rsd) must be literally TRUE.
+    "q31_profile_approx" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, min($c) AS min_v, max($c) AS max_v,
+           |count(DISTINCT $c) AS ndv,
+           |count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |TRUE AS ndv_ok FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
 
     "q24_theta_join" ->

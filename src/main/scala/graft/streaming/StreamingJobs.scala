@@ -100,6 +100,17 @@ object StreamingJobs {
     try body finally s.conf.set(key, prev)
   }
 
+  /** File-stream over `dir`'s events table, ts-normalized to the
+    * engine's long-nanos contract — readStream must be handed the RAW
+    * on-disk schema (timestamp[us] in newer fixture generations), with
+    * [[Tables.normalizeTs]] applied as a projection on top. The sf
+    * tables are single parquet FILES and a file stream source only
+    * accepts directories — stream the parent dir with a glob pinned to
+    * the events file (zero copying of the corpus). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(s.readStream.schema(Tables.rawSchema(s, dir, "events"))
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+
   /** Scalar max of `ts div 1000`, or None for an empty table. */
   private def maxTusOf(df: DataFrame): Option[Long] = {
     import df.sparkSession.implicits._
@@ -139,8 +150,7 @@ object StreamingJobs {
     // the sf tables are single parquet FILES and a file stream source
     // only accepts directories — stream the parent dir with a glob
     // pinned to the events file (still zero copying of the corpus)
-    val real = asEvents(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = asEvents(eventsStream(s, dir))
     val sentinel = asEvents(s.readStream
       .schema("user_id LONG, event_id LONG, ts LONG").parquet(sentinelDir))
 
@@ -226,8 +236,7 @@ object StreamingJobs {
 
     def shaped(df: DataFrame) =
       df.select($"user_id", expr("ts div 1000").as("tus"))
-    val real = shaped(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = shaped(eventsStream(s, dir))
     val sentinel = shaped(s.readStream
       .schema("user_id LONG, ts LONG").parquet(sentinelDir))
 
@@ -303,8 +312,7 @@ object StreamingJobs {
     def typed(df: DataFrame, t: String, idAs: String, tusAs: String) =
       df.filter($"event_type" === t)
         .select($"user_id", $"event_id".as(idAs), expr("ts div 1000").as(tusAs))
-    def stream() = s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def stream() = eventsStream(s, dir)
     val purchases = typed(stream(), "purchase", "purchase_id", "ptus")
     val views = typed(stream(), "view", "view_id", "vtus")
     val pairs = StreamingRangeJoin.rangeJoin(purchases, views, Seq("user_id"),
@@ -360,8 +368,7 @@ object StreamingJobs {
 
     def shaped(df: DataFrame) =
       df.select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
-    val real = shaped(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = shaped(eventsStream(s, dir))
     val sentinel = shaped(s.readStream
       .schema("user_id LONG, event_type STRING, ts LONG").parquet(sentinelDir))
 
@@ -448,8 +455,7 @@ object StreamingJobs {
 
     def shaped(df: DataFrame) =
       df.select(expr("ts div 1000").as("tus"), $"event_type", $"value")
-    val real = shaped(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = shaped(eventsStream(s, dir))
     val sentinel = shaped(s.readStream
       .schema("ts LONG, event_type STRING, value DOUBLE").parquet(sentinelDir))
 
@@ -499,8 +505,7 @@ object StreamingJobs {
 
     def shaped(df: DataFrame) =
       df.select(expr("ts div 1000").as("tus"), $"user_id", $"event_id")
-    val real = shaped(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = shaped(eventsStream(s, dir))
     val sentinel = shaped(s.readStream
       .schema("ts LONG, user_id LONG, event_id LONG").parquet(sentinelDir))
 
@@ -555,8 +560,7 @@ object StreamingJobs {
 
     def shaped(df: DataFrame) =
       df.select(expr("ts div 1000").as("tus"), $"user_id")
-    val real = shaped(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = shaped(eventsStream(s, dir))
     val sentinel = shaped(s.readStream
       .schema("ts LONG, user_id LONG").parquet(sentinelDir))
 
@@ -611,8 +615,7 @@ object StreamingJobs {
 
     def shaped(df: DataFrame) =
       df.select(expr("ts div 1000").as("tus"), $"event_type", $"value")
-    val real = shaped(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = shaped(eventsStream(s, dir))
     val sentinel = shaped(s.readStream
       .schema("ts LONG, event_type STRING, value DOUBLE").parquet(sentinelDir))
 
@@ -673,8 +676,7 @@ object StreamingJobs {
 
     def shaped(df: DataFrame) =
       df.select($"user_id".as("key"), expr("ts div 1000").as("tus"))
-    val real = shaped(s.readStream.schema(evBatch.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val real = shaped(eventsStream(s, dir))
     val sentinel = shaped(s.readStream
       .schema("user_id LONG, ts LONG").parquet(sentinelDir))
 

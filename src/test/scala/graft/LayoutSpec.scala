@@ -40,7 +40,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("zorder clusters partitions into boxes: an hour probe prunes most partitions") {
-    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
       .withColumn("hour", expr("(ts div 1000) div 3600000000"))
       .select($"event_id", $"user_id", $"hour")
     def hourSpans(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = df
