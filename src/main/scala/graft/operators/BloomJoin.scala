@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-pruned anti-join — "which of these incoming documents have we
   * never seen before?", the incremental-ingest primitive of a crawl
@@ -12,26 +16,24 @@ import org.apache.spark.sql.functions._
   * novel (the steady state of a crawl), that shuffle is almost all
   * wasted motion. Shape here:
   *
-  *  1. Aggregate the seen-side keys into a Bloom filter
-  *     (`DataFrameStatFunctions.bloomFilter` — built distributed,
-  *     merged on the driver, a few MB at fpp=1%) and broadcast it.
-  *  2. Map-side test every incoming row. Bloom-NEGATIVE rows are
-  *     DEFINITELY novel — they exit immediately, no shuffle, no join.
+  *  1. Aggregate the seen-side keys into a Bloom filter with Spark's
+  *     native `BloomFilterAggregate` over `xxhash64(key)` — the same
+  *     expression pair the optimizer's runtime row-level filtering
+  *     injects into shuffle joins — built distributed (partial
+  *     bitmaps OR-merge associatively), a few MB at fpp≈1%.
+  *  2. Map-side test every incoming row with the codegen'd
+  *     `BloomFilterMightContain` against the filter as a binary
+  *     literal. Bloom-NEGATIVE rows are DEFINITELY novel — they exit
+  *     immediately, no shuffle, no join, no UDF boxing.
   *  3. Only bloom-POSITIVE rows (true duplicates + the fpp sliver of
   *     false positives) continue into an exact anti-join against the
   *     seen keys, which removes the false "seen" verdicts.
   *
   * So the wide join processes `dup_rate + fpp` of the input instead of
   * all of it, and correctness never depends on the filter's error
-  * rate. (This is the pattern Spark's own runtime row-level filtering
-  * applies inside shuffle joins; staging it explicitly lets the cheap
-  * path skip the join operator entirely and makes the filter
-  * reusable across batches.)
-  *
-  * The membership test is a Scala UDF (one boxed call per row, outside
-  * codegen) — measured fine because it gates a wide join; a native
-  * `Expression` over the broadcast bitmap is the upgrade path if the
-  * test itself ever becomes the bottleneck.
+  * rate. NULL keys hash to a NULL probe, which `coalesce(…, false)`
+  * routes down the definitely-novel path — a NULL never equals a seen
+  * key, matching the anti-join's semantics.
   */
 object BloomJoin {
 
@@ -42,12 +44,24 @@ object BloomJoin {
     * join path). */
   def bloomAntiJoin(incoming: DataFrame, seen: DataFrame, keyCol: String,
                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val spark = incoming.sparkSession
-    val bloom = seen.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
-    val definitelyNovel = incoming.filter(!mightContain(col(keyCol)))
-    val residual = incoming.filter(mightContain(col(keyCol)))
+    // bit count for the requested fpp, via the public sketch sizing
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedItems, fpp).bitSize()
+    val hashed = new XxHash64(Seq(ColumnBridge.expression(col(keyCol))))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+    val bloomBytes = seen.select(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // an empty seen side aggregates to NULL — nothing is seen, so
+    // everything is novel and the probe must say "might contain: no"
+    val probe =
+      if (bloomBytes == null) lit(false)
+      else ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), hashed))
+    val mightContain = coalesce(probe, lit(false))
+    val definitelyNovel = incoming.filter(!mightContain)
+    val residual = incoming.filter(mightContain)
       .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definitelyNovel.unionByName(residual)
   }

@@ -43,13 +43,22 @@ private[graft] object Checkpoints {
     * every time (setCheckpointDir creates one per call). */
   private val applied = new AtomicReference[String](null)
 
+  /** Fault injection for the executor-loss drill (CheckpointsSpec):
+    * invoked after EVERY materialization with the materialized frame.
+    * The drill kills all cached/checkpoint blocks here — between
+    * iteration rounds, exactly when a lost executor would — and
+    * asserts the reliable-checkpoint run still completes with
+    * identical results. No-op outside the drill. */
+  private[graft] val faultHook =
+    new AtomicReference[DataFrame => Unit]((_: DataFrame) => ())
+
   /** Materialize `df` eagerly with truncated lineage: reliable
     * `checkpoint()` when a checkpoint dir is configured, else
     * `localCheckpoint()`. */
   def materialize(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val sc = s.sparkContext
-    s.conf.getOption(CheckpointDirKey) match {
+    val out = s.conf.getOption(CheckpointDirKey) match {
       case Some(dir) =>
         if (applied.getAndSet(dir) != dir || sc.getCheckpointDir.isEmpty)
           sc.setCheckpointDir(dir)
@@ -59,6 +68,8 @@ private[graft] object Checkpoints {
       case None =>
         df.localCheckpoint()
     }
+    faultHook.get()(out)
+    out
   }
 
   /** Drop the cached blocks behind an eagerly localCheckpoint'ed

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * collision noise bounded by eps·N), and the final threshold filter
   * discards the false positives. Shuffle volume drops from
   * |vocabulary| to |candidates|.
+  *
+  * The membership probe stays a Scala UDF deliberately: unlike Bloom
+  * (where [[BloomJoin]] uses Spark's native `BloomFilterAggregate` /
+  * `BloomFilterMightContain` pair), Spark ships no Catalyst
+  * expression that PROBES a CountMinSketch — `count_min_sketch` only
+  * builds the binary sketch, and deserializing it per row in SQL
+  * would be worse than the one boxed call. The UDF gates a wide
+  * aggregation, so it is off the hot path by construction.
   */
 object Sketches {
 

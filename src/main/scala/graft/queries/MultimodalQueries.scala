@@ -21,12 +21,18 @@ object MultimodalQueries {
     * the family would run on a single thread — the classic "tiny
     * driver table fans out heavy per-row work" shape. Only 8-byte ids
     * move through the exchange; at 100 TB the table arrives in many
-    * splits and the repartition is a cheap rebalance. */
-  private def docIds(s: SparkSession, dir: String) = {
+    * splits and the repartition is a cheap rebalance.
+    *
+    * `fanOut = false` skips the exchange: right for codecs whose
+    * per-row work is TRIVIAL (WAV PCM stat-summing decodes ~300
+    * samples — microseconds a row), where the fixed exchange +
+    * scheduling cost exceeds everything it parallelizes (measured:
+    * m05 0.37 s without vs 0.67 s with at sf0.1). The heavy decodes
+    * (JPEG/PNG/MJPEG/GIF) keep the default. */
+  private def docIds(s: SparkSession, dir: String, fanOut: Boolean = true) = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select($"doc_id").as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    if (fanOut) ids.repartition(s.sparkContext.defaultParallelism) else ids
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -85,7 +91,7 @@ object MultimodalQueries {
     // sample arithmetic exactly.
     "m05_audio_decode" -> ((s, dir) => {
       import s.implicits._
-      val wavs = docIds(s, dir)
+      val wavs = docIds(s, dir, fanOut = false)
         .map(id => (id, Multimodal.synthWav(id)))
       Multimodal.decodeAudioStats(wavs)
         .select($"id".as("doc_id"),

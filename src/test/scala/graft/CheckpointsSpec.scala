@@ -82,6 +82,46 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  /** Simulated executor loss: drop EVERY persisted RDD's blocks,
+    * blocking so the removal lands before the next iteration round
+    * reads them — what a dead executor does to everything it cached
+    * (localCheckpoint blocks included). Returns how many RDDs were
+    * hit. */
+  private def killAllBlocks(): Int = {
+    val sc = spark.sparkContext
+    val persisted = sc.getPersistentRDDs.values.toSeq
+    persisted.foreach(_.unpersist(blocking = true))
+    persisted.size
+  }
+
+  test("executor-loss drill: reliable run survives block loss after every round") {
+    // VERDICT r07 task #7 — prove the conf'd reliable path, don't just
+    // exercise it: the fault hook fires after EVERY materialization
+    // (so between iteration rounds), killing all cached blocks the way
+    // a lost executor would. The reliable run must then re-read its
+    // checkpoint FILES (shared storage on a real cluster) and finish
+    // with results identical to the undisturbed run — on the driver
+    // queries themselves (d07 dup components, g01 pagerank), not a toy
+    // graph.
+    val dir = "/root/testdata/sf0.001"
+    val baseD07 = SparkEntry.queries("d07_dup_components")(spark, dir).collect().toSeq
+    val baseG01 = SparkEntry.queries("g01_pagerank")(spark, dir).collect().toSeq
+    assert(baseD07.nonEmpty && baseG01.nonEmpty)
+    var fired = 0
+    Checkpoints.faultHook.set { _ =>
+      fired += 1
+      killAllBlocks()
+      ()
+    }
+    try withReliable { _ =>
+      val d07 = SparkEntry.queries("d07_dup_components")(spark, dir).collect().toSeq
+      val g01 = SparkEntry.queries("g01_pagerank")(spark, dir).collect().toSeq
+      assert(fired >= 2, s"fault hook fired only $fired times — not mid-iteration")
+      assert(d07 == baseD07, "d07 drifted under block loss on the reliable path")
+      assert(g01 == baseG01, "g01 drifted under block loss on the reliable path")
+    } finally Checkpoints.faultHook.set((_: org.apache.spark.sql.DataFrame) => ())
+  }
+
   test("session-level setCheckpointDir alone (no graft conf) also selects reliable") {
     val dir = Files.createTempDirectory("graft-ckpt2").toString
     spark.sparkContext.setCheckpointDir(dir)

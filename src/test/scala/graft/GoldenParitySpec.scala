@@ -145,4 +145,38 @@ class GoldenParitySpec extends SparkSpec {
     }
     assert(checked == 75584)
   }
+
+  test("--zip --mode whole-files --hadoop-layout placement diff vs custom8 (all 75,593 keys)") {
+    // VERDICT r07 task #6: the custom8 side gets the same engine-run
+    // placement diff custom9 already had — the reference's whole-file
+    // pipeline (ZIP archive in, one record per entry) through the
+    // engine's zip source with the Hadoop layout, every emitted key
+    // required to land on the partition the reference's cluster run
+    // placed it in.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-golden8")
+    val zipPath = tmp.resolve("zuni.zip").toString
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(zipPath)))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("zuni.txt"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(RefZuni), zos)
+      zos.closeEntry()
+    } finally zos.close()
+    val out = tmp.toString + "/bigrams"
+    BigramJob.run(spark, Config(RecordMode.WholeFiles, zip = true, partitions = 32,
+      hadoopLayout = true, zipPath, out))
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 32)
+    var checked = 0
+    files.zipWithIndex.foreach { case (f, idx) =>
+      val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+      try src.getLines().foreach { line =>
+        val k = line.substring(0, line.indexOf('\t'))
+        assert(p8(k) == idx, s"$k: engine part $idx, golden part ${p8(k)}")
+        checked += 1
+      } finally src.close()
+    }
+    assert(checked == 75593)
+  }
 }
