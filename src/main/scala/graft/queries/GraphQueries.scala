@@ -78,8 +78,15 @@ object GraphQueries {
       val corpus = d.unionByName(planted)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = 1000)
-      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-        .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      // symmetrize with a map-side explode, NOT a two-branch union: a
+      // union re-executes the whole pair-mining subtree once per
+      // branch IN THE SAME STAGE, and at sf1 the two concurrent
+      // candidate aggregations spilled ~5 GB (measured, SpillDiag);
+      // explode reads the mined pairs once and doubles rows for free
+      val edges = pairs.select(explode(array(
+          struct($"a_id".as("src"), $"b_id".as("dst")),
+          struct($"b_id".as("src"), $"a_id".as("dst")))).as("e"))
+        .select($"e.src", $"e.dst")
       Graphs.pageRank(edges, "src", "dst", corpus.select($"doc_id"), "doc_id",
           iterations = PrIters, scale = PrScale)
         .select($"doc_id", $"rank".as("pr"))
