@@ -89,4 +89,60 @@ class StreamingJobsSpec extends SparkSpec {
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     } finally spark.conf.unset(StreamingJobs.WorkDirKey)
   }
+
+  test("incremental re-drain: unchanged inputs re-serve; any change re-drains") {
+    val Min = 60L * 1000000
+    val base = 1440 * Min
+    def writeEvents(corpus: java.nio.file.Path,
+                    rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      val tmpOut = Files.createTempDirectory("graft-reuse-write").resolve("ev")
+      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(tmpOut.toString)
+      val part = Files.list(tmpOut)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, corpus.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val corpus = Files.createTempDirectory("graft-reuse-corpus")
+    writeEvents(corpus, Seq(
+      (1L, 1L, (base + 0 * Min) * 1000, "click", 0.0),
+      (1L, 2L, (base + 10 * Min) * 1000, "click", 0.0)))
+
+    val workOverride = Files.createTempDirectory("graft-reuse-work")
+    spark.conf.set(StreamingJobs.WorkDirKey, workOverride.toString)
+    try {
+      def drain(gapUs: Long = 30 * Min) = StreamingJobs
+        .sessionizeAvailableNow(spark, corpus.toString, gapUs)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val first = drain()
+      assert(first == Set((1L, 1L, base, base + 10 * Min, 2L)))
+      val sig = workOverride
+        .resolve(s"graft_e05_${md5hex(corpus.toString)}").resolve("drain-sig")
+      assert(Files.exists(sig), "successful drain must write its signature")
+      val sigTime = Files.getLastModifiedTime(sig)
+
+      // unchanged inputs: same answer, signature untouched (no re-drain)
+      assert(drain() == first)
+      assert(Files.getLastModifiedTime(sig) == sigTime,
+        "unchanged inputs must re-serve the committed sink, not re-drain")
+
+      // a parameter change re-drains (params are in the signature):
+      // a 5-minute gap splits the 10-minute-apart events into two
+      // sessions — stale reuse would still show one
+      assert(drain(gapUs = 5 * Min) == Set(
+        (1L, 1L, base, base, 1L),
+        (1L, 2L, base + 10 * Min, base + 10 * Min, 1L)))
+
+      // a source change re-drains (file identity is in the signature):
+      // user 2 appears only if the drain really re-ran
+      writeEvents(corpus, Seq(
+        (1L, 1L, (base + 0 * Min) * 1000, "click", 0.0),
+        (1L, 2L, (base + 10 * Min) * 1000, "click", 0.0),
+        (2L, 3L, (base + 5 * Min) * 1000, "view", 0.0)))
+      assert(drain() == Set(
+        (1L, 1L, base, base + 10 * Min, 2L),
+        (2L, 1L, base + 5 * Min, base + 5 * Min, 1L)),
+        "modified source must invalidate the drain signature")
+    } finally spark.conf.unset(StreamingJobs.WorkDirKey)
+  }
 }
