@@ -31,9 +31,12 @@ import org.apache.spark.sql.types.BinaryType
   *
   * So the wide join processes `dup_rate + fpp` of the input instead of
   * all of it, and correctness never depends on the filter's error
-  * rate. NULL keys hash to a NULL probe, which `coalesce(…, false)`
-  * routes down the definitely-novel path — a NULL never equals a seen
-  * key, matching the anti-join's semantics.
+  * rate. NULL keys: `xxhash64(NULL)` is the SEED hash (XxHash64 is
+  * never null), so a NULL incoming key may test bloom-positive and
+  * take the residual path — where the anti-join's null-never-matches
+  * semantics keep it in the output, exactly as a plain anti-join
+  * would. The seen side drops NULLs before aggregation so they cannot
+  * plant the seed hash in the filter.
   */
 object BloomJoin {
 
@@ -41,25 +44,47 @@ object BloomJoin {
     * `seen`'s `keyCol`. Exact. `expectedItems`/`fpp` size the filter:
     * expectedItems should bound the DISTINCT seen keys — an undersized
     * filter stays correct but prunes less (more rows take the exact
-    * join path). */
+    * join path).
+    *
+    * Sizing is explicit, never silent: `BloomFilterAggregate` CLAMPS
+    * its arguments to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` / `.maxNumBits` (4M / 64M-bit defaults) — a clamped
+    * filter saturates and the pruning this operator exists for
+    * silently vanishes. So the requested sizing is validated against
+    * those session confs up front with the conf name in the error;
+    * deployments bounding billions of seen keys raise the confs (or
+    * partition the seen side) deliberately. */
   def bloomAntiJoin(incoming: DataFrame, seen: DataFrame, keyCol: String,
                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    // bit count for the requested fpp, via the public sketch sizing
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .create(expectedItems, fpp).bitSize()
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"expectedItems=$expectedItems fpp=$fpp out of range")
+    val spark = incoming.sparkSession
+    // optimal bit count for the requested fpp: -n·ln(p)/ln(2)² —
+    // arithmetic, not BloomFilter.create(...).bitSize(), which would
+    // allocate the whole bitmap driver-side just to read a number
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds the " +
+        "runtime-filter limits; raise spark.sql.optimizer.runtime.bloomFilter" +
+        ".maxNumItems/.maxNumBits or partition the seen side — a silently " +
+        "clamped filter saturates and prunes nothing")
     val hashed = new XxHash64(Seq(ColumnBridge.expression(col(keyCol))))
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
         .toAggregateExpression())
-    val bloomBytes = seen.select(bloomAgg.as("bf"))
+    val bloomBytes = seen.filter(col(keyCol).isNotNull).select(bloomAgg.as("bf"))
       .head().getAs[Array[Byte]](0)
     // an empty seen side aggregates to NULL — nothing is seen, so
     // everything is novel and the probe must say "might contain: no"
-    val probe =
+    val mightContain =
       if (bloomBytes == null) lit(false)
       else ColumnBridge.column(BloomFilterMightContain(
         Literal(bloomBytes, BinaryType), hashed))
-    val mightContain = coalesce(probe, lit(false))
     val definitelyNovel = incoming.filter(!mightContain)
     val residual = incoming.filter(mightContain)
       .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

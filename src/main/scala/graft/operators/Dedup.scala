@@ -327,4 +327,45 @@ object Dedup {
           .otherwise(coalesce(col("n_dup_windows"), lit(0L)) /
             col("n_windows").cast("double")), 4).as("dup_ratio"))
   }
+
+  /** Maximal CROSS-document repeated token spans — the substring-level
+    * dedup primitive (memorization-prone boilerplate shows up as long
+    * token runs shared verbatim across documents, not as whole-doc
+    * near-dups). A position is "hit" when its token `n`-gram occurs in
+    * ≥ `minDocs` distinct documents; maximal runs of consecutive hit
+    * positions merge into spans `(id, start, len)` (0-based token
+    * offset, length in tokens ≥ n). A span of length L shared by two
+    * docs yields L−n+1 hit positions that collapse into ONE row.
+    *
+    * Plan shape (the dupSpanStats idiom): ONE corpus scan; positions
+    * collapse to (gram, doc) rows with their position lists, the
+    * cross-doc count comes from a WINDOW over those collapsed rows —
+    * never a groupBy + join-back, which would re-execute the
+    * tokenize/explode subtree and re-shuffle token-scale rows twice.
+    * Grams group by their exact string (oracle-exact); at 100 TB swap
+    * the group key for `xxhash64(g)` — 8-byte shuffle rows, the
+    * standard fingerprint trade (a 2⁻⁶⁴ collision can merge two span
+    * families). minDocs and n are the volume knobs: raising n shrinks
+    * the hit set geometrically. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && minDocs >= 1, s"n=$n minDocs=$minDocs must be >= 1")
+    val grams = docs
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), posexplode(ngrams(col("_toks"), n)).as(Seq("pos", "g")))
+    val collapsed = grams.groupBy(col("g"), col(idCol))
+      .agg(collect_list(col("pos")).as("ps"))
+    val hits = collapsed
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("nd") >= minDocs)
+      .select(col(idCol), explode(col("ps")).as("pos"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("island", col("pos") - row_number().over(byPos))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).cast("long").as("start"),
+        (count(lit(1)) + lit(n - 1)).as("len"))
+      .select(col(idCol), col("start"), col("len"))
+  }
 }

@@ -302,7 +302,11 @@ object AdvancedQueries {
       }
       val bounds = ev(s, dir).groupBy($"event_type")
         .agg(boundAggs.head, boundAggs.tail: _*)
-      val joined = approx.join(broadcast(bounds), Seq("event_type"))
+      // null-safe equality: both aggregations emit the same group set,
+      // but a NULL event_type group would vanish under a plain
+      // equi-join while the oracle's GROUP BY keeps it
+      val joined = approx.as("ap").join(broadcast(bounds).as("bd"),
+        col("ap.event_type") <=> col("bd.event_type"))
       val out = qs.zipWithIndex.flatMap { case ((tag, _), i) =>
         val v = element_at($"ps", i + 1)
         Seq(round(col(s"blo_$tag"), 4).as(s"lo_p$tag"),
@@ -310,7 +314,8 @@ object AdvancedQueries {
           (v >= col(s"blo_$tag") - 1e-9 && v <= col(s"bhi_$tag") + 1e-9)
             .as(s"ok_p$tag"))
       }
-      joined.select($"event_type" +: $"n" +: out: _*).orderBy($"event_type")
+      joined.select(col("ap.event_type").as("event_type") +: $"n" +: out: _*)
+        .orderBy($"event_type")
     }),
 
     // JSON extraction from the props column.

@@ -97,6 +97,18 @@ object DedupQueries {
       perBand.join(docsPerBand, "band").orderBy($"band")
     }),
 
+    // Maximal cross-document repeated 5-gram token spans — the
+    // substring-level dedup pass ([[Dedup.repeatedSpans]]): boilerplate
+    // shared verbatim across documents surfaces as (doc, start, len)
+    // spans, the unit a span-scrubbing pipeline actually removes.
+    // Exact: gram strings group literally, runs merge by consecutive
+    // position, so the oracle replays it as plain SQL.
+    "d12_repeated_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", n = 5, minDocs = 2L)
+        .orderBy($"doc_id", $"start")
+    }),
+
     // MinHash-LSH near-dup pairs over the corpus PLUS planted exact
     // copies of the first 25 docs (doc_id + 1e6). Planted pairs have
     // identical shingle sets → identical signatures → all 16 bands
@@ -324,6 +336,28 @@ object DedupQueries {
         |  (SELECT band, count(DISTINCT d) AS n_docs FROM ep GROUP BY band) q
         |USING (band)
         |ORDER BY p.band""".stripMargin,
+
+    // positional 5-grams, cross-doc repeated grams, consecutive hit
+    // positions collapsed into maximal islands (pos − row_number)
+    "d12_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 3, 1))) AS p
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, p, array_to_string(tk[p:p+4], ' ') AS g FROM pos),
+        |rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM rep)),
+        |runs AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM hits)
+        |SELECT doc_id, CAST(min(p) - 1 AS BIGINT) AS start,
+        |  CAST(count(*) + 4 AS BIGINT) AS len
+        |FROM runs GROUP BY doc_id, island
+        |ORDER BY doc_id, start""".stripMargin,
 
     // Exact set-Jaccard over the planted corpus: the expected result of
     // the (deterministic, seeded) MinHash-LSH pipeline — see the d04

@@ -15,10 +15,16 @@ import graft.{Tables, WorkDirs}
   * the shared scratch filesystem ([[WorkDirs]] precedence — conf'd
   * shared storage on a cluster, tmpdir only in local mode). No row
   * data lands on the driver, and nothing outside the resolved scratch
-  * root is touched. The build is idempotent per (dir, n): written
-  * under a temp name, renamed into place, reused thereafter — a task
-  * retry or concurrent builder loses the rename race and discards its
-  * own copy.
+  * root is touched. The executor resolves the filesystem from the
+  * SESSION's Hadoop configuration (shipped into the closure as
+  * key-value pairs — `spark.hadoop.*` overlays like object-store
+  * credentials are driver-side conf, not guaranteed in executor
+  * core-site). The build is idempotent per (dir, n): each attempt
+  * writes under a UUID-unique temp name (two concurrent builders must
+  * never share a temp file — create(overwrite) would truncate the
+  * stream the other is writing) and renames into place; when the
+  * target already exists the loser deletes its own complete copy, so
+  * a corrupt archive can never be published.
   */
 object ZipFixtures {
 
@@ -29,28 +35,40 @@ object ZipFixtures {
     import s.implicits._
     val root = WorkDirs.scratch(s, "zipfix", dir)
     val target = new HPath(root, s"docs_$n.zip")
-    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(hconf)
     if (!fs.exists(target)) {
       fs.mkdirs(root)
       val targetStr = target.toString
+      // session Hadoop conf as plain pairs — Configuration itself is
+      // not java-serializable and SerializableConfiguration is
+      // private[spark]
+      val confPairs = {
+        val it = hconf.iterator()
+        val buf = Array.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+        buf.result()
+      }
       Tables.load(s, dir, "documents")
         .filter($"doc_id" < n).select($"doc_id", $"text")
         .as[(Long, String)]
         .repartition(1).sortWithinPartitions($"doc_id")
         .foreachPartition((it: Iterator[(Long, String)]) => {
           val out = new HPath(targetStr)
-          // executor-side FS resolution: the scratch root is shared
-          // storage by WorkDirs' contract, so the default Hadoop conf
-          // (core-site on the executor) resolves it
-          val efs = out.getFileSystem(new Configuration())
-          val tmp = new HPath(out.getParent, out.getName + ".inprogress")
-          val zos = new java.util.zip.ZipOutputStream(efs.create(tmp, true))
+          val conf = new Configuration(false)
+          confPairs.foreach { case (k, v) => conf.set(k, v) }
+          val efs = out.getFileSystem(conf)
+          val tmp = new HPath(out.getParent,
+            out.getName + ".inprogress-" + java.util.UUID.randomUUID())
+          val zos = new java.util.zip.ZipOutputStream(efs.create(tmp, false))
           try it.foreach { case (id, text) =>
             zos.putNextEntry(new java.util.zip.ZipEntry(f"doc_$id%05d.txt"))
             zos.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             zos.closeEntry()
           } finally zos.close()
-          if (!efs.rename(tmp, out)) efs.delete(tmp, true)
+          // publish only if first: a complete archive already in place
+          // wins and this attempt's copy is discarded whole
+          if (efs.exists(out) || !efs.rename(tmp, out)) efs.delete(tmp, true)
           ()
         })
     }

@@ -171,7 +171,11 @@ object StreamingJobs {
     val sigPath = new HPath(work, "drain-sig")
     val parts = s.conf.getOption(DrainShufflePartitionsKey)
       .getOrElse(DefaultDrainPartitions)
-    val sig = (s"v1|$job" +: srcTables.map(srcStat(s, dir, _)))
+    // the leading version is part of the signature: bump it whenever a
+    // drain's SINK contents change shape/semantics (v2: sentinel
+    // windows are filtered before the sink), so work dirs written by
+    // older code can never re-serve a stale layout
+    val sig = (s"v2|$job" +: srcTables.map(srcStat(s, dir, _)))
       .mkString("|") + s"|$sigExtra|parts=$parts"
     val hit = try {
       fs.exists(sigPath) && fs.exists(outDir) && {
@@ -529,7 +533,10 @@ object StreamingJobs {
             min($"user_id").as("min_uid"), max($"user_id").as("max_uid"),
             min($"event_id").as("min_eid"), max($"event_id").as("max_eid"))
           .select(unix_micros($"window.start").as("window_start_us"),
-            $"n_rows", $"min_uid", $"max_uid", $"min_eid", $"max_eid"))
+            $"n_rows", $"min_uid", $"max_uid", $"min_eid", $"max_eid")
+          // sentinel windows filtered BEFORE the sink (maxTus is in
+          // scope only here), so a re-serve is a pure parquet read
+          .filter($"window_start_us" <= maxTus))
       }
     }
     out match {
@@ -537,10 +544,7 @@ object StreamingJobs {
         Seq.empty[(Long, Long, Long, Long, Long, Long)]
           .toDF("window_start_us", "n_rows", "min_uid", "max_uid",
             "min_eid", "max_eid")
-      case Some(res) =>
-        val maxTus = maxTusOf(s, dir).get
-        res.filter($"window_start_us" <= maxTus) // drop the sentinel's windows
-          .orderBy($"window_start_us")
+      case Some(res) => res.orderBy($"window_start_us")
     }
   }
 
@@ -577,15 +581,13 @@ object StreamingJobs {
           .dropDuplicates("user_id", "hour_ts")
           .groupBy(window($"hour_ts", "1 hour"))
           .agg(count(lit(1)).as("n_users"))
-          .select(unix_micros($"window.start").as("window_start_us"), $"n_users"))
+          .select(unix_micros($"window.start").as("window_start_us"), $"n_users")
+          .filter($"window_start_us" <= maxTus)) // sentinel windows pre-sink
       }
     }
     out match {
       case None => Seq.empty[(Long, Long)].toDF("window_start_us", "n_users")
-      case Some(res) =>
-        val maxTus = maxTusOf(s, dir).get
-        res.filter($"window_start_us" <= maxTus) // drop the sentinel's windows
-          .orderBy($"window_start_us")
+      case Some(res) => res.orderBy($"window_start_us")
     }
   }
 
@@ -634,17 +636,15 @@ object StreamingJobs {
               'type_domain', _v_type_domain,
               'value_range', _v_value_range) AS (check, n_violations)"""))
           .select($"window_start_us", $"check", $"_n".as("n_events"),
-            $"n_violations"))
+            $"n_violations")
+          .filter($"window_start_us" <= maxTus)) // sentinel windows pre-sink
       }
     }
     out match {
       case None =>
         Seq.empty[(Long, String, Long, Long)]
           .toDF("window_start_us", "check", "n_events", "n_violations")
-      case Some(res) =>
-        val maxTus = maxTusOf(s, dir).get
-        res.filter($"window_start_us" <= maxTus) // drop the sentinel's own windows
-          .orderBy($"window_start_us", $"check")
+      case Some(res) => res.orderBy($"window_start_us", $"check")
     }
   }
 

@@ -50,4 +50,26 @@ class DupSpansSpec extends SparkSpec {
     val out = Dedup.dupSpans(corpus, "doc_id", "text", w = 10).collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 0L)))
   }
+
+  test("repeatedSpans merges consecutive shared grams into maximal spans") {
+    // docs 1 and 2 share the 4-token run "p q r s" (with n=3 that is
+    // two consecutive shared grams → ONE span of len 4 in each doc);
+    // doc 3 shares nothing long enough. Offsets are 0-based token
+    // positions: doc 1 has the run at tokens 2..5, doc 2 at 0..3.
+    val corpus = Seq(
+      (1L, "x y p q r s z"),
+      (2L, "p q r s k m n"),
+      (3L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", n = 3, minDocs = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 4L), (2L, 0L, 4L)))
+    // a doc-internal repeat alone never qualifies (cross-DOC count)
+    val selfRep = Seq((1L, "u v w u v w"), (2L, "h i j k l m"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(selfRep, "doc_id", "text", n = 3, minDocs = 2L)
+      .collect().isEmpty)
+    // raising minDocs above the sharing degree empties the result
+    assert(Dedup.repeatedSpans(corpus, "doc_id", "text", n = 3, minDocs = 3L)
+      .collect().isEmpty)
+  }
 }
