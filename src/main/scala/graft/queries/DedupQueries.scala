@@ -86,10 +86,17 @@ object DedupQueries {
       val corpus = d.select($"doc_id", $"text")
         .unionByName(prefixed(3000000L, 70))
         .unionByName(prefixed(4000000L, 85))
-      val banded = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
-          n = 3, minJaccard = 0.5, maxDf = 1000)
-        .select(floor($"jaccard" * 10).cast("long").as("band"),
-          $"a_id", $"b_id")
+      // MATERIALIZE the verified pairs before fanning out: perBand and
+      // docsPerBand would otherwise each re-run the candidate
+      // aggregation behind the un-materialized chain — measured at sf1
+      // as two sequential 879 MB final-agg passes (SpillDiag), the
+      // stage-level cousin of g01's old two-branch union. The
+      // materialized frame is band-rows only (≤ verified pairs).
+      val banded = graft.operators.Checkpoints.materialize(
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+            n = 3, minJaccard = 0.5, maxDf = 1000)
+          .select(floor($"jaccard" * 10).cast("long").as("band"),
+            $"a_id", $"b_id"))
       val perBand = banded.groupBy($"band").agg(count(lit(1)).as("n_pairs"))
       val docsPerBand = banded
         .select($"band", explode(array($"a_id", $"b_id")).as("d"))
