@@ -1,7 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
-import java.util.Comparator
+import org.apache.hadoop.fs.{Path => HPath}
 
 import graft.operators.Bigrams
 import graft.operators.Bigrams.RecordMode
@@ -17,12 +16,6 @@ import graft.operators.Bigrams.RecordMode
   */
 object LayoutBench {
 
-  private def rmTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
-
   def main(args: Array[String]): Unit = {
     val input = args.headOption.getOrElse(
       "/root/reference/src/main/resources/sample/zuni.txt")
@@ -32,12 +25,15 @@ object LayoutBench {
     GraftSession.registerFunctions(spark)
 
     val counts = Bigrams.fromTextFiles(spark, input, RecordMode.Lines)
-    val scratch = Files.createTempDirectory("graft_layout_bench")
+    // scratch through the shared WorkDirs precedence (conf → checkpoint
+    // location → local-mode-only tmp) — same cluster-safety rules as
+    // the sinks and drains, no unconditional driver-local tmpdir
+    val scratch = new HPath(WorkDirs.wipedScratch(spark, "layout_bench", input))
 
     def time(tag: String)(write: String => Unit): Double = {
       // warm once (codegen, scan cache), then median of 3 timed runs
       val times = (0 to 3).map { i =>
-        val out = scratch.resolve(s"${tag}_$i")
+        val out = new HPath(scratch, s"${tag}_$i")
         val t0 = System.nanoTime()
         write(out.toString)
         (System.nanoTime() - t0) / 1e9
@@ -48,7 +44,8 @@ object LayoutBench {
     val tsvSec = time("tsv")(out => Bigrams.writeTsv(counts, out, nParts))
     val hadoopSec = time("hadoop")(out =>
       BigramJob.writeHadoopLayout(counts, out, nParts))
-    rmTree(scratch)
+    scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(scratch, true)
 
     println(s"""{"metric":"hadoop_layout_overhead","tsv_sec":$tsvSec,""" +
       s""""hadoop_layout_sec":$hadoopSec,""" +

@@ -80,6 +80,36 @@ object ShuffleAudit {
   private def sumMetric(nodes: Seq[SparkPlan], key: String): Long =
     nodes.flatMap(_.metrics.get(key)).map(_.value).filter(_ > 0).sum
 
+  private[graft] def mb(v: Long): Double = math.round(v / 1048.576) / 1000.0
+
+  /** One measured execution of `fn(spark, sfDir)` (caller warms
+    * first): wall seconds, plan-view shuffle/spill MB, task-view
+    * shuffle/spill MB. The task view sums EVERY job the query runs —
+    * iteration rounds, micro-batches, subqueries — which the plan
+    * view cannot see. */
+  private[graft] final case class Measured(wallSec: Double, shuffleMb: Double,
+      spillMb: Double, taskShuffleMb: Double, taskSpillMb: Double)
+
+  private[graft] def measure(spark: SparkSession,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Measured = {
+    val totals = new TaskTotals
+    spark.sparkContext.addSparkListener(totals)
+    try {
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      // execute THIS QueryExecution (df.count() would plan a separate
+      // aggregate execution and leave these metrics untouched)
+      df.queryExecution.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val (tw, ts) = totals.settled()
+      Measured(math.round(wall * 1000) / 1000.0,
+        mb(sumMetric(nodes, "shuffleBytesWritten")),
+        mb(sumMetric(nodes, "spillSize")), mb(tw), mb(ts))
+    } finally spark.sparkContext.removeSparkListener(totals)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -102,26 +132,14 @@ object ShuffleAudit {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    def mb(v: Long): Double = math.round(v / 1048.576) / 1000.0
     val rows = ordered.flatMap { case (name, fn) =>
-      val totals = new TaskTotals
-      spark.sparkContext.addSparkListener(totals)
-      try {
-        val df = fn(spark, sfDir)
-        // execute THIS QueryExecution (df.count() would plan a separate
-        // aggregate execution and leave these metrics untouched)
-        df.queryExecution.toRdd.count()
-        val nodes = flatten(df.queryExecution.executedPlan)
-        val written = sumMetric(nodes, "shuffleBytesWritten")
-        val spill = sumMetric(nodes, "spillSize")
-        val (tw, ts) = totals.settled()
-        Some(name -> ((mb(written), mb(spill), mb(tw), mb(ts))))
-      } catch { case _: Throwable => None }
-      finally spark.sparkContext.removeSparkListener(totals)
+      try Some(name -> measure(spark, fn, sfDir))
+      catch { case _: Throwable => None }
     }
     val line = rows
-      .map { case (n, (w, s, tw, ts)) =>
-        s""""$n":{"shuffle_mb":$w,"spill_mb":$s,"task_shuffle_mb":$tw,"task_spill_mb":$ts}"""
+      .map { case (n, m) =>
+        s""""$n":{"shuffle_mb":${m.shuffleMb},"spill_mb":${m.spillMb},""" +
+          s""""task_shuffle_mb":${m.taskShuffleMb},"task_spill_mb":${m.taskSpillMb}}"""
       }
       .mkString("{", ",", "}")
     println(line)

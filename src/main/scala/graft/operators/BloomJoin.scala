@@ -1,11 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-pruned anti-join — "which of these incoming documents have we
   * never seen before?", the incremental-ingest primitive of a crawl
@@ -77,16 +76,24 @@ object BloomJoin {
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
         .toAggregateExpression())
-    val bloomBytes = seen.filter(col(keyCol).isNotNull).select(bloomAgg.as("bf"))
-      .head().getAs[Array[Byte]](0)
-    // an empty seen side aggregates to NULL — nothing is seen, so
-    // everything is novel and the probe must say "might contain: no"
+    // Bind the built filter as a SCALAR SUBQUERY — the same binding
+    // Spark's InjectRuntimeFilter uses — instead of collecting the
+    // bytes and embedding them as a binary Literal. The probe appears
+    // in BOTH branches below; a Literal would ship the multi-MB bitmap
+    // twice in the serialized plan (2× filter size, growing with
+    // maxNumBits — ADVICE r08), while the subquery is planned once,
+    // executed once (ReuseSubquery), and its result distributed
+    // through the subquery machinery. It also keeps the operator lazy:
+    // no eager driver-side aggregation at call time.
+    val bloomPlan = seen.filter(col(keyCol).isNotNull).select(bloomAgg.as("bf"))
+      .queryExecution.analyzed
     val mightContain =
-      if (bloomBytes == null) lit(false)
-      else ColumnBridge.column(BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType), hashed))
-    val definitelyNovel = incoming.filter(!mightContain)
-    val residual = incoming.filter(mightContain)
+      ColumnBridge.column(BloomFilterMightContain(ScalarSubquery(bloomPlan), hashed))
+    // an empty seen side aggregates to NULL — nothing is seen, so
+    // everything is novel and the probe must read "might contain: no"
+    val pos = coalesce(mightContain, lit(false))
+    val definitelyNovel = incoming.filter(!pos)
+    val residual = incoming.filter(pos)
       .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definitelyNovel.unionByName(residual)
   }

@@ -88,6 +88,52 @@ object Dedup {
       .select(col(idCol), explode(ngrams(col("_toks"), n)).as("shingle"))
       .distinct()
 
+  /** Corpus-stat-derived df cap for [[ngramJaccardPairs]] (VERDICT r08
+    * #5): the largest cap such that the expected inverted-index join
+    * budget Σ_shingle min(df, cap)·df stays within
+    * `pairBudgetPerOcc × total shingle occurrences` — i.e. the join
+    * may amplify each posting by at most a chosen constant, whatever
+    * the corpus's df distribution does. Σ min(df,cap)·df is exactly
+    * the number of (probe row × partner) pairs the shingle equi-join
+    * generates under the cap, so the bound is the join's real cost
+    * model, not a proxy.
+    *
+    * Returns `Int.MaxValue` (= uncapped, the operator's default exact
+    * semantics) when even the uncapped budget fits — which is the case
+    * for every oracle-checked SF, so deriving the cap never perturbs
+    * the gate. The floor of 16 keeps a pathological corpus (one
+    * shingle everywhere) from deriving a cap below any real signal
+    * band. Cost: one tokenize+shingle scan and two aggregations; the
+    * collected histogram is (distinct df values) rows — corpus stats,
+    * never corpus rows. Callers memoize per corpus ([[graft.queries]]
+    * derives once per data dir).
+    */
+  def deriveMaxDf(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, pairBudgetPerOcc: Double = 64.0): Int = {
+    val hist = shingles(docs, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+      .orderBy(col("df"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (hist.isEmpty) return Int.MaxValue
+    val totalOcc = hist.map { case (df, n0) => df * n0 }.sum
+    val budget = pairBudgetPerOcc * totalOcc
+    // pairs(cap) = Σ_{df≤cap} df²·n + cap·Σ_{df>cap} df·n, nondecreasing
+    // in cap; evaluate at the distinct df values (between two adjacent
+    // df values pairs(cap) is linear, so candidates suffice)
+    def pairs(cap: Long): Double =
+      hist.map { case (df, n0) =>
+        if (df <= cap) df.toDouble * df * n0 else cap.toDouble * df * n0
+      }.sum
+    if (pairs(hist.last._1) <= budget) Int.MaxValue
+    else {
+      val best = hist.map(_._1).filter(cap => pairs(cap) <= budget)
+        .lastOption.getOrElse(16L)
+      math.max(best, 16L).toInt
+    }
+  }
+
   /** Exact pairwise n-gram Jaccard over the shingle inverted index.
     * `(a_id, b_id, jaccard)` for pairs with jaccard ≥ minJaccard.
     * Join is on shingle equality: cost ∝ Σ_shingle df(shingle)², so
@@ -97,7 +143,8 @@ object Dedup {
     * intersection index and the set sizes), keeping Jaccard
     * self-consistent. The cap is OPT-IN (default `Int.MaxValue` = no
     * cap): capping changes the operator's output semantics, so callers
-    * choose it deliberately (d03 passes 1000). Use [[minHashPairs]] as
+    * choose it deliberately (the d03 family passes the corpus-derived
+    * [[deriveMaxDf]] answer). Use [[minHashPairs]] as
     * the scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
@@ -117,10 +164,17 @@ object Dedup {
       .filter(col(idCol).isNotNull && col("shingle").isNotNull)
       .repartition(col("shingle"))
     // hot set is small by construction (≤ total-occurrences / maxDf):
-    // AQE turns the anti-join into a broadcast at runtime
-    val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDf).select(col("shingle"))
-    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+    // AQE turns the anti-join into a broadcast at runtime. Uncapped
+    // (the default, and the derived answer on any corpus whose join
+    // budget already fits) skips the df-count pass + anti-join
+    // entirely instead of anti-joining against a provably empty set.
+    val sh =
+      if (maxDf == Int.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDf).select(col("shingle"))
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("a_id"), col("shingle")).alias("a")
     val b = sh.select(col(idCol).as("b_id"), col("shingle")).alias("b")

