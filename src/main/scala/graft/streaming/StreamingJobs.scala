@@ -100,16 +100,30 @@ object StreamingJobs {
     try body finally s.conf.set(key, prev)
   }
 
-  /** File-stream over `dir`'s events table, ts-normalized to the
+  /** File-stream over `dir/name.parquet`, whichever layout it is.
+    * The driver's sf fixtures are single parquet FILES and a file
+    * stream source only accepts directories — stream the parent dir
+    * with a glob pinned to that file (zero copying of the corpus). A
+    * production corpus (and every ScaleGen dir) is instead a DIRECTORY
+    * of part files; `pathGlobFilter` matches LEAF file names, so the
+    * single-file glob would silently match nothing there — stream the
+    * directory itself. */
+  private def tableStream(s: SparkSession, dir: String, name: String): DataFrame = {
+    val p = new HPath(dir, s"$name.parquet")
+    val isDir = try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    catch { case _: java.io.IOException => false }
+    val reader = s.readStream.schema(Tables.rawSchema(s, dir, name))
+    if (isDir) reader.parquet(p.toString)
+    else reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
+  /** [[tableStream]] over the events table, ts-normalized to the
     * engine's long-nanos contract — readStream must be handed the RAW
     * on-disk schema (timestamp[us] in newer fixture generations), with
-    * [[Tables.normalizeTs]] applied as a projection on top. The sf
-    * tables are single parquet FILES and a file stream source only
-    * accepts directories — stream the parent dir with a glob pinned to
-    * the events file (zero copying of the corpus). */
+    * [[Tables.normalizeTs]] applied as a projection on top. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame =
-    Tables.normalizeTs(s.readStream.schema(Tables.rawSchema(s, dir, "events"))
-      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    Tables.normalizeTs(tableStream(s, dir, "events"))
 
   /** File identity of `dir/name.parquet` for drain signatures:
     * `mtime:length:contentTag`, or "absent" when the file is missing.
@@ -122,13 +136,32 @@ object StreamingJobs {
     * and last 4 KB: for parquet that covers the header and the footer
     * (schema + row-group metadata + row counts), which any content
     * change rewrites. Cost is two small reads per drain call, against
-    * a signature that gates replaying the whole corpus. */
+    * a signature that gates replaying the whole corpus.
+    *
+    * A DIRECTORY table (part files) digests the sorted listing —
+    * (name, mtime, length) per data file. Spark part-file names embed
+    * the write's UUID, so any rewrite changes the listing even when
+    * sizes and mtime granularity collude; per-file content reads are
+    * skipped (thousands of footer seeks per signature check would
+    * defeat the memo's purpose). */
   private def srcStat(s: SparkSession, dir: String, name: String): String = {
     val p = new HPath(dir, s"$name.parquet")
     try {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       val md = java.security.MessageDigest.getInstance("MD5")
+      if (st.isDirectory) {
+        val parts = fs.listStatus(p)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+        parts.foreach { f =>
+          md.update(s"${f.getPath.getName}:${f.getModificationTime}:${f.getLen};"
+            .getBytes("UTF-8"))
+        }
+        val tag = md.digest().take(6).map("%02x".format(_)).mkString
+        return s"$name:dir:${parts.length}:${parts.map(_.getLen).sum}:$tag"
+      }
       val in = fs.open(p)
       try {
         val buf = new Array[Byte](4096)
@@ -293,8 +326,7 @@ object StreamingJobs {
       val docs = Tables.load(s, dir, "documents")
       if (docs.isEmpty) None
       else {
-        val stream = s.readStream.schema(docs.schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = tableStream(s, dir, "documents")
           // synthetic deterministic event time; +1s keeps doc 0 above
           // the initial watermark (t=0 events are dropped against it)
           .withColumn("ts_micro", timestamp_micros($"doc_id" + 1000000L))
@@ -375,8 +407,7 @@ object StreamingJobs {
         // the "seen" corpus: digests of every doc_id % 3 <> 0 document
         val seen = docs.filter($"doc_id" % 3 =!= 0)
           .select(graft.operators.Dedup.contentHash($"text").as("h"))
-        val incoming = s.readStream.schema(docs.schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val incoming = tableStream(s, dir, "documents")
           .select($"doc_id", graft.operators.Dedup.contentHash($"text").as("h"))
         Some(parquetSink(incoming.join(seen, Seq("h"), "left_anti")
           .select($"doc_id")))
@@ -483,8 +514,7 @@ object StreamingJobs {
       val docs = Tables.load(s, dir, "documents")
       if (docs.isEmpty) None
       else {
-        val stream = s.readStream.schema(docs.schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = tableStream(s, dir, "documents")
         Some((ckpt, outPath) => StreamingPublish.publishStream(stream, outPath,
           ckpt, partitionCols = Seq("lang"), sortBy = Seq("doc_id")))
       }
@@ -743,8 +773,7 @@ object StreamingJobs {
           .toDF("key", "digest", "seq", "op", "tus")
           .coalesce(1).write.parquet(sentinelDir)
 
-        val stream = s.readStream.schema(docsBatch.schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = tableStream(s, dir, "documents")
         def rev(u: Int) =
           substring(md5(concat($"text", lit(s" rev$u"))), 1, 12)
         val snap = stream.filter($"doc_id" % 4 =!= 3)

@@ -145,4 +145,51 @@ class StreamingJobsSpec extends SparkSpec {
         "modified source must invalidate the drain signature")
     } finally spark.conf.unset(StreamingJobs.WorkDirKey)
   }
+
+  test("directory-layout corpus: drains stream part files, signature tracks the listing") {
+    // A production corpus (and every ScaleGen dir) stores each table as
+    // a DIRECTORY of part files, not the driver fixtures' single file.
+    // pathGlobFilter matches LEAF names, so the old single-file glob
+    // silently streamed ZERO rows from such a dir — this pins the fix.
+    val Min = 60L * 1000000
+    val base = 1440 * Min
+    val rows = Seq(
+      (1L, 1L, (base + 0 * Min) * 1000, "click", 0.0),
+      (1L, 2L, (base + 10 * Min) * 1000, "click", 0.0),
+      (2L, 3L, (base + 5 * Min) * 1000, "view", 0.0))
+    val corpus = Files.createTempDirectory("graft-dirlayout-corpus")
+    // events.parquet as a directory with MULTIPLE part files
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .repartition(2).write.parquet(corpus.resolve("events.parquet").toString)
+
+    val workOverride = Files.createTempDirectory("graft-dirlayout-work")
+    spark.conf.set(StreamingJobs.WorkDirKey, workOverride.toString)
+    try {
+      def drain() = StreamingJobs
+        .sessionizeAvailableNow(spark, corpus.toString, gapUs = 30 * Min)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val expected = Set(
+        (1L, 1L, base, base + 10 * Min, 2L),
+        (2L, 1L, base + 5 * Min, base + 5 * Min, 1L))
+      assert(drain() == expected,
+        "directory-layout corpus must stream every part file")
+
+      val sig = workOverride
+        .resolve(s"graft_e05_${md5hex(corpus.toString)}").resolve("drain-sig")
+      val sigTime = Files.getLastModifiedTime(sig)
+      assert(drain() == expected)
+      assert(Files.getLastModifiedTime(sig) == sigTime,
+        "unchanged directory must re-serve the committed sink")
+
+      // rewriting the directory (new part names via write UUIDs) must
+      // invalidate: user 3 appears only if the drain really re-ran
+      (rows :+ (3L, 4L, (base + 7 * Min) * 1000, "view", 0.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+        .repartition(2).write.mode("overwrite")
+        .parquet(corpus.resolve("events.parquet").toString)
+      assert(drain() == expected +
+        ((3L, 1L, base + 7 * Min, base + 7 * Min, 1L)),
+        "rewritten directory must invalidate the drain signature")
+    } finally spark.conf.unset(StreamingJobs.WorkDirKey)
+  }
 }
