@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   * document an EXACT duplicate of its K−1 siblings, multiplying the
   * near-dup pair count ~K² and poisoning the linearity measurement.
   *
-  *  - documents: every 13th word (position offset by shard) gets a
-  *    shard suffix — each shard keeps the source's INTERNAL
-  *    duplicate/near-dup structure while cross-shard copies fall to
-  *    3-gram shingle Jaccard ≈ 0.38, below any near-dup threshold, so
-  *    candidate volume must scale ~linearly for a correctly-bucketed
-  *    miner.
+  *  - documents: every occurrence of a word whose hash lands in class
+  *    0 (~1/3 of word types) gets a shard suffix — a per-shard
+  *    BIJECTION on word types, so each shard keeps the source's
+  *    INTERNAL duplicate/near-dup structure EXACTLY (shingle sets
+  *    transform bijectively) while cross-shard copies drop to 3-gram
+  *    Jaccard ≈ 0.2 regardless of document length, below any near-dup
+  *    threshold — candidate volume must therefore scale ~linearly for
+  *    a correctly-bucketed miner. A build-time gate verifies the max
+  *    cross-shard Jaccard over ALL base docs and fails loudly above
+  *    0.5 (this caught the retired position-based rule leaving short
+  *    docs' copies identical).
   *  - embeddings: each shard applies its own ORTHOGONAL transform —
   *    circular shift by `shard % dim` positions composed with a
   *    Walsh sign mask indexed by `shard / dim` (flip where
@@ -42,11 +47,21 @@ import org.apache.spark.sql.functions._
   * with SF, which is exactly what engages the g04/g05 hub caps the
   * scale audit watches.
   *
-  * Usage: tools/jrun.sh graft.ScaleGen [srcDir] [dstDir] [K] [tables]
+  * Usage: tools/jrun.sh graft.ScaleGen [srcDir] [dstDir] [K] [tables] [mode]
   * `tables` = comma list or `all`; default `documents,lineitem` (the
   * heavy-family scale set). Events' `ts` lands as the engine's
   * normalized long-nanos view — [[Tables.normalizeTs]] passes longs
   * through, so a generated dir behaves identically to a driver dir.
+  *
+  * `mode` (default `scale`): `volume` writes K EXACT copies of every
+  * row — no key offsets, no perturbation — so the corpus grows K× in
+  * VOLUME while its key space (users, content digests, CDC keys)
+  * stays fixed. That is the deconfounding twin of the default mode for
+  * the streaming state audit: default scaling grows keys AND volume
+  * together (state ∝ either explains a K× state growth); the
+  * volume-only dir separates them — a keyed state store must stay
+  * ~FLAT on it while input rows grow K×, and only a row-buffering
+  * operator (a stream-stream join's watermark band) may track volume.
   */
 object ScaleGen {
 
@@ -70,6 +85,8 @@ object ScaleGen {
         require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(",")}")
         ts
       }
+    val mode = if (args.length > 4) args(4) else "scale"
+    require(mode == "scale" || mode == "volume", s"unknown mode $mode")
     val spark = GraftSession.get("scale-gen")
     import spark.implicits._
 
@@ -81,6 +98,20 @@ object ScaleGen {
     def sharded(name: String): DataFrame =
       Tables.load(spark, src, name).crossJoin(shards)
 
+    if (mode == "volume") {
+      // K exact copies per row, keys untouched: volume grows K×, the
+      // key space does not (see the Scaladoc). Dimensions stay as-is.
+      for (t <- tables) t match {
+        case "part" | "nation" | "region" =>
+          write(Tables.load(spark, src, t).coalesce(4), t)
+        case t0 => write(sharded(t0).drop("shard"), t0)
+      }
+      println(s"[scalegen] wrote $dst (volume-only K=$k from $src, " +
+        s"tables=${tables.mkString(",")})")
+      spark.stop()
+      return
+    }
+
     // one shared orderkey base keeps the lineitem↔orders FK intact
     // across shards (orders is the key superset)
     lazy val maxOk = maxOf(Tables.load(spark, src, "orders"), "o_orderkey")
@@ -89,14 +120,66 @@ object ScaleGen {
     for (t <- tables) t match {
       case "documents" =>
         val maxDoc = maxOf(Tables.load(spark, src, "documents"), "doc_id")
+        // Per-shard perturbation is a BIJECTION ON WORD TYPES: every
+        // occurrence of a word whose hash lands in class 0 (~1/3 of
+        // types) gets the shard suffix. Within a shard the same
+        // substitution applies to every document, so shingle sets
+        // transform bijectively — exact duplicates stay exact and
+        // every within-shard pairwise Jaccard is preserved EXACTLY.
+        // Across shards the suffix value differs, so ~1/3 of tokens
+        // (hence ~2/3+ of 3-gram shingles) differ between any two
+        // copies, independent of document LENGTH or word positions.
+        // The retired position rule ((i+shard)%13) silently failed
+        // both ways: docs shorter than 13 words could get NO
+        // perturbed position (cross-shard copies stayed IDENTICAL),
+        // and single-hit medium docs kept j≈0.6-0.7 — r9's sf10
+        // ScaleCheck caught the resulting K²-growing true-pair mass
+        // as d04's 93x shuffle blowup.
+        // The positional backstop guards the adversarial tail the gate
+        // below caught: a doc whose word types ALL miss class 0 would
+        // keep identical cross-shard copies under the class rule
+        // alone. Long docs use i%7 (≥43% of windows touched — enough
+        // because long repetitive docs collapse to few distinct
+        // shingles anyway); short docs (<20 words, whose tiny distinct
+        // shingle sets can stay at j=0.5 under sparse hits) use i%3,
+        // which touches EVERY 3-wide window. Cost: only
+        // position-misaligned near-dup pairs degrade, and long docs
+        // keep ~17% of windows shared cross-shard so global shingle
+        // df still grows ∝ corpus — the regime the derived-cap
+        // machinery exists for.
         write(sharded("documents")
+          .withColumn("_m", when(size(split($"text", " ")) < 20, 3).otherwise(7))
           .select(($"doc_id" + $"shard".cast("long") * maxDoc).as("doc_id"),
             expr("""array_join(transform(split(text, ' '),
-                     (w, i) -> CASE WHEN (i + shard) % 13 = 0
+                     (w, i) -> CASE WHEN pmod(hash(w), 3) = 0 OR i % _m = 0
                                THEN concat(w, 'x', shard) ELSE w END), ' ')""")
               .as("text"),
             $"lang", $"source")
           .withColumn("n_chars", length($"text")), "documents")
+        // Build-time decorrelation gate — the text twin of the
+        // embeddings cosine check: over EVERY base doc, the max
+        // cross-shard 3-gram Jaccard between its copies (measured on
+        // sanitize_tokens, exactly the dedup operators' view) must sit
+        // below the 0.5 near-dup threshold, else the corpus would
+        // carry quadratically-growing true-pair mass and poison every
+        // linearity measurement downstream.
+        val toks = spark.read.parquet(s"$dst/documents.parquet")
+          .select(($"doc_id" % maxDoc).as("base"), $"doc_id",
+            expr("sanitize_tokens(text)").as("t"))
+        val sh3 = toks.select($"base", $"doc_id", expr(
+          """CASE WHEN size(t) < 3 THEN array()
+            |ELSE array_distinct(transform(sequence(1, size(t) - 2),
+            |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+            |                 element_at(t, i + 2)))) END""".stripMargin).as("s"))
+        val worstText = sh3.as("a").join(sh3.as("b"),
+            col("a.base") === col("b.base") && col("a.doc_id") < col("b.doc_id"))
+          .select((size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+            size(array_union(col("a.s"), col("b.s")))).as("j"))
+          .agg(max($"j")).as[Option[Double]].head().getOrElse(0.0)
+        println(f"[scalegen] documents max cross-shard jaccard = $worstText%.4f")
+        require(worstText < 0.5,
+          f"cross-shard document copies still near-duplicate (j=$worstText%.3f) — " +
+            "the per-shard word-class perturbation failed to decorrelate; fix before measuring")
 
       case "lineitem" =>
         write(sharded("lineitem")

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Runnable streaming STATE-growth gate (VERDICT r08 #3a): the
+  * state-store twin of [[ScaleCheck]]. For each drain query it records
+  * the state store's peak row count and memory (from the progress
+  * events every micro-batch publishes) at two corpus dirs, and asserts
+  * the growth stays within a per-query bound.
+  *
+  * What "correct state posture" means here: a keyed streaming operator
+  * (dedup digests, session state, window aggregates, CDC latest-wins)
+  * must hold state proportional to DISTINCT KEYS WITHIN THE WATERMARK,
+  * never to input volume. The two ScaleGen modes deconfound those:
+  *
+  *  - default mode scales keys AND volume together K× — state should
+  *    grow ≈K× (bound `slack·K`);
+  *  - `volume` mode writes K exact copies with the key space fixed —
+  *    state must stay ~FLAT (bound `slack`) while `input_rows` proves
+  *    the corpus really grew K×. A state store that tracks volume
+  *    (e.g. an accidental per-ROW buffer) fails this gate loudly.
+  *
+  * The one legitimate volume-tracker is a stream-stream JOIN, whose
+  * state is each side's buffered rows inside the watermark band —
+  * e07 gets an explicit `:K·slack` bound in the volume run, and that
+  * exception is part of the recorded artifact, not a silent pass.
+  *
+  * Usage:
+  *   tools/jrun.sh graft.StateAudit <dirA> <dirB> <defaultBound> \
+  *     <out.json> <query[:bound]> ...
+  *
+  * Each (query, dir) run forces a REAL drain (the drain memo is
+  * re-rooted at a fresh scratch dir per run), so the listener sees
+  * every micro-batch. Progress events arrive async on the listener
+  * bus; the harness waits for stream termination plus a settle sleep
+  * before reading the accumulators.
+  */
+object StateAudit {
+
+  private final class Acc {
+    @volatile var stateRowsMax: Long = 0L
+    @volatile var stateMemMax: Long = 0L
+    @volatile var inputRows: Long = 0L
+    @volatile var batches: Long = 0L
+    def reset(): Unit = { stateRowsMax = 0; stateMemMax = 0; inputRows = 0; batches = 0 }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 5,
+      "usage: StateAudit <dirA> <dirB> <defaultBound> <out.json> <query[:bound]>...")
+    val Array(dirA, dirB, boundStr, outPath) = args.take(4)
+    val defaultBound = boundStr.toDouble
+    val specs = args.drop(4).toSeq.map { q =>
+      q.split(":") match {
+        case Array(name, b) => name -> b.toDouble
+        case Array(name) => name -> defaultBound
+        case _ => sys.error(s"bad query spec: $q")
+      }
+    }
+    val unknown = specs.map(_._1).filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.registerFunctions(spark)
+    GraftSession.installOptimizations(spark)
+
+    val acc = new Acc
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        acc.inputRows += p.numInputRows
+        acc.batches += 1
+        val ops = Option(p.stateOperators).getOrElse(Array.empty)
+        if (ops.nonEmpty) {
+          val rows = ops.map(_.numRowsTotal).sum
+          val mem = ops.map(_.memoryUsedBytes).sum
+          if (rows > acc.stateRowsMax) acc.stateRowsMax = rows
+          if (mem > acc.stateMemMax) acc.stateMemMax = mem
+        }
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+
+    final case class Measured(stateRows: Long, stateMemMb: Double,
+                              inputRows: Long, batches: Long, wallSec: Double)
+
+    val scratchRoot = Files.createTempDirectory("graft-stateaudit")
+    var runId = 0
+    def runOne(name: String, dir: String): Measured = {
+      runId += 1
+      // fresh scratch root per run: the drain signature never matches,
+      // so the query REALLY drains and the listener sees its batches
+      spark.conf.set(WorkDirs.WorkDirKey,
+        scratchRoot.resolve(s"run$runId").toString)
+      acc.reset()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async; wait for the bus to quiesce
+      var settle = 0
+      var last = (-1L, -1L)
+      while (settle < 20 && (acc.batches, acc.inputRows) != last) {
+        last = (acc.batches, acc.inputRows)
+        Thread.sleep(300)
+        settle += 1
+      }
+      Measured(acc.stateRowsMax,
+        math.round(acc.stateMemMax / 1048576.0 * 100) / 100.0,
+        acc.inputRows, acc.batches, math.round(wall * 100) / 100.0)
+    }
+
+    val rows = specs.map { case (name, bound) =>
+      val a = runOne(name, dirA)
+      val b = runOne(name, dirB)
+      val ratio =
+        if (a.stateRows <= 0) (if (b.stateRows <= 0) 1.0 else Double.PositiveInfinity)
+        else math.round(b.stateRows.toDouble / a.stateRows * 100) / 100.0
+      val inputRatio =
+        if (a.inputRows <= 0) Double.PositiveInfinity
+        else math.round(b.inputRows.toDouble / a.inputRows * 100) / 100.0
+      val ok = ratio <= bound
+      println(f"[stateaudit] $name%-28s stateA=${a.stateRows}%7d stateB=${b.stateRows}%8d " +
+        f"ratio=$ratio%6.2f bound=$bound%5.1f input×=$inputRatio%6.2f ${if (ok) "ok" else "FAIL"}")
+      (name, bound, a, b, ratio, inputRatio, ok)
+    }
+
+    def fmt(m: Measured): String =
+      s"""{"state_rows":${m.stateRows},"state_mem_mb":${m.stateMemMb},""" +
+        s""""input_rows":${m.inputRows},"batches":${m.batches},"wall_s":${m.wallSec}}"""
+    val body = rows.map { case (n, bound, a, b, ratio, inputRatio, ok) =>
+      s""" "$n":{"a":${fmt(a)},"b":${fmt(b)},"state_ratio":$ratio,""" +
+        s""""input_ratio":$inputRatio,"bound":$bound,"ok":$ok}"""
+    }.mkString(",\n")
+    val allOk = rows.forall(_._7)
+    val json =
+      s"""{
+         | "note": "graft.StateAudit gate: peak state-store rows (sum over operators, max over batches) dirA->dirB must stay within per-query bounds. input_ratio records how much the corpus actually grew. local[$cpus], fresh drain per run.",
+         | "dirA": "$dirA",
+         | "dirB": "$dirB",
+         | "all_ok": $allOk,
+         |$body
+         |}""".stripMargin
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}
