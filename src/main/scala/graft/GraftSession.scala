@@ -21,6 +21,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Start AQE-planned shuffles WIDE and let coalescing shrink them:
+      // with initialPartitionNum unset, every exchange materializes at
+      // shuffle.partitions (= cores), so a join/agg whose per-partition
+      // state outgrows its memory share can only SPILL — the r9 sf10
+      // ScaleCheck measured 66–74 GB of spill in the pair-mining family
+      // from exactly this. 8× cores costs only empty-bucket overhead on
+      // small shuffles (AQE coalesces them back to the 64 MB advisory
+      // target), and on a real cluster "initial partitions ≫ cores,
+      // coalesce down" is the standard AQE posture.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the events table stores timestamp[ns]; Spark has no nanosecond

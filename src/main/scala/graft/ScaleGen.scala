@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * near-dup pair count ~K² and poisoning the linearity measurement.
   *
   *  - documents: every occurrence of a word whose hash lands in class
-  *    0 (~1/3 of word types) gets a shard suffix — a per-shard
+  *    0 (~1/3 of word types) is rewritten through a per-shard rotated
+  *    alphabet — a length-preserving per-shard
   *    BIJECTION on word types, so each shard keeps the source's
   *    INTERNAL duplicate/near-dup structure EXACTLY (shingle sets
   *    transform bijectively) while cross-shard copies drop to 3-gram
@@ -122,11 +123,12 @@ object ScaleGen {
         val maxDoc = maxOf(Tables.load(spark, src, "documents"), "doc_id")
         // Per-shard perturbation is a BIJECTION ON WORD TYPES: every
         // occurrence of a word whose hash lands in class 0 (~1/3 of
-        // types) gets the shard suffix. Within a shard the same
-        // substitution applies to every document, so shingle sets
-        // transform bijectively — exact duplicates stay exact and
-        // every within-shard pairwise Jaccard is preserved EXACTLY.
-        // Across shards the suffix value differs, so ~1/3 of tokens
+        // types) is rewritten through the shard's alphabet. Within a
+        // shard the same substitution applies to every document, so
+        // shingle sets transform bijectively — exact duplicates stay
+        // exact and every within-shard pairwise Jaccard is preserved
+        // EXACTLY.
+        // Across shards the rewrite differs, so ~1/3 of tokens
         // (hence ~2/3+ of 3-gram shingles) differ between any two
         // copies, independent of document LENGTH or word positions.
         // The retired position rule ((i+shard)%13) silently failed
@@ -147,12 +149,70 @@ object ScaleGen {
         // keep ~17% of windows shared cross-shard so global shingle
         // df still grows ∝ corpus — the regime the derived-cap
         // machinery exists for.
+        // The perturbation itself is LENGTH-NEUTRAL: a selected word is
+        // rewritten by `translate` through a rotated alphabet — letters
+        // by r = (hash(w) + 7·shard) mod 26, digits independently by
+        // d = (hash(w) + 3·shard) mod 10. A permutation alphabet makes
+        // translate injective for a fixed rotation and preserves byte
+        // length EXACTLY — the retired suffix rule
+        // (`concat(w,'x',shard)`) grew text bytes ~8% per generation,
+        // so a "×10" corpus was really ×10.8 in the unit text operators
+        // actually pay for, skewing every ratio measured against
+        // dataRatio=10.
+        // The rotation key is the sum of a WORD hash and a SHARD
+        // stride, and both strides are coprime to their modulus, which
+        // buys two properties at once (each killed a real bug):
+        //  - distinct shards NEVER apply the same rotation to the same
+        //    word (7·Δshard ≢ 0 mod 26, 3·Δshard ≢ 0 mod 10 for
+        //    K ≤ 26/10) — a pure per-word-hash key lost this guarantee
+        //    and the gate caught 3-token docs whose copies collided
+        //    back to j=1.0 at birthday rates;
+        //  - at generation depth 2 the key mixes hash(rot(w)), so shard
+        //    paths with equal stride sums do NOT compose to one map —
+        //    fixed per-shard rotations did (rot_a∘rot_b = rot_{a+b}),
+        //    which merged word types across sf10 shards (distinct
+        //    shingles halved, d04 candidates blew up 20×).
+        val lower = "abcdefghijklmnopqrstuvwxyz"
+        val digits = "0123456789"
+        val from = lower + lower.toUpperCase + digits
+        // indexed by r·10 + d: letters (and uppercase) rotated r,
+        // digits rotated d
+        val alphas = (for (r <- 0 until 26; d <- 0 until 10) yield {
+          val lo = lower.drop(r) + lower.take(r)
+          val dg = digits.drop(d) + digits.take(d)
+          s"'${lo + lo.toUpperCase + dg}'"
+        }).mkString("array(", ",", ")")
+        // Backstop density is decided on the doc's DISTINCT-SHINGLE
+        // count — the exact quantity the near-dup operators see. With
+        // _m=7 roughly 17% of token windows dodge both the class rule
+        // and the positional backstop (deterministically, so the SAME
+        // windows survive in every copy), and for a doc whose distinct
+        // 3-gram set is tiny that surviving fraction can carry
+        // cross-shard j right up to the 0.5 threshold (the gate caught
+        // j=0.500 from exactly such a repetitive doc; an earlier
+        // token-count proxy missed it because repetition keeps the
+        // token count high while collapsing the shingle SET). Below 64
+        // distinct shingles every word is rewritten (_m=1) — a pure
+        // type bijection, which preserves within-shard structure
+        // exactly and zeroes those docs' cross-shard overlap; at ≥64,
+        // shared shingles ≤ ~17% of ≥64 keeps j ≲ 0.1 with enormous
+        // margin to 0.5.
         write(sharded("documents")
-          .withColumn("_m", when(size(split($"text", " ")) < 20, 3).otherwise(7))
+          .withColumn("_t", expr("sanitize_tokens(text)"))
+          .withColumn("_ds", expr(
+            """CASE WHEN size(_t) < 3 THEN 0
+              |ELSE size(array_distinct(transform(sequence(1, size(_t) - 2),
+              |  i -> concat_ws(' ', element_at(_t, i), element_at(_t, i + 1),
+              |                 element_at(_t, i + 2))))) END""".stripMargin))
+          .withColumn("_m", when($"_ds" < 64, 1).otherwise(7))
           .select(($"doc_id" + $"shard".cast("long") * maxDoc).as("doc_id"),
-            expr("""array_join(transform(split(text, ' '),
+            expr(s"""array_join(transform(split(text, ' '),
                      (w, i) -> CASE WHEN pmod(hash(w), 3) = 0 OR i % _m = 0
-                               THEN concat(w, 'x', shard) ELSE w END), ' ')""")
+                               THEN translate(w, '$from',
+                                 element_at($alphas,
+                                   pmod(hash(w) + 7 * shard, 26) * 10 +
+                                   pmod(hash(w) + 3 * shard, 10) + 1))
+                               ELSE w END), ' ')""")
               .as("text"),
             $"lang", $"source")
           .withColumn("n_chars", length($"text")), "documents")

@@ -84,9 +84,14 @@ object Dedup {
     * Tokens materialize before the n-gram lambda (see TextFunctions
     * PERF note — computed expressions inside HOF lambdas are O(n²)). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    // per-doc dedup happens MAP-SIDE (array_distinct on the shingle
+    // array) — a row's shingles all live in that row, so a post-explode
+    // .distinct() would pay a full extra shuffle + the corpus's fattest
+    // hash aggregation for something each task can do locally. The r9
+    // sf10 ScaleCheck measured that .distinct() as a ~600 MB redundant
+    // exchange in every pair-mining query.
     docs.select(col(idCol), tokenize(col(textCol)).as("_toks"))
-      .select(col(idCol), explode(ngrams(col("_toks"), n)).as("shingle"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(ngrams(col("_toks"), n))).as("shingle"))
 
   /** Corpus-stat-derived df cap for [[ngramJaccardPairs]] (VERDICT r08
     * #5): the largest cap such that the expected inverted-index join
@@ -97,6 +102,16 @@ object Dedup {
     * the number of (probe row × partner) pairs the shingle equi-join
     * generates under the cap, so the bound is the join's real cost
     * model, not a proxy.
+    *
+    * Budget default 16/occurrence, chosen from the r9 scale ladder's
+    * measured df histograms: every oracle-checked SF (and the sf1
+    * step) sits uncapped below it, and at sf10 it binds (cap 30,
+    * realized 14.0 pairs/occ vs sf1's uncapped 14.9) — so candidate
+    * volume goes LINEAR right where the quadratic df² term would take
+    * over. The original 64/occ left a 4× per-occurrence growth window
+    * that the sf1→sf10 gate measured as 26× shuffle and 74 GB of
+    * spill; the shingles a tighter cap drops are cross-corpus
+    * boilerplate with ~zero Jaccard signal.
     *
     * Returns `Int.MaxValue` (= uncapped, the operator's default exact
     * semantics) when even the uncapped budget fits — which is the case
@@ -109,14 +124,44 @@ object Dedup {
     * derives once per data dir).
     */
   def deriveMaxDf(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3, pairBudgetPerOcc: Double = 64.0): Int = {
+                  n: Int = 3, pairBudgetPerOcc: Double = 16.0): Int =
+    deriveMiningBudget(docs, idCol, textCol, n, pairBudgetPerOcc).maxDf
+
+  /** The d03-family cost-model answer in full: the df cap AND the
+    * candidate-pair volume the capped join will actually generate.
+    * The prediction sizes the pair-join exchange
+    * ([[MiningBudget.pairParts]]): AQE coalesces a shuffle by its map
+    * OUTPUT size, but the inverted-index join's working set is its
+    * join-output — Σ min(df,cap)·df candidate rows feeding a
+    * high-cardinality partial aggregation whose hash state is ~all
+    * distinct pairs seen by the task. At sf10 the r9 gate measured AQE
+    * coalescing that stage to 37 tasks from a 2.1 GB input while the
+    * 4.2e8 predicted pairs carried ~20 GB of agg state — 540 MB a
+    * task, over the 444 MB execution share, 1.9 GB of spill. The same
+    * histogram that derives the cap predicts the output exactly, so
+    * the planner — not AQE — sizes that one exchange. */
+  final case class MiningBudget(maxDf: Int, predictedPairs: Double) {
+    /** Partitions for the pair join: ~64 B of aggregation state per
+      * candidate pair (16 B key, counter, BytesToBytesMap overhead),
+      * targeting ≤64 MB of state per task; floored at `cores` (an
+      * exchange narrower than the machine is never right) and capped
+      * at 4096 (beyond it, per-task scheduling overhead dominates —
+      * at that width each task already holds ≤64 MB). */
+    def pairParts(cores: Int): Int = {
+      val byState = math.ceil(predictedPairs * 64.0 / (64L << 20)).toInt
+      math.min(4096, math.max(cores, byState))
+    }
+  }
+
+  def deriveMiningBudget(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, pairBudgetPerOcc: Double = 16.0): MiningBudget = {
     val hist = shingles(docs, idCol, textCol, n)
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
       .orderBy(col("df"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    if (hist.isEmpty) return Int.MaxValue
+    if (hist.isEmpty) return MiningBudget(Int.MaxValue, 0.0)
     val totalOcc = hist.map { case (df, n0) => df * n0 }.sum
     val budget = pairBudgetPerOcc * totalOcc
     // pairs(cap) = Σ_{df≤cap} df²·n + cap·Σ_{df>cap} df·n, nondecreasing
@@ -126,11 +171,12 @@ object Dedup {
       hist.map { case (df, n0) =>
         if (df <= cap) df.toDouble * df * n0 else cap.toDouble * df * n0
       }.sum
-    if (pairs(hist.last._1) <= budget) Int.MaxValue
+    if (pairs(hist.last._1) <= budget) MiningBudget(Int.MaxValue, pairs(hist.last._1))
     else {
       val best = hist.map(_._1).filter(cap => pairs(cap) <= budget)
         .lastOption.getOrElse(16L)
-      math.max(best, 16L).toInt
+      val cap = math.max(best, 16L)
+      MiningBudget(cap.toInt, pairs(cap))
     }
   }
 
@@ -148,7 +194,8 @@ object Dedup {
     * the scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
-                        maxDf: Int = Int.MaxValue): DataFrame = {
+                        maxDf: Int = Int.MaxValue,
+                        pairParts: Int = 0): DataFrame = {
     // no .cache() — an operator can't know when to unpersist, and
     // leaked blocks accumulate across a query batch. Instead anchor
     // the shingle frame under an explicit shuffle on its join key:
@@ -160,9 +207,17 @@ object Dedup {
     // null shingles) but keep every branch's subtree canonically
     // identical once the optimizer infers join-key null filters —
     // without them, exchange reuse is silently defeated.
-    val shAll = shingles(docs, idCol, textCol, n)
+    // pairParts > 0 pins the anchor's partition COUNT (from
+    // [[MiningBudget.pairParts]] — the predicted join-output state,
+    // which AQE cannot see from map output sizes). An explicit-N
+    // repartition has REPARTITION_BY_NUM origin, which AQE's
+    // coalescer deliberately skips, so the join+partial-agg stage
+    // reading this exchange runs at the cost-model width.
+    val shBase = shingles(docs, idCol, textCol, n)
       .filter(col(idCol).isNotNull && col("shingle").isNotNull)
-      .repartition(col("shingle"))
+    val shAll =
+      if (pairParts > 0) shBase.repartition(pairParts, col("shingle"))
+      else shBase.repartition(col("shingle"))
     // hot set is small by construction (≤ total-occurrences / maxDf):
     // AQE turns the anti-join into a broadcast at runtime. Uncapped
     // (the default, and the derived answer on any corpus whose join
@@ -175,7 +230,18 @@ object Dedup {
           .filter(col("_df") > maxDf).select(col("shingle"))
         shAll.join(hot, Seq("shingle"), "left_anti")
       }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // sizes is ONE ROW PER DOC (id, surviving-shingle count) — small
+    // relative to `inter` (Σ min(df,cap)·df candidate pairs) by the
+    // cost model's own arithmetic, so joining it by shuffle would
+    // re-exchange and SORT the candidate frame twice (once per side).
+    // The r9 sf20 SpillDiag measured exactly that: AQE coalesced the
+    // a_id exchange of ~6e8 inter rows to 35 tasks by byte size and
+    // the SMJ sort spilled 4.2 GB. Broadcast pins the right shape:
+    // `inter` streams through both joins exchange-free. Envelope:
+    // ~30 B/doc — fine through tens of millions of docs, which is
+    // already past the exact path's candidate-volume envelope
+    // ([[minHashPairs]] is the documented scale path beyond it).
+    val sizes = broadcast(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     val a = sh.select(col(idCol).as("a_id"), col("shingle")).alias("a")
     val b = sh.select(col(idCol).as("b_id"), col("shingle")).alias("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a_id") < col("b_id"))

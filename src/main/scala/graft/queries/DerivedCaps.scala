@@ -11,37 +11,51 @@ import graft.operators.Dedup
   * The d03-family df cap used to be the hand-set `maxDf = 1000` at
   * every call site — a number tuned for one corpus generation that no
   * measurement connected to the corpus at hand (VERDICT r08 #5). It is
-  * now [[Dedup.deriveMaxDf]]'s corpus-stat answer, computed ONCE per
-  * data dir (keyed by the documents file's identity, so a regenerated
-  * fixture re-derives) and shared by every query that mines near-dup
-  * pairs (d03/d07/d11, g01/g02, g06/g07/g08). The derivation job runs
-  * inside the first query's build — the same warm-pass slot the other
-  * process memos (IVF quantizer, MinHash coefficients) use, so timed
-  * benchmark passes see a memo hit, and steady-state query cost is
-  * unchanged.
+  * now [[Dedup.deriveMiningBudget]]'s corpus-stat answer, computed
+  * ONCE per data dir (keyed by the documents file's identity, so a
+  * regenerated fixture re-derives) and shared by every query that
+  * mines near-dup pairs (d03/d07/d11, g01/g02, g06/g07/g08). The
+  * derivation job runs inside the first query's build — the same
+  * warm-pass slot the other process memos (IVF quantizer, MinHash
+  * coefficients) use, so timed benchmark passes see a memo hit, and
+  * steady-state query cost is unchanged.
   *
   * At every oracle-checked SF the derived answer is "uncapped"
-  * (max df is single digits against a ≥64-pairs-per-occurrence
+  * (max df is single digits against a 16-pairs-per-occurrence
   * budget), identical in behavior to the old constant — the static
   * DuckDB oracles keep their `<= 1000` spelling, which is equally a
   * no-op there. The cap ENGAGES where it matters: at scale steps
   * (sf10's cross-shard boilerplate dfs) where a fixed 1000 would sit
   * uselessly above the df distribution and let the join budget go
   * quadratic — exactly the regime the ScaleCheck gate measures.
+  *
+  * The same derivation also predicts the capped join's OUTPUT volume
+  * (Σ min(df,cap)·df candidate pairs), which sizes the pair-join
+  * exchange ([[pairPartsFor]]): AQE coalesces that stage by its map
+  * output (posting lists) and cannot see the join's fan-out, so at
+  * sf10 it ran a ~20 GB partial-agg working set on 37 tasks and
+  * spilled 1.9 GB — the planner sizes that one exchange from the cost
+  * model instead.
   */
 object DerivedCaps {
 
-  private val memo = new BoundedMemo[String, java.lang.Integer](64)
+  private val memo = new BoundedMemo[String, Dedup.MiningBudget](64)
 
-  /** The df cap for pair mining over `dir`'s documents table. */
-  def maxDfFor(s: SparkSession, dir: String): Int = {
+  private def budgetFor(s: SparkSession, dir: String): Dedup.MiningBudget = {
     val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
     val id = try {
       val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
       s"$dir@${st.getModificationTime}:${st.getLen}"
     } catch { case _: java.io.IOException => dir }
     memo.getOrCompute(id,
-      _ => Int.box(Dedup.deriveMaxDf(Tables.load(s, dir, "documents"), "doc_id", "text")))
-      .intValue()
+      _ => Dedup.deriveMiningBudget(Tables.load(s, dir, "documents"), "doc_id", "text"))
   }
+
+  /** The df cap for pair mining over `dir`'s documents table. */
+  def maxDfFor(s: SparkSession, dir: String): Int = budgetFor(s, dir).maxDf
+
+  /** Cost-model partition count for the pair join over `dir`'s
+    * documents table (see [[Dedup.MiningBudget.pairParts]]). */
+  def pairPartsFor(s: SparkSession, dir: String): Int =
+    budgetFor(s, dir).pairParts(s.sparkContext.defaultParallelism)
 }

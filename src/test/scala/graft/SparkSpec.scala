@@ -12,6 +12,9 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror GraftSession's wide-start/coalesce-down AQE posture so
+      // specs exercise the deployed plan shapes
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
