@@ -290,7 +290,16 @@ object TextAnalysis {
     * co-partitioned. Prefix counts derive from the (vocabulary-sized)
     * count table, not the raw corpus, and ride in via AQE's choice of
     * join. */
-  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLmRaw(docs, idCol, textCol)
+      .select(col(idCol), col("n_bg"),
+        round(col("_sn").cast("double") / col("_sd").cast("double"), 4).as("score"))
+
+  /** The integer core of [[bigramLmScores]]: per doc, its bigram count
+    * and the two EXACT sums whose quotient is the fluency score. Kept
+    * integer so downstream consumers (the quality-bucket assignment)
+    * can derive surrogate keys without touching floating point. */
+  private def bigramLmRaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = docs.filter(col(idCol).isNotNull)
       .select(col(idCol), explode(ngrams(tokenize(col(textCol)), 2)).as("bigram"))
       .filter(col("bigram").isNotNull)
@@ -310,8 +319,55 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bg"),
         sum(col("cb")).as("_sn"), sum(col("cp")).as("_sd"))
-      .select(col(idCol), col("n_bg"),
-        round(col("_sn").cast("double") / col("_sd").cast("double"), 4).as("score"))
+  }
+
+  /** CCNet-style quality-bucket assignment: every document (with ≥1
+    * bigram) lands in `head` / `middle` / `tail` by its corpus-LM
+    * fluency percentile WITHIN ITS LANGUAGE, plus the sampling weight
+    * a mixing pass would apply per bucket — the decision stage of the
+    * perplexity-filter pipeline (CCNet buckets by per-language LM
+    * perplexity terciles; here deciles 9–10 = head, 5–8 = middle).
+    *
+    * Scale shape — exact quantiles WITHOUT a per-language sort: a
+    * per-language `ntile` window would collapse each language onto one
+    * task (the classic 100 TB bottleneck). Instead the score becomes
+    * an integer surrogate `score_ppm = (sn·10⁶) div sd` (exact
+    * integer arithmetic; headroom to sn ≈ 9e12 bigram occurrences),
+    * the corpus aggregates to a BOUNDED `(lang, score_ppm)` histogram
+    * (≤ 10⁶ rows per language by construction), the cumulative
+    * distribution is a window over that bounded stats frame — the
+    * d12/vocabGrowth pattern: windows run over outputs, never over
+    * the corpus — and documents get their decile back through a
+    * broadcast join on `(lang, score_ppm)`. Ties share a ppm value
+    * and therefore a decile (cume_dist semantics: the group's upper
+    * rank decides), which keeps the assignment deterministic and
+    * engine-independent — `ceil(10·cum/n)` in pure integer math.
+    * Docs with fewer than 2 tokens have no bigrams, hence no fluency
+    * evidence, and are absent (same contract as [[bigramLmScores]]). */
+  def qualityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String): DataFrame = {
+    val scored = bigramLmRaw(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol), col("n_bg"),
+        expr("(_sn * 1000000L) div _sd").as("score_ppm"))
+    val hist = scored.groupBy(col(langCol), col("score_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+    val nByLang = hist.groupBy(col(langCol)).agg(sum(col("cnt")).as("n"))
+    val cume = hist.withColumn("cum",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(langCol)).orderBy(col("score_ppm"))))
+    val deciles = cume.join(nByLang, Seq(langCol))
+      .select(col(langCol), col("score_ppm"),
+        expr("(cum * 10L + n - 1L) div n").as("decile"))
+    scored.join(broadcast(deciles), Seq(langCol, "score_ppm"))
+      .select(col(idCol), col(langCol), col("n_bg"), col("score_ppm"),
+        col("decile"),
+        when(col("decile") >= 9, lit("head"))
+          .when(col("decile") >= 5, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        when(col("decile") >= 9, lit(1000L))
+          .when(col("decile") >= 5, lit(400L))
+          .otherwise(lit(100L)).as("weight_permille"))
   }
 
   /** Vocabulary-growth (Heaps'-law) profile: cumulative distinct-type

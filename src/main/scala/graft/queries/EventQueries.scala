@@ -59,6 +59,34 @@ object EventQueries {
     // joins must agree row-for-row. Inner matches emit on arrival (no
     // sentinel); the band condition doubles as the state-eviction
     // bound (see StreamingRangeJoin).
+    // STREAMING anomaly detection: each hourly (window, event_type)
+    // count compared against its trailing baseline — the sum of the
+    // previous 6 OBSERVED windows of that type. The streaming part is
+    // e06's windowed-count state (reused through the drain memo: same
+    // jobTag + params → the sink is drained ONCE for both queries);
+    // the trailing comparison is a batch window over the drained,
+    // BOUNDED windows frame (windows-in-range × types, never event
+    // rows) — the "windows over outputs" pattern. Integer lift_ppm
+    // (floor((n·6·10⁶)/baseline)) keeps the oracle exact; a window
+    // counts as anomalous when it runs ≥2× hot or ≤0.5× cold vs the
+    // trailing mean. Rows without a full 6-window history carry no
+    // verdict and are dropped — the detector needs its warm-up.
+    "e19_stream_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"window_start_us")
+        .rowsBetween(-6, -1)
+      graft.streaming.StreamingJobs.windowCountsAvailableNow(s, dir)
+        .withColumn("baseline_n", sum($"n").over(win))
+        .withColumn("_prior", count(lit(1)).over(win))
+        .filter($"_prior" === 6)
+        .select($"window_start_us", $"event_type", $"n", $"baseline_n",
+          expr("(n * 6 * 1000000L) div baseline_n").as("lift_ppm"))
+        .withColumn("is_anomaly",
+          ($"lift_ppm" >= 2000000L || $"lift_ppm" <= 500000L).cast("long"))
+        .orderBy($"window_start_us", $"event_type")
+    }),
+
     "e07_stream_range_join" -> ((s, dir) =>
       graft.streaming.StreamingJobs.rangeJoinAvailableNow(s, dir)),
 
@@ -311,6 +339,30 @@ object EventQueries {
       """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
         |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch replay of the hourly counts + the same trailing-6-window
+    // frame; all integer (floor division) so the verdicts are exact
+    "e19_stream_anomaly" ->
+      """WITH w AS (
+        |  SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+        |      AS window_start_us,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT window_start_us, event_type, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY window_start_us
+        |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS baseline_n,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY window_start_us
+        |                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prior
+        |  FROM w)
+        |SELECT window_start_us, event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(baseline_n AS BIGINT) AS baseline_n,
+        |  CAST((n * 6 * 1000000) // baseline_n AS BIGINT) AS lift_ppm,
+        |  CAST(CASE WHEN (n * 6 * 1000000) // baseline_n >= 2000000
+        |              OR (n * 6 * 1000000) // baseline_n <= 500000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM b WHERE prior = 6
+        |ORDER BY window_start_us, event_type""".stripMargin,
 
     // batch replay of the hourly rule aggregate, melted by UNION ALL
     "e16_stream_dq" ->

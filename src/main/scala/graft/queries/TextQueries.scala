@@ -179,6 +179,17 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // CCNet-style quality buckets: per-language LM-fluency deciles →
+    // head/middle/tail + the sampling weight a mixing pass applies.
+    // Exact quantiles with NO per-language sort (see the operator's
+    // scale note: integer score surrogate → bounded histogram →
+    // window over the stats frame → broadcast join back).
+    "t24_quality_buckets" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy($"doc_id")
+    }),
+
     // Inverted index: per-token document frequency over the FULL
     // corpus, postings emitted for the doc_id%7 shard — the global
     // stats + sharded-emission split an incremental index build uses.
@@ -518,6 +529,47 @@ object TextQueries {
          |JOIN cnt USING (bigram)
          |JOIN pfx ON string_split(bigram, ' ')[1] = p
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same exact-integer sums as t15; deciles via the histogram
+    // cume ceil(10·cum/n) — all integer, no double compares anywhere
+    "t24_quality_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM toks),
+         |cnt AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+         |pfx AS (
+         |  SELECT string_split(bigram, ' ')[1] AS p, CAST(sum(cb) AS BIGINT) AS cp
+         |  FROM cnt GROUP BY p),
+         |raw AS (
+         |  SELECT doc_id, count(*) AS n_bg,
+         |    CAST(sum(cb) AS BIGINT) AS sn, CAST(sum(cp) AS BIGINT) AS sd
+         |  FROM bg
+         |  JOIN cnt USING (bigram)
+         |  JOIN pfx ON string_split(bigram, ' ')[1] = p
+         |  GROUP BY doc_id),
+         |sc AS (
+         |  SELECT r.doc_id, d.lang, r.n_bg, (r.sn * 1000000) // r.sd AS score_ppm
+         |  FROM raw r JOIN documents d USING (doc_id)),
+         |hist AS (SELECT lang, score_ppm, count(*) AS cnt FROM sc GROUP BY 1, 2),
+         |nl AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY lang),
+         |dec AS (
+         |  SELECT h.lang, h.score_ppm,
+         |    (sum(h.cnt) OVER (PARTITION BY h.lang ORDER BY h.score_ppm) * 10
+         |      + nl.n - 1) // nl.n AS decile
+         |  FROM hist h JOIN nl USING (lang))
+         |SELECT s.doc_id, s.lang, CAST(s.n_bg AS BIGINT) AS n_bg,
+         |  CAST(s.score_ppm AS BIGINT) AS score_ppm,
+         |  CAST(dec.decile AS BIGINT) AS decile,
+         |  CASE WHEN dec.decile >= 9 THEN 'head'
+         |       WHEN dec.decile >= 5 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  CAST(CASE WHEN dec.decile >= 9 THEN 1000
+         |            WHEN dec.decile >= 5 THEN 400
+         |            ELSE 100 END AS BIGINT) AS weight_permille
+         |FROM sc s JOIN dec ON s.lang = dec.lang AND s.score_ppm = dec.score_ppm
+         |ORDER BY doc_id""".stripMargin,
 
     "t16_inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, $SqlToks AS t FROM documents),

@@ -140,6 +140,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single.count() === 0)
   }
 
+  test("qualityBuckets: per-language deciles via the bounded histogram, all integer") {
+    // lang "en": 10 docs with strictly increasing fluency — doc k
+    // (k = 1..10) repeats "a b" k times then appends a unique garble
+    // token, so score_ppm is strictly increasing in k and each doc is
+    // its own decile: exactly one head pair (deciles 9, 10), four
+    // middle, four tail. lang "fr": 2 docs, one fluent one garbled —
+    // deciles 5 and 10 (ceil(10·cum/n) with n=2), middle + head.
+    val en = (1L to 10L).map { k =>
+      (k, ("a b " * k.toInt) + s"z$k q$k", "en")
+    }
+    val fr = Seq((21L, "x y x y x y", "fr"), (22L, "y q x z", "fr"))
+    val d = (en ++ fr).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.qualityBuckets(d, "doc_id", "text", "lang")
+      .select($"doc_id", $"lang", $"decile", $"bucket", $"weight_permille")
+      .as[(Long, String, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 12)
+    // en: doc k has the k-th smallest score → decile k (n=10, one doc
+    // per distinct ppm value)
+    for (k <- 1L to 10L) assert(got(k)._3 === k, s"en doc $k decile")
+    assert(got(10L)._4 === "head" && got(10L)._5 === 1000L)
+    assert(got(9L)._4 === "head")
+    assert((5L to 8L).forall(got(_)._4 === "middle"))
+    assert((1L to 4L).forall(got(_)._4 === "tail") && got(1L)._5 === 100L)
+    // fr: garbled doc 22 = ceil(10·1/2) = 5 (middle), fluent doc 21 =
+    // ceil(10·2/2) = 10 (head) — buckets are PER-LANGUAGE
+    assert(got(22L)._3 === 5L && got(22L)._4 === "middle")
+    assert(got(21L)._3 === 10L && got(21L)._4 === "head")
+    // ties share a ppm value and must share a decile: two identical
+    // docs in a 2-doc language both land decile 10 (cume upper rank)
+    val tied = TextAnalysis.qualityBuckets(
+      Seq((1L, "a b c", "de"), (2L, "a b c", "de")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang")
+      .select($"decile").as[Long].collect().toSeq
+    assert(tied === Seq(10L, 10L))
+  }
+
   test("invertedIndex: exact tf per (token, doc) and corpus-wide df") {
     val d = Seq(
       (1L, "a a b"), (2L, "a c"), (3L, "b b b")
