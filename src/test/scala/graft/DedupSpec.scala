@@ -52,6 +52,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("deriveMiningBudget: predicted pairs = brute-force join cost; cap binds only over budget") {
+    // 4 docs sharing "a b c" (df up to 4 on its shingles) + 1 disjoint
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"), (4L, "a b c g"),
+      (5L, "x y z w")
+    ).toDF("doc_id", "text")
+    // brute-force the join cost model from the actual shingle table:
+    // Σ_shingle df·min(df, cap) candidate probe×partner rows
+    val dfs = Dedup.shingles(d, "doc_id", "text", 3)
+      .groupBy($"shingle").count().as[(String, Long)].collect().map(_._2)
+    def brute(cap: Long) = dfs.map(df => df.toDouble * math.min(df, cap)).sum
+    // generous budget: uncapped, prediction equals Σ df²
+    val un = Dedup.deriveMiningBudget(d, "doc_id", "text", pairBudgetPerOcc = 64.0)
+    assert(un.maxDf === Int.MaxValue)
+    assert(un.predictedPairs === brute(Long.MaxValue))
+    // pairParts: floored at cores, grows with predicted volume
+    assert(un.pairParts(32) === 32)
+    assert(Dedup.MiningBudget(16, 1e8).pairParts(32) ===
+      math.ceil(1e8 * 64.0 / (64L << 20)).toInt)
+    assert(Dedup.MiningBudget(16, 1e12).pairParts(32) === 4096, "upper clamp")
+    // starvation budget: cap engages at the floor, prediction matches
+    // the brute-force cost AT that cap
+    val capped = Dedup.deriveMiningBudget(d, "doc_id", "text", pairBudgetPerOcc = 0.001)
+    assert(capped.maxDf === 16, "cap floors at 16")
+    assert(capped.predictedPairs === brute(capped.maxDf.toLong))
+    // empty corpus: uncapped, zero pairs, exchange floored at cores
+    val empty = Dedup.deriveMiningBudget(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(empty.maxDf === Int.MaxValue && empty.predictedPairs === 0.0)
+    assert(empty.pairParts(32) === 32)
+  }
+
   test("MinHash-LSH recall: finds every pair the exact method finds (small corpus)") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.5)
       .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
