@@ -327,22 +327,60 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ minCosine, candidates from
     * LSH bucket self-join. */
+  /** Bucket-key width for [[nearDupPairs]] at a given corpus size:
+    * `ceil(log2(n / targetBucket))`, floored at 12 bits (so every
+    * oracle-checked SF derives the same 12-bit family and outputs are
+    * unchanged) and capped at 24. Constant expected occupancy is the
+    * linearity mechanism: with fixed bits, bucket population grows ∝
+    * corpus and in-bucket pairs grow QUADRATICALLY — the r9 sf10
+    * audit measured exactly that (101× shuffle, 90 GB spill at 1M
+    * vectors on the fixed 12-bit family). Deriving bits from n keeps
+    * expected bucket size ≈ targetBucket, so candidates stay ∝ n. */
+  def deriveBits(n: Long, targetBucket: Int = 64,
+                 minBits: Int = 12, maxBits: Int = 24): Int = {
+    val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1 max 0L)
+    math.min(maxBits, math.max(minBits, bits))
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double, dim: Int, tables: Int = 8, bits: Int = 12,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L, maxBucketSize: Int = 4096): DataFrame = {
+    // Anchor the bucketed frame under an exchange on the join key so
+    // the hot-bucket count and both self-join sides reuse ONE shuffle
+    // (the d03/d04 anchor pattern).
     val bucketed = corpus.select(col(idCol), col(vecCol),
       posexplode(bucketKeys(col(vecCol), tables, bits, dim, seed))
         .as(Seq("table", "bucket")))
-    val a = bucketed.select(col(idCol).as("a_id"), col(vecCol).as("avec"),
+      .filter(col(idCol).isNotNull)
+      .repartition(col("table"), col("bucket"))
+    // Skew/scale backstop: a bucket holding more than maxBucketSize
+    // vectors is non-discriminative mass (a near-dup that generic
+    // would pair everything with everything) — skip it, as d04 skips
+    // oversized MinHash buckets. A true near-dup pair is lost only if
+    // ALL `tables` of its buckets are oversized.
+    val hot = bucketed.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
+      .select(col("table"), col("bucket"))
+    val pruned = bucketed.join(hot, Seq("table", "bucket"), "left_anti")
+    val a = pruned.select(col(idCol).as("a_id"), col(vecCol).as("avec"),
       col("table"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("bvec"),
+    val b = pruned.select(col(idCol).as("b_id"), col(vecCol).as("bvec"),
       col("table"), col("bucket"))
+    // Verify INSIDE the join stage and shuffle only survivors: cosine
+    // is a map-side projection on the join output, the ≥ minCosine
+    // filter kills ~all candidates, and the per-pair dedup (a pair
+    // collides in up to `tables` buckets; its cosine is identical in
+    // each) aggregates slim (a_id, b_id, cos) rows. The old shape —
+    // dropDuplicates BEFORE scoring — exchanged every candidate WITH
+    // both full vectors attached (~2 KB/row): 27 GB shuffled, 90 GB
+    // spilled at sf10. This shape shuffles kilobytes.
     a.join(b, Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"),
         cosineSim(col("avec"), col("bvec")).as("cos"))
       .filter(col("cos") >= minCosine)
+      .groupBy(col("a_id"), col("b_id")).agg(min(col("cos")).as("cos"))
   }
 
   /** Symmetric int8 quantization — the storage/serving format for

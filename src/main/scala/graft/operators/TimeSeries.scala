@@ -74,34 +74,42 @@ object TimeSeries {
     val samples =
       df.select(((keys :+ timeCol :+ valueCol) ++ tieBreak).distinct.map(col): _*)
 
-    // Integer grid-index arithmetic (times are epoch micros ≥ 0):
-    // k ∈ [ceil(lo/step), floor(hi/step)], exact — float ceil/floor
-    // on ~2^50 timestamps could round an on-grid bound off the grid.
-    val grid = samples.groupBy(k: _*)
-      .agg(min(col(timeCol)).as("_lo"), max(col(timeCol)).as("_hi"))
-      .withColumn("_k0", expr(s"(_lo + ${stepUs - 1}) div $stepUs"))
-      .withColumn("_k1", expr(s"_hi div $stepUs"))
-      // a key whose whole span sits between grid points has no rows —
-      // and sequence(start > stop) would count DOWN, not emit empty
-      .filter(col("_k0") <= col("_k1"))
-      .select(k :+ explode(sequence(col("_k0"), col("_k1"))).as("_k"): _*)
-      .select(k :+ (col("_k") * stepUs).as(timeCol): _*)
-
-    // side 0 = sample, 1 = grid: at equal times the carry window sees
-    // the sample first, so an on-grid sample overrides the fill.
-    // unionByName fills the grid's absent value/tiebreak cols with
-    // NULL (one grid row per (key, t) — its tiebreak order is moot).
-    val s0 = samples.withColumn("_side", lit(0))
-    val g1 = grid.withColumn("_side", lit(1))
-
-    val ord: Seq[Column] =
-      (col(timeCol) +: col("_side") +: tieBreak.map(col)).map(_.asc)
-    val w = Window.partitionBy(k: _*).orderBy(ord: _*)
+    // Interval-ownership shape: ONE window pass over the SAMPLES
+    // assigns each (tieBreak-last-at-its-time) sample the carry value
+    // and the half-open validity interval [t, next-time); the grid
+    // points inside each interval are then emitted MAP-SIDE after the
+    // window (integer grid-index arithmetic — times are epoch micros
+    // ≥ 0, and float ceil/floor on ~2^50 timestamps could round an
+    // on-grid bound off the grid). The retired shape exploded the
+    // grid FIRST and carried it through the window's exchange+sort:
+    // span/step × keys rows of shuffle (the r9 sf10 audit measured
+    // 4.3 GB of window-sort spill from exactly that); here the
+    // exchange carries sample-sized data only and the grid never
+    // shuffles at all.
+    val ord: Seq[Column] = (col(timeCol) +: tieBreak.map(col)).map(_.asc)
+    val wRun = Window.partitionBy(k: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(k: _*).orderBy(ord: _*)
+    val wAll = Window.partitionBy(k: _*)
 
-    s0.unionByName(g1, allowMissingColumns = true)
-      .withColumn("_fill", last(col(valueCol), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(k ++ Seq(col(timeCol).as("grid_tus"), col("_fill").as(valueCol)): _*)
+    samples
+      // carry through null-valued samples, as the retired shape's
+      // last(ignoreNulls) did
+      .withColumn("_fill", last(col(valueCol), ignoreNulls = true).over(wRun))
+      .withColumn("_nt", lead(col(timeCol), 1).over(wLead))
+      .withColumn("_hi", max(col(timeCol)).over(wAll))
+      // interval owner = the tieBreak-last row at its timestamp ("latest
+      // write wins"); rows with a same-time successor own nothing
+      .filter(col("_nt").isNull || col("_nt") > col(timeCol))
+      .withColumn("_k0", expr(s"($timeCol + ${stepUs - 1}) div $stepUs"))
+      // grid points strictly before the next sample (an on-grid next
+      // sample owns its own point); the last owner runs to floor(hi)
+      .withColumn("_k1", when(col("_nt").isNull, expr(s"_hi div $stepUs"))
+        .otherwise(expr(s"(_nt - 1) div $stepUs")))
+      // an interval spanning no grid point emits nothing — and
+      // sequence(start > stop) would count DOWN, not emit empty
+      .filter(col("_k0") <= col("_k1"))
+      .select(k :+ explode(sequence(col("_k0"), col("_k1"))).as("_k") :+ col("_fill"): _*)
+      .select(k ++ Seq((col("_k") * stepUs).as("grid_tus"), col("_fill").as(valueCol)): _*)
   }
 }

@@ -118,7 +118,7 @@ object CurationQueries {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("total_text_chars"),
-          sum(conv(substring(md5($"text"), 1, 12), 16, 10).cast("long"))
+          sum(conv(substring(md5($"text"), 1, 10), 16, 10).cast("long"))
             .as("text_sum"))
         .orderBy($"lang")
     }),
@@ -141,7 +141,7 @@ object CurationQueries {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("total_text_chars"),
-          sum(conv(substring(md5($"text"), 1, 12), 16, 10).cast("long"))
+          sum(conv(substring(md5($"text"), 1, 10), 16, 10).cast("long"))
             .as("text_sum"))
         .orderBy($"lang")
     }),
@@ -163,7 +163,7 @@ object CurationQueries {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("total_text_chars"),
-          sum(conv(substring(md5($"text"), 1, 12), 16, 10).cast("long"))
+          sum(conv(substring(md5($"text"), 1, 10), 16, 10).cast("long"))
             .as("text_sum"))
         .orderBy($"lang")
     }),
@@ -339,19 +339,19 @@ object CurationQueries {
     "p04_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
-        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
+        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 10)) AS BIGINT)) AS BIGINT) AS text_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p06_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
-        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
+        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 10)) AS BIGINT)) AS BIGINT) AS text_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p07_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
-        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS text_sum
+        |CAST(sum(CAST(concat('0x', substr(md5(text), 1, 10)) AS BIGINT)) AS BIGINT) AS text_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // layout-independent answer: the oracle joins the ORIGINAL tables

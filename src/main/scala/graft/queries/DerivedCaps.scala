@@ -58,4 +58,24 @@ object DerivedCaps {
     * documents table (see [[Dedup.MiningBudget.pairParts]]). */
   def pairPartsFor(s: SparkSession, dir: String): Int =
     budgetFor(s, dir).pairParts(s.sparkContext.defaultParallelism)
+
+  private val embBitsMemo = new BoundedMemo[String, java.lang.Integer](64)
+
+  /** LSH bucket-key width for near-dup mining over `dir`'s embeddings
+    * table ([[graft.operators.Similarity.deriveBits]]): derived from
+    * the corpus row count (a parquet-metadata count, memoized per file
+    * identity) so expected bucket occupancy — and with it candidate
+    * volume per vector — stays constant as the corpus scales. Every
+    * oracle-checked SF derives the 12-bit floor, so outputs there are
+    * identical to the old fixed family. */
+  def embBitsFor(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")
+    val id = try {
+      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+      s"$dir@${st.getModificationTime}:${st.getLen}"
+    } catch { case _: java.io.IOException => dir }
+    embBitsMemo.getOrCompute(id, _ => Int.box(
+      graft.operators.Similarity.deriveBits(
+        Tables.load(s, dir, "embeddings").count()))).intValue()
+  }
 }

@@ -96,7 +96,7 @@ object SimilarityQueries {
       val planted = e.filter($"vec_id" < 20)
         .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
       Similarity.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
-          minCosine = 0.99, dim = Dim)
+          minCosine = 0.99, dim = Dim, bits = DerivedCaps.embBitsFor(s, dir))
         .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
         .orderBy($"a_id", $"b_id")
     }),
