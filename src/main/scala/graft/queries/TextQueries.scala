@@ -293,21 +293,32 @@ object TextQueries {
     // Windowed co-occurrence lift (the word2vec/GloVe statistic): how
     // much more often w2 follows w1 within 3 tokens than unigram
     // rates predict. Distinct from t19's ADJACENT-pair collocations —
-    // the window catches "new ... york" style skip associations. The
-    // offset-explode turns the position band join into a pure
-    // equi-join on (doc, position): row growth is exactly 3×, never
-    // quadratic, and every shuffle keys on (doc, pos) or a token.
+    // the window catches "new ... york" style skip associations.
+    // Window pairs are DOC-LOCAL, so they are generated map-side from
+    // the token array (nested transform over positions — linear, ≤3
+    // partners per position) and exploded straight into the pair
+    // aggregation: the only shuffles in the plan are aggregation
+    // exchanges. The retired shape self-joined a position table on
+    // (doc, offset): at sf1 AQE hid the cost by broadcasting the
+    // position side, and at sf10 the broadcast flipped to a shuffle
+    // join — the r9 audit measured 106× sf1's shuffle for 10× data,
+    // all of it join exchange that this shape simply does not have.
     "t23_window_pmi" -> ((s, dir) => {
       import s.implicits._
-      val pos = docs(s, dir)
-        .select($"doc_id", posexplode(tokenize($"text")).as(Seq("i", "w")))
-      val uni = pos.groupBy($"w").agg(count(lit(1)).as("cw"))
+      // tokens materialize BEFORE the lambdas (TextFunctions PERF
+      // note: computed expressions inside HOF lambdas re-evaluate per
+      // element)
+      val toks = docs(s, dir).select(tokenize($"text").as("t"))
+      val uni = toks.select(explode($"t").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cw"))
       val ntok = uni.agg(sum($"cw").as("ntok"))
-      val left = pos.select($"doc_id", $"i", $"w".as("w1"))
-        .withColumn("j", explode(array($"i" + 1, $"i" + 2, $"i" + 3)))
-      val pairs = left
-        .join(pos.select($"doc_id", $"i".as("j"), $"w".as("w2")),
-          Seq("doc_id", "j"))
+      val pairs = toks.select(explode(expr(
+          """CASE WHEN size(t) < 2 THEN array()
+            |ELSE flatten(transform(sequence(1, size(t) - 1),
+            |  i -> transform(sequence(i + 1, least(i + 3, size(t))),
+            |    j -> struct(element_at(t, i) AS w1, element_at(t, j) AS w2))))
+            |END""".stripMargin)).as("p"))
+        .select($"p.w1", $"p.w2")
         .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
         .filter($"c12" >= 30)
       // lift in exact integer parts-per-million: window-pair ratios
