@@ -56,15 +56,27 @@ object Audit {
   /** Referential integrity: child rows whose `childKey` has no match
     * in `parent.parentKey`. NULL child keys are orphans too — a fact
     * row that cannot be joined to its dimension is broken either way.
-    * One shuffle (or broadcast) on the key; the parent side is
-    * reduced to its distinct keys before the join.
-    */
+    *
+    * Scale shape: the child side pre-aggregates to `(key, count)`
+    * BEFORE the join — map-side partial aggregation collapses repeats
+    * per input split, so the exchange carries ≤ distinct child keys
+    * (for a lineitem→orders check, keys not lines: the r9 sf10 audit
+    * measured the unaggregated form shuffling every child row's key
+    * once the parent outgrew broadcast). Both the child aggregate and
+    * the parent distinct hash on the same key, so the left join that
+    * follows reuses their partitioning — total exchange = distinct
+    * child keys + distinct parent keys, whatever the fact-table row
+    * count. NULL keys form their own group and never match (left join
+    * semantics) — counted as violations, same as row-at-a-time. */
   def orphanCount(child: DataFrame, table: String, childKey: String,
                   parent: DataFrame, parentKey: String): DataFrame = {
+    val perKey = child.groupBy(col(childKey).as("_ck"))
+      .agg(count(lit(1)).as("_cnt"))
     val keys = parent.select(col(parentKey).as("_pk")).distinct()
-    child.join(keys, col(childKey) === col("_pk"), "left")
-      .agg(count(lit(1)).as("n_checked"),
-        sum(col("_pk").isNull.cast("long")).as("n_violations"))
+    perKey.join(keys, col("_ck") === col("_pk"), "left")
+      .agg(coalesce(sum(col("_cnt")), lit(0L)).as("n_checked"),
+        coalesce(sum(when(col("_pk").isNull, col("_cnt")).otherwise(lit(0L))),
+          lit(0L)).as("n_violations"))
       .select(lit(table).as("tbl"),
         lit(s"fk_${childKey}_to_$parentKey").as("check"),
         col("n_checked"), col("n_violations"))

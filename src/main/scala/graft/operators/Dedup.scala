@@ -22,6 +22,15 @@ import graft.functions.Hashing._
   */
 object Dedup {
 
+  /** Doc-count ceiling for [[ngramJaccardPairs]]'s forced broadcast of
+    * the per-doc sizes frame: ~30 B/doc puts 16M docs at ~500 MB
+    * replicated per executor — well under Spark's 8 GB broadcast
+    * hard-fail but already the sensible limit for a hint that bypasses
+    * autoBroadcastJoinThreshold. Past it the operator falls back to a
+    * shuffle join (and the corpus is past the exact miner's documented
+    * envelope anyway — [[minHashPairs]] is the scale path). */
+  val SizesBroadcastMaxDocs: Long = 16000000L
+
   /** Canonical form: sanitize → tokens → single-space join. */
   def normalizedText(text: Column): Column =
     concat_ws(" ", tokenize(text))
@@ -82,7 +91,16 @@ object Dedup {
 
   /** Distinct word-`n`-gram shingles per doc: `(id, shingle)`.
     * Tokens materialize before the n-gram lambda (see TextFunctions
-    * PERF note — computed expressions inside HOF lambdas are O(n²)). */
+    * PERF note — computed expressions inside HOF lambdas are O(n²)).
+    *
+    * PRECONDITION: `idCol` must be unique per document. De-dup is
+    * per-ROW (`array_distinct` map-side — deliberately: a post-explode
+    * global `.distinct()` costs a corpus-wide extra exchange, measured
+    * at ~600 MB per mining query in the r9 sf10 audit), so duplicate
+    * rows under one id would emit duplicate `(id, shingle)` postings
+    * and silently inflate df histograms, intersection counts, and
+    * Jaccard in every consumer ([[ngramJaccardPairs]],
+    * [[deriveMiningBudget]]). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     // per-doc dedup happens MAP-SIDE (array_distinct on the shingle
     // array) — a row's shingles all live in that row, so a post-explode
@@ -190,12 +208,14 @@ object Dedup {
     * self-consistent. The cap is OPT-IN (default `Int.MaxValue` = no
     * cap): capping changes the operator's output semantics, so callers
     * choose it deliberately (the d03 family passes the corpus-derived
-    * [[deriveMaxDf]] answer). Use [[minHashPairs]] as
-    * the scale path. */
+    * [[deriveMaxDf]] answer). `nDocs` (when ≥ 0) gates the sizes-frame
+    * broadcast hint against [[SizesBroadcastMaxDocs]]. Use
+    * [[minHashPairs]] as the scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxDf: Int = Int.MaxValue,
-                        pairParts: Int = 0): DataFrame = {
+                        pairParts: Int = 0,
+                        nDocs: Long = -1L): DataFrame = {
     // no .cache() — an operator can't know when to unpersist, and
     // leaked blocks accumulate across a query batch. Instead anchor
     // the shingle frame under an explicit shuffle on its join key:
@@ -241,7 +261,18 @@ object Dedup {
     // ~30 B/doc — fine through tens of millions of docs, which is
     // already past the exact path's candidate-volume envelope
     // ([[minHashPairs]] is the documented scale path beyond it).
-    val sizes = broadcast(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
+    // The hint is GATED on the caller-supplied doc count (ADVICE r09:
+    // a forced broadcast bypasses autoBroadcastJoinThreshold, so a
+    // corpus past the envelope would replicate hundreds of MB to every
+    // executor and hard-fail at Spark's 8 GB broadcast cap with no
+    // safety valve). Above SizesBroadcastMaxDocs the sizes join falls
+    // back to the ordinary shuffle join — slower (the candidate frame
+    // re-sorts) but unbounded. nDocs < 0 = caller didn't say; the
+    // dimension-sized default stands, per the envelope note above.
+    val sizesRaw = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sizes =
+      if (nDocs < 0 || nDocs <= SizesBroadcastMaxDocs) broadcast(sizesRaw)
+      else sizesRaw
     val a = sh.select(col(idCol).as("a_id"), col("shingle")).alias("a")
     val b = sh.select(col(idCol).as("b_id"), col("shingle")).alias("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a_id") < col("b_id"))

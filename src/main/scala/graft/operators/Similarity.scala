@@ -206,7 +206,21 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k. Candidates = corpus rows sharing
-    * ≥1 bucket with the query in any table; exact cosine re-ranks. */
+    * ≥1 bucket with the query in any table; exact cosine re-ranks.
+    *
+    * Scale shape: `queries` is a PROBE SET (contract: query-sized, not
+    * corpus-sized) — its bucketed form is broadcast, so the corpus
+    * side is a single map-side scan that never shuffles its vectors
+    * (without the hint, Spark's stats see only the filtered-parquet
+    * size estimate and flip the join to SMJ at scale: the r9 sf10
+    * audit measured that flip shuffling 394 MB of exploded corpus
+    * vectors for an 8-query probe). Cosine is scored INSIDE the join
+    * stage and the multi-table collision dedup aggregates slim
+    * `(query_id, neighbor_id, cos)` rows — a pair's cosine is
+    * identical in every shared bucket, so `min` is exact (the s03
+    * shape: re-scoring a collision beats exchanging ~0.5 KB of vector
+    * pair per candidate). The only exchanges left are the slim
+    * dedup + top-k aggregations, ∝ candidates, never ∝ vectors. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, tables: Int = 8, bits: Int = 12,
               seed: Long = 42L): DataFrame = {
@@ -216,14 +230,14 @@ object Similarity {
             .as(Seq("table", "bucket")))
     val c = withBuckets(corpus, "neighbor_id", "cvec")
     val q = withBuckets(queries, "query_id", "qvec")
-    val cand = c.join(q, Seq("table", "bucket"))
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(min(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("qvec"), col("cvec")).as("cos"))
+    cand
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
@@ -315,7 +329,11 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(q, "list_id")
+    // broadcast the probe side (queries × nProbe rows): without the
+    // hint the stats-blind plan SMJs at scale and shuffles the
+    // ASSIGNED CORPUS (vectors attached) on list_id — the r9 sf10
+    // audit measured 48 MB of corpus exchange for an 8-query probe.
+    assigned.join(broadcast(q), "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qvec"), col("cvec")).as("cos"))
@@ -325,8 +343,6 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ minCosine, candidates from
-    * LSH bucket self-join. */
   /** Bucket-key width for [[nearDupPairs]] at a given corpus size:
     * `ceil(log2(n / targetBucket))`, floored at 12 bits (so every
     * oracle-checked SF derives the same 12-bit family and outputs are
@@ -343,9 +359,21 @@ object Similarity {
     math.min(maxBits, math.max(minBits, bits))
   }
 
+  /** Embedding near-dup mining. The bucket-size cap is OPT-IN (default
+    * `Int.MaxValue` = no cap — the repo's maxDf convention: capping
+    * changes output semantics, so callers choose it deliberately).
+    * When set, a bucket holding more than `maxBucketSize` vectors is
+    * skipped as non-discriminative mass — BUT exact/near-identical
+    * vectors hash to the SAME bucket in EVERY table, so a duplicate
+    * cluster larger than the cap has all `tables` of its buckets
+    * oversized and loses ALL its pairs deterministically (ADVICE r09).
+    * The cap is a cost backstop against hash-collision mass, not a
+    * safe default: callers expecting duplicate clusters beyond the cap
+    * must pre-collapse exact dups ([[graft.operators.Dedup]]) first or
+    * leave the cap off. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double, dim: Int, tables: Int = 8, bits: Int = 12,
-                   seed: Long = 42L, maxBucketSize: Int = 4096): DataFrame = {
+                   seed: Long = 42L, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // Anchor the bucketed frame under an exchange on the join key so
     // the hot-bucket count and both self-join sides reuse ONE shuffle
     // (the d03/d04 anchor pattern).
@@ -354,15 +382,15 @@ object Similarity {
         .as(Seq("table", "bucket")))
       .filter(col(idCol).isNotNull)
       .repartition(col("table"), col("bucket"))
-    // Skew/scale backstop: a bucket holding more than maxBucketSize
-    // vectors is non-discriminative mass (a near-dup that generic
-    // would pair everything with everything) — skip it, as d04 skips
-    // oversized MinHash buckets. A true near-dup pair is lost only if
-    // ALL `tables` of its buckets are oversized.
-    val hot = bucketed.groupBy(col("table"), col("bucket"))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
-      .select(col("table"), col("bucket"))
-    val pruned = bucketed.join(hot, Seq("table", "bucket"), "left_anti")
+    // The uncapped path must not pay the hot-bucket count pass.
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) bucketed
+      else {
+        val hot = bucketed.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
+          .select(col("table"), col("bucket"))
+        bucketed.join(hot, Seq("table", "bucket"), "left_anti")
+      }
     val a = pruned.select(col(idCol).as("a_id"), col(vecCol).as("avec"),
       col("table"), col("bucket"))
     val b = pruned.select(col(idCol).as("b_id"), col(vecCol).as("bvec"),

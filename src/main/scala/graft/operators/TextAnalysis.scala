@@ -343,30 +343,72 @@ object TextAnalysis {
     * rank decides), which keeps the assignment deterministic and
     * engine-independent — `ceil(10·cum/n)` in pure integer math.
     * Docs with fewer than 2 tokens have no bigrams, hence no fluency
-    * evidence, and are absent (same contract as [[bigramLmScores]]). */
+    * evidence, and are absent (same contract as [[bigramLmScores]]).
+    *
+    * What ships back to the corpus is the decile BOUNDARY table
+    * (`(lang, decile, lo_ppm, hi_ppm)` — ≤ 10 rows per language), not
+    * the full ppm histogram: the broadcast stays dimension-sized no
+    * matter how many languages the corpus carries (the histogram form
+    * is bounded at ~1e6 rows PER LANGUAGE, which a high-cardinality
+    * lang column multiplies past any sane broadcast — ADVICE r09). */
   def qualityBuckets(docs: DataFrame, idCol: String, textCol: String,
                      langCol: String): DataFrame = {
-    val scored = bigramLmRaw(docs, idCol, textCol)
+    val scored = lmScored(docs, idCol, textCol, langCol)
+    assignQualityBuckets(scored, idCol, langCol,
+      decileBounds(scored, langCol))
+  }
+
+  /** Per-doc integer fluency surrogate: `(id, lang, n_bg, score_ppm)`
+    * with `score_ppm = (sn·10⁶) div sd` — [[qualityBuckets]]'s corpus
+    * pass, exposed so callers can memoize the (tiny) decile-boundary
+    * table separately from this per-invocation scan. */
+  def lmScored(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String): DataFrame =
+    bigramLmRaw(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col(langCol), col("n_bg"),
         expr("(_sn * 1000000L) div _sd").as("score_ppm"))
+
+  /** Exact per-language decile boundaries of the `score_ppm`
+    * distribution: `(lang, decile, lo_ppm, hi_ppm)`, ≤ 10 rows per
+    * language. ppm values collapse to a bounded histogram first, the
+    * cumulative distribution is a window over THAT stats frame (never
+    * the corpus), and `ceil(10·cum/n)` ranges aggregate to one row per
+    * decile. Every observed ppm value falls in exactly one boundary
+    * range, so range assignment reproduces the per-value decile map. */
+  def decileBounds(scored: DataFrame, langCol: String): DataFrame = {
     val hist = scored.groupBy(col(langCol), col("score_ppm"))
       .agg(count(lit(1)).as("cnt"))
     val nByLang = hist.groupBy(col(langCol)).agg(sum(col("cnt")).as("n"))
     val cume = hist.withColumn("cum",
       sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col(langCol)).orderBy(col("score_ppm"))))
-    val deciles = cume.join(nByLang, Seq(langCol))
+    cume.join(nByLang, Seq(langCol))
       .select(col(langCol), col("score_ppm"),
         expr("(cum * 10L + n - 1L) div n").as("decile"))
-    scored.join(broadcast(deciles), Seq(langCol, "score_ppm"))
-      .select(col(idCol), col(langCol), col("n_bg"), col("score_ppm"),
-        col("decile"),
-        when(col("decile") >= 9, lit("head"))
-          .when(col("decile") >= 5, lit("middle"))
+      .groupBy(col(langCol), col("decile"))
+      .agg(min(col("score_ppm")).as("lo_ppm"), max(col("score_ppm")).as("hi_ppm"))
+  }
+
+  /** Bucket assignment from a precomputed boundary table: broadcast
+    * hash join on the language key with the ppm range as the join
+    * residual — each scored row matches exactly one of its language's
+    * ≤ 10 boundary rows. */
+  def assignQualityBuckets(scored: DataFrame, idCol: String, langCol: String,
+                           bounds: DataFrame): DataFrame = {
+    val s = scored.alias("s")
+    val qb = broadcast(bounds).alias("qb")
+    s.join(qb,
+        col(s"s.$langCol") === col(s"qb.$langCol") &&
+          col("s.score_ppm") >= col("qb.lo_ppm") &&
+          col("s.score_ppm") <= col("qb.hi_ppm"))
+      .select(col(s"s.$idCol"), col(s"s.$langCol"), col("s.n_bg"),
+        col("s.score_ppm"), col("qb.decile").as("decile"),
+        when(col("qb.decile") >= 9, lit("head"))
+          .when(col("qb.decile") >= 5, lit("middle"))
           .otherwise(lit("tail")).as("bucket"),
-        when(col("decile") >= 9, lit(1000L))
-          .when(col("decile") >= 5, lit(400L))
+        when(col("qb.decile") >= 9, lit(1000L))
+          .when(col("qb.decile") >= 5, lit(400L))
           .otherwise(lit(100L)).as("weight_permille"))
   }
 

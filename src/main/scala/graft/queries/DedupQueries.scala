@@ -46,7 +46,7 @@ object DedupQueries {
       import s.implicits._
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5,
           maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }),
@@ -63,7 +63,7 @@ object DedupQueries {
       val d = docs(s, dir)
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
         minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
       graft.operators.ConnectedComponents.components(pairs, "a_id", "b_id",
           d.select($"doc_id"), "doc_id")
         .orderBy($"doc_id")
@@ -97,7 +97,7 @@ object DedupQueries {
       val banded = graft.operators.Checkpoints.materialize(
         Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
             n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
           .select(floor($"jaccard" * 10).cast("long").as("band"),
             $"a_id", $"b_id"))
       val perBand = banded.groupBy($"band").agg(count(lit(1)).as("n_pairs"))

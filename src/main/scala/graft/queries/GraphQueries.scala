@@ -78,7 +78,7 @@ object GraphQueries {
       val corpus = d.unionByName(planted)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
       // symmetrize with a map-side explode, NOT a two-branch union: a
       // union re-executes the whole pair-mining subtree once per
       // branch IN THE SAME STAGE, and at sf1 the two concurrent
@@ -172,7 +172,7 @@ object GraphQueries {
       val corpus = d.unionByName(planted)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
       Graphs.hits(pairs, "a_id", "b_id", corpus.select($"doc_id"), "doc_id",
           iterations = HitsIters)
         .orderBy($"doc_id")
@@ -188,7 +188,7 @@ object GraphQueries {
       val d = docs(s, dir)
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
       Graphs.partitionModularity(pairs, "a_id", "b_id",
           d.select($"doc_id", $"source"), "doc_id", "source")
         .orderBy($"source")
@@ -207,7 +207,7 @@ object GraphQueries {
         .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
       Graphs.kCorePeel(pairs, "a_id", "b_id", k = 2L, rounds = 3)
         .select($"vertex".as("doc_id"), $"deg")
         .orderBy($"doc_id")
@@ -225,7 +225,7 @@ object GraphQueries {
         .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
       Graphs.triangleCounts(pairs, "a_id", "b_id")
         .orderBy($"vertex")
     }),

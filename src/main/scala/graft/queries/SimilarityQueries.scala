@@ -47,7 +47,12 @@ object SimilarityQueries {
       val q = e.filter($"vec_id" < 8)
       val copies = (1 to 5).map(m =>
         q.withColumn("vec_id", $"vec_id" + m * 1000000L)).reduce(_ unionByName _)
-      Similarity.lshTopK(e.unionByName(copies), q, "vec_id", "embedding", k = 5, dim = Dim)
+      // bits derived from corpus size (constant expected bucket
+      // occupancy → candidates ∝ corpus, same mechanism as s03); the
+      // planted copies share every bucket under ANY family, so the
+      // oracle-checked output is bits-invariant.
+      Similarity.lshTopK(e.unionByName(copies), q, "vec_id", "embedding", k = 5,
+        dim = Dim, bits = DerivedCaps.embBitsFor(s, dir))
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rank")
         .orderBy($"query_id", $"rank")
     }),
@@ -95,8 +100,14 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val planted = e.filter($"vec_id" < 20)
         .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+      // maxBucketSize is opt-in (capping can drop ALL pairs of a
+      // duplicate cluster larger than the cap — see the operator's
+      // scaladoc); this pipeline caps at 64× the derived expected
+      // bucket occupancy, far above its planted/organic cluster sizes,
+      // purely as a hash-collision-mass cost backstop.
       Similarity.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
-          minCosine = 0.99, dim = Dim, bits = DerivedCaps.embBitsFor(s, dir))
+          minCosine = 0.99, dim = Dim, bits = DerivedCaps.embBitsFor(s, dir),
+          maxBucketSize = 4096)
         .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
         .orderBy($"a_id", $"b_id")
     }),

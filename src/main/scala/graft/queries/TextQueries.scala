@@ -183,10 +183,15 @@ object TextQueries {
     // head/middle/tail + the sampling weight a mixing pass applies.
     // Exact quantiles with NO per-language sort (see the operator's
     // scale note: integer score surrogate → bounded histogram →
-    // window over the stats frame → broadcast join back).
+    // window over the stats frame → broadcast of the ≤10-rows-per-
+    // language boundary table). The boundary table is a per-corpus
+    // artifact, memoized like the mining budget (DerivedCaps), so
+    // repeat invocations pay one corpus scan, not two.
     "t24_quality_buckets" -> ((s, dir) => {
       import s.implicits._
-      TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "text", "lang")
+      TextAnalysis.assignQualityBuckets(
+          TextAnalysis.lmScored(docs(s, dir), "doc_id", "text", "lang"),
+          "doc_id", "lang", DerivedCaps.qualityBoundsFor(s, dir))
         .orderBy($"doc_id")
     }),
 

@@ -41,7 +41,7 @@ object StreamingJobs {
     * (sentinel source, checkpoint, sink). Any Hadoop-resolvable URI
     * (`hdfs://…`, `s3a://…`, `file:/…`). Precedence: this key, then
     * the session's `spark.sql.streaming.checkpointLocation`, then —
-    * in local mode ONLY — `java.io.tmpdir`. Off local mode with
+    * in local mode ONLY — the JVM temp dir. Off local mode with
     * neither conf set, the drains refuse to run rather than write
     * scratch executors cannot see. */
   val WorkDirKey: String = graft.WorkDirs.StreamingWorkDirKey
