@@ -16,16 +16,31 @@ import org.apache.spark.sql.functions._
   *
   *  - documents: every occurrence of a word whose hash lands in class
   *    0 (~1/3 of word types) is rewritten through a per-shard rotated
-  *    alphabet — a length-preserving per-shard
-  *    BIJECTION on word types, so each shard keeps the source's
-  *    INTERNAL duplicate/near-dup structure EXACTLY (shingle sets
-  *    transform bijectively) while cross-shard copies drop to 3-gram
-  *    Jaccard ≈ 0.2 regardless of document length, below any near-dup
-  *    threshold — candidate volume must therefore scale ~linearly for
-  *    a correctly-bucketed miner. A build-time gate verifies the max
-  *    cross-shard Jaccard over ALL base docs and fails loudly above
-  *    0.5 (this caught the retired position-based rule leaving short
-  *    docs' copies identical).
+  *    alphabet — length-preserving, injective for a fixed rotation.
+  *    The overall per-shard type map is NOT injective by construction
+  *    (ADVICE r09): a rotated class-0 word can collide with an
+  *    unchanged class-1/2 type or with another rotated word.
+  *    [[ScaleGenDiag]] measures the realized merge rate on the
+  *    generator's own expression: 0 of 31 types at generation depth 1
+  *    (sf0.1→sf1), ≤ 12.8% of 320 types per shard at depth 2
+  *    (sf1→sf10), ≤ 24.3% of 801 at depth 3. (Injectivity by
+  *    construction is NOT available here: it needs a rotation-
+  *    invariant key, and an invariant key makes equal-stride-sum shard
+  *    paths compose to ONE map at depth 2 — exactly the cross-shard
+  *    type-merging defect the r9 decorrelation gate caught and this
+  *    design removed.) The merges are benign for the ladder because
+  *    neither load-bearing invariant assumes injectivity: cross-shard
+  *    decorrelation is MEASURED directly by the build-time gate (max
+  *    cross-shard 3-gram Jaccard over ALL base docs must sit below the
+  *    0.5 near-dup threshold, else the build fails loudly — this
+  *    caught the retired position-based rule leaving short docs'
+  *    copies identical), and the derived-cap cost model reads the
+  *    REALIZED df histograms of the generated corpus, never an
+  *    assumed-injective model of it. What merges do cost: within-shard
+  *    Jaccard is preserved only approximately at depth ≥ 2 (merged
+  *    types nudge doc similarity up), which shows up as sf20's gate
+  *    margin (0.4255 vs 0.5) being thinner than sf10's — the gate, not
+  *    this comment, is the authority on when that drift becomes real.
   *  - embeddings: each shard applies its own ORTHOGONAL transform —
   *    circular shift by `shard % dim` positions composed with a
   *    Walsh sign mask indexed by `shard / dim` (flip where
@@ -65,6 +80,35 @@ import org.apache.spark.sql.functions._
   * operator (a stream-stream join's watermark band) may track volume.
   */
 object ScaleGen {
+
+  /** The per-shard word-rotation map, factored so [[ScaleGenDiag]]
+    * measures collision rates on the EXACT expression the generator
+    * applies (an independently re-typed copy would silently drift).
+    * Letters (case-preserving) rotate by `(hash(w) + 7·shard) mod 26`,
+    * digits independently by `(hash(w) + 3·shard) mod 10`. */
+  private[graft] val RotFrom: String = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    lower + lower.toUpperCase + "0123456789"
+  }
+
+  private[graft] val RotAlphas: String = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    // indexed by r·10 + d: letters (and uppercase) rotated r, digits d
+    (for (r <- 0 until 26; d <- 0 until 10) yield {
+      val lo = lower.drop(r) + lower.take(r)
+      val dg = digits.drop(d) + digits.take(d)
+      s"'${lo + lo.toUpperCase + dg}'"
+    }).mkString("array(", ",", ")")
+  }
+
+  /** SQL fragment rotating word expression `w` under shard expression
+    * `shard` — the class-0 rewrite body. */
+  private[graft] def rotateSql(w: String, shard: String): String =
+    s"""translate($w, '$RotFrom',
+       |  element_at($RotAlphas,
+       |    pmod(hash($w) + 7 * $shard, 26) * 10 +
+       |    pmod(hash($w) + 3 * $shard, 10) + 1))""".stripMargin
 
   private def maxOf(df: DataFrame, c: String): Long = {
     import df.sparkSession.implicits._
@@ -121,13 +165,16 @@ object ScaleGen {
     for (t <- tables) t match {
       case "documents" =>
         val maxDoc = maxOf(Tables.load(spark, src, "documents"), "doc_id")
-        // Per-shard perturbation is a BIJECTION ON WORD TYPES: every
-        // occurrence of a word whose hash lands in class 0 (~1/3 of
-        // types) is rewritten through the shard's alphabet. Within a
-        // shard the same substitution applies to every document, so
-        // shingle sets transform bijectively — exact duplicates stay
-        // exact and every within-shard pairwise Jaccard is preserved
-        // EXACTLY.
+        // Per-shard perturbation is a TYPE MAP: every occurrence of a
+        // word whose hash lands in class 0 (~1/3 of types) is
+        // rewritten through the shard's alphabet. Within a shard the
+        // same substitution applies to every document, so exact
+        // duplicates stay exact; the map is injective on the BASE
+        // vocabulary (ScaleGenDiag: 0 merges of 31 types) so depth-1
+        // within-shard Jaccard is preserved exactly, and approximately
+        // injective at depth ≥ 2 (≤ 12.8%/24.3% type merges at
+        // depths 2/3 — see the object scaladoc for why that is
+        // accepted and what the decorrelation gate guards).
         // Across shards the rewrite differs, so ~1/3 of tokens
         // (hence ~2/3+ of 3-gram shingles) differ between any two
         // copies, independent of document LENGTH or word positions.
@@ -172,16 +219,6 @@ object ScaleGen {
         //    fixed per-shard rotations did (rot_a∘rot_b = rot_{a+b}),
         //    which merged word types across sf10 shards (distinct
         //    shingles halved, d04 candidates blew up 20×).
-        val lower = "abcdefghijklmnopqrstuvwxyz"
-        val digits = "0123456789"
-        val from = lower + lower.toUpperCase + digits
-        // indexed by r·10 + d: letters (and uppercase) rotated r,
-        // digits rotated d
-        val alphas = (for (r <- 0 until 26; d <- 0 until 10) yield {
-          val lo = lower.drop(r) + lower.take(r)
-          val dg = digits.drop(d) + digits.take(d)
-          s"'${lo + lo.toUpperCase + dg}'"
-        }).mkString("array(", ",", ")")
         // Backstop density is decided on the doc's DISTINCT-SHINGLE
         // count — the exact quantity the near-dup operators see. With
         // _m=7 roughly 17% of token windows dodge both the class rule
@@ -208,10 +245,7 @@ object ScaleGen {
           .select(($"doc_id" + $"shard".cast("long") * maxDoc).as("doc_id"),
             expr(s"""array_join(transform(split(text, ' '),
                      (w, i) -> CASE WHEN pmod(hash(w), 3) = 0 OR i % _m = 0
-                               THEN translate(w, '$from',
-                                 element_at($alphas,
-                                   pmod(hash(w) + 7 * shard, 26) * 10 +
-                                   pmod(hash(w) + 3 * shard, 10) + 1))
+                               THEN ${rotateSql("w", "shard")}
                                ELSE w END), ' ')""")
               .as("text"),
             $"lang", $"source")
