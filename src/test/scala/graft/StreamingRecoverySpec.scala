@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamingSessionize
@@ -111,5 +112,235 @@ class StreamingRecoverySpec extends SparkSpec {
     // exactly-once: no duplicate session rows survived the replay
     assert(recovered == recoveredRows.size,
       "duplicate rows in the recovered sink — file-sink log failed to dedupe")
+  }
+
+  // ---- shared drill machinery for the r10 state-shape drills ------------
+
+  /** Land `slices` as one flat parquet file each under
+    * `<root>/<srcName>`, with strictly increasing mtimes so
+    * `maxFilesPerTrigger = 1` pins the same file-per-batch schedule on
+    * every (re)start. */
+  private def writeSlices(root: String, srcName: String,
+                          slices: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val srcDir = s"$root/$srcName"
+    new java.io.File(srcDir).mkdirs()
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$root/tmp_${srcName}_$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"slice_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+      ()
+    }
+    srcDir
+  }
+
+  /** One drain to a parquet sink; when `interrupt`, kill after ≥1
+    * committed batch but before the last, then restart from the SAME
+    * checkpoint and drain to completion. Returns the sink path. */
+  private def drainWithKill(root: String, tag: String, totalBatches: Int,
+                            interrupt: Boolean)(
+      start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val ckpt = s"$root/ckpt_$tag"
+    val out = s"$root/out_$tag"
+    val q = start(ckpt, out)
+    if (interrupt) {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while ((q.lastProgress == null || q.lastProgress.batchId < 1) &&
+             q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+      val seen = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      q.stop()
+      q.awaitTermination()
+      assert(seen >= 1, s"never saw a committed batch before the kill (last=$seen)")
+      assert(seen < totalBatches - 1,
+        s"drain already finished (batch $seen of $totalBatches) — kill came too late")
+      val q2 = start(ckpt, out)
+      q2.awaitTermination()
+      assert(q2.lastProgress.batchId > seen,
+        "restart did not advance past the killed run's last batch")
+    } else q.awaitTermination()
+    out
+  }
+
+  /** Join-BUFFER state shape (VERDICT r09 #4): the stream-stream
+    * banded range join (e07's operator) holds each side's rows inside
+    * the watermark band in state. The kill lands between committed
+    * batches, so the restart must restore both buffers from the state
+    * store — a lost buffered view would silently drop matched pairs,
+    * a replayed one would duplicate them. */
+  test("stream-stream range join: kill + restart equals uninterrupted run") {
+    val root = Files.createTempDirectory("graft-rangejoin-recovery").toString
+    val MinUs = 60L * 1000000
+    val base = 1440 * MinUs
+    // per user: 12 views 10 min apart, purchases at +30 and +90 min.
+    // band [-1 h, 0]: purchase@30 matches views k=0..3, purchase@90
+    // matches k=3..9 → 11 pairs per user, 44 total.
+    val rows = for {
+      u <- 0L until 4L
+      (tpe, id, tus) <- (0 until 12).map(k =>
+          ("view", u * 1000 + k, base + k * 10 * MinUs)) ++
+        Seq(("purchase", u * 100, base + 30 * MinUs),
+            ("purchase", u * 100 + 1, base + 90 * MinUs))
+    } yield (u, id, tpe, tus)
+    val slices = rows.sortBy(_._4).grouped(rows.size / 8 + 1).toSeq
+      .map(_.toDF("user_id", "event_id", "event_type", "tus"))
+    val srcDir = writeSlices(root, "events", slices)
+
+    def drain(tag: String, interrupt: Boolean): String =
+      drainWithKill(root, tag, slices.size, interrupt) { (ckpt, out) =>
+        def stream() = spark.readStream
+          .schema("user_id LONG, event_id LONG, event_type STRING, tus LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+        def side(t: String, idAs: String, tusAs: String) = stream()
+          .filter($"event_type" === t)
+          .select($"user_id", $"event_id".as(idAs), $"tus".as(tusAs))
+        val pairs = graft.streaming.StreamingRangeJoin.rangeJoin(
+          side("purchase", "purchase_id", "ptus"),
+          side("view", "view_id", "vtus"),
+          Seq("user_id"), leftTime = "ptus", rightTime = "vtus",
+          lowerUs = -3600000000L, upperUs = 0L)
+        pairs.select($"purchase_id", $"view_id")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+
+    val cleanOut = drain("clean", interrupt = false)
+    val recoveredOut = drain("recovered", interrupt = true)
+    val clean = spark.read.parquet(cleanOut)
+      .as[(Long, Long)].collect().toSeq
+    val recovered = spark.read.parquet(recoveredOut)
+      .as[(Long, Long)].collect().toSeq
+    assert(clean.size == 44 && clean.toSet.size == 44,
+      s"clean run emitted ${clean.size} pairs (${clean.toSet.size} distinct), expected 44")
+    assert(recovered.toSet == clean.toSet,
+      "restarted range-join sink differs from the uninterrupted run")
+    assert(recovered.size == recovered.toSet.size,
+      "duplicate pairs in the recovered sink — join state or sink log replayed rows")
+  }
+
+  /** KV-with-eviction state shape (VERDICT r09 #4): first-arrival
+    * dedup (d06's operator — dropDuplicatesWithinWatermark) keys state
+    * by content digest. Duplicates never share a slice with their
+    * first representative and the batch schedule is pinned, so the
+    * survivor set is fully deterministic; the restart must restore the
+    * seen-digest store or a post-kill duplicate would re-emit. */
+  test("streaming first-arrival dedup: kill + restart equals uninterrupted run") {
+    val root = Files.createTempDirectory("graft-dedup-recovery").toString
+    val SecUs = 1000000L
+    // slice i carries: dups of every PRIOR slice's content, plus 6 new
+    // contents. 8 slices × 6 = 48 distinct contents; ids are unique.
+    val slices = (0 until 8).map { i =>
+      val fresh = (0 until 6).map { j =>
+        (i * 100L + j, s"content ${i * 6 + j} body", i * 60L * SecUs + j * SecUs)
+      }
+      val dups = (0 until i).map { p =>
+        (i * 100L + 50 + p, s"content ${p * 6} body", i * 60L * SecUs + 30 * SecUs + p * SecUs)
+      }
+      (fresh ++ dups).toDF("doc_id", "text", "tus")
+    }
+    val srcDir = writeSlices(root, "docs", slices)
+
+    def drain(tag: String, interrupt: Boolean): String =
+      drainWithKill(root, tag, slices.size, interrupt) { (ckpt, out) =>
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING, tus LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .withColumn("tsc", timestamp_micros($"tus"))
+        graft.streaming.StreamingDedup.dedupByContent(stream, "text", "tsc")
+          .select($"doc_id", $"text")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+
+    val cleanOut = drain("clean", interrupt = false)
+    val recoveredOut = drain("recovered", interrupt = true)
+    val clean = spark.read.parquet(cleanOut).as[(Long, String)].collect().toSeq
+    val recovered = spark.read.parquet(recoveredOut).as[(Long, String)].collect().toSeq
+    // survivors: exactly the 48 first arrivals (deterministic ids)
+    assert(clean.size == 48 && clean.map(_._2).toSet.size == 48,
+      s"clean run kept ${clean.size} rows / ${clean.map(_._2).toSet.size} contents, expected 48/48")
+    assert(recovered.toSet == clean.toSet,
+      "restarted dedup sink differs from the uninterrupted run")
+    assert(recovered.size == recovered.toSet.size,
+      "duplicate survivors in the recovered sink — digest state was lost across restart")
+  }
+
+  /** e19's anomaly contract under fault (VERDICT r09 #8): the
+    * trailing-baseline verdict runs over the DRAINED windowed-count
+    * frame, so it must be bit-stable whether or not the drain was
+    * killed and restarted — an interrupted drain that lost or doubled
+    * a window's count would flip lift_ppm and the verdict. */
+  test("windowed counts + trailing-baseline anomaly verdict stable across kill + restart") {
+    val root = Files.createTempDirectory("graft-anomaly-recovery").toString
+    val HourUs = 3600L * 1000000
+    val base = 24 * HourUs
+    // type "a": steady 4/window with a 48-event spike in window 7
+    // (lift 12e6 ppm → anomaly); type "b": steady 5/window (1e6 ppm).
+    val counts = Map("a" -> ((w: Int) => if (w == 7) 48 else 4),
+                     "b" -> ((_: Int) => 5))
+    val rows = for {
+      (tpe, f) <- counts.toSeq
+      w <- 0 until 10
+      j <- 0 until f(w)
+    } yield (tpe, base + w * HourUs + j * 10L * 1000000)
+    // sentinel far-future rows push the watermark past every real
+    // window end (append mode emits a window only once it is closed)
+    val sentinel = Seq(("zzz_sentinel", base + 1000 * HourUs),
+                       ("zzz_sentinel", base + 2000 * HourUs))
+    val slices = (rows.sortBy(_._2).grouped(rows.size / 7 + 1).toSeq ++
+      Seq(sentinel)).map(_.toDF("event_type", "tus"))
+    val srcDir = writeSlices(root, "events", slices)
+
+    def drain(tag: String, interrupt: Boolean): String =
+      drainWithKill(root, tag, slices.size, interrupt) { (ckpt, out) =>
+        spark.readStream
+          .schema("event_type STRING, tus LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .withColumn("tsc", timestamp_micros($"tus"))
+          .withWatermark("tsc", "30 minutes")
+          .groupBy(window($"tsc", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros($"window.start").as("window_start_us"),
+            $"event_type", $"n")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+
+    // e19's exact trailing-baseline projection over a drained sink
+    def anomalies(out: String): Set[(Long, String, Long, Long, Long, Long)] = {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"window_start_us")
+        .rowsBetween(-6, -1)
+      spark.read.parquet(out)
+        .filter($"event_type" =!= "zzz_sentinel")
+        .withColumn("baseline_n", sum($"n").over(win))
+        .withColumn("_prior", count(lit(1)).over(win))
+        .filter($"_prior" === 6)
+        .select($"window_start_us", $"event_type", $"n", $"baseline_n",
+          expr("(n * 6 * 1000000L) div baseline_n").as("lift_ppm"))
+        .withColumn("is_anomaly",
+          ($"lift_ppm" >= 2000000L || $"lift_ppm" <= 500000L).cast("long"))
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    }
+
+    val clean = anomalies(drain("clean", interrupt = false))
+    val recovered = anomalies(drain("recovered", interrupt = true))
+    assert(clean.exists(_._6 == 1L), "the planted spike produced no anomaly verdict")
+    // the spike itself reads hot, and it inflates the trailing
+    // baselines of the two windows that still see it → two cold
+    // verdicts follow (windows 8, 9 have baseline 68 vs n=4)
+    assert(clean.count(_._6 == 1L) == 3,
+      s"expected spike + 2 baseline-shadow anomalies, got ${clean.count(_._6 == 1L)}")
+    assert(recovered == clean,
+      "anomaly verdicts changed when the drain was interrupted — " +
+        "windowed-count state did not survive the restart intact")
   }
 }
