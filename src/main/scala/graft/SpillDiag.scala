@@ -24,7 +24,9 @@ object SpillDiag {
       }
     })
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, dir).count()
+    // execute the FULL returned plan (a .count() would let Catalyst
+    // prune windows/sorts/projections and attribute a different query)
+    val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
     println(f"[diag] $name total=${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     spark.stop()
   }

@@ -351,7 +351,17 @@ object Similarity {
     * corpus and in-bucket pairs grow QUADRATICALLY — the r9 sf10
     * audit measured exactly that (101× shuffle, 90 GB spill at 1M
     * vectors on the fixed 12-bit family). Deriving bits from n keeps
-    * expected bucket size ≈ targetBucket, so candidates stay ∝ n. */
+    * expected bucket size ≈ targetBucket, so candidates stay ∝ n.
+    *
+    * Second-moment caveat (r10 postcap ladder, `EmbBucketDiag`): the
+    * derivation flattens the MEAN occupancy; the candidate budget is
+    * Σ b² and sign-projection bits split structured embeddings
+    * unevenly, so each added bit leaves a mild skew residue —
+    * measured 2.32× candidates for 2× data across the 12→13-bit step
+    * (max occupancy 446→542 against mean ~50), tracking the measured
+    * shuffle exactly. Bounded and attributed in the postcap gate;
+    * [[nearDupPairs]]' opt-in maxBucketSize is the backstop if a
+    * corpus's skew ever concentrates real mass. */
   def deriveBits(n: Long, targetBucket: Int = 64,
                  minBits: Int = 12, maxBits: Int = 24): Int = {
     val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)

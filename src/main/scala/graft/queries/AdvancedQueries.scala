@@ -121,10 +121,20 @@ object AdvancedQueries {
       import s.implicits._
       val v = ev(s, dir).filter($"event_type" === "view")
         .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"value")
+      // The output-grid sort is the one exchange AQE mis-sizes here:
+      // grid rows compress ~10x, so byte-based coalescing packs ~10x
+      // more sort state per task than it sees (2.6 GB spill at sf20).
+      // The grid size is exact from per-key bounds, so the planner
+      // pins the range exchange at ~1M rows/task (REPARTITION_BY_NUM
+      // — AQE's coalescer skips it); range partitions read back in
+      // order, so the total output order is orderBy's.
       graft.operators.TimeSeries.gapFill(v, Seq("user_id"),
           timeCol = "tus", valueCol = "value", stepUs = 3600000000L,
           tieBreak = Seq("event_id"))
-        .orderBy($"user_id", $"grid_tus")
+        .repartitionByRange(
+          DerivedCaps.gapFillGridPartsFor(s, dir, 3600000000L),
+          $"user_id", $"grid_tus")
+        .sortWithinPartitions($"user_id", $"grid_tus")
     }),
 
     // OHLC downsampling: each user's view series reduced to hourly

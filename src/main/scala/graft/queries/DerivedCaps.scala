@@ -86,6 +86,37 @@ object DerivedCaps {
     docCountMemo.getOrCompute(fileId(s, dir, "documents"), _ =>
       Long.box(Tables.load(s, dir, "documents").count())).longValue()
 
+  private val gridPartsMemo = new BoundedMemo[String, java.lang.Integer](64)
+
+  /** Partition count for a gap-fill output-grid sort over `dir`'s view
+    * events at `stepUs` (the r10 postcap ladder's find): the final
+    * range exchange's map output is the full grid, highly repetitive →
+    * ~10× compression, so AQE's byte-based coalescer packs ~10× more
+    * in-memory sort state per task than it can see and the sort spills
+    * (measured 2.6 GB at sf20 on 35 AQE-chosen tasks). The grid size
+    * is EXACT from per-key sample bounds — Σ_key (floor(hi/step) −
+    * ceil(lo/step) + 1)⁺ — one aggregation over the events table,
+    * memoized per file identity; the query pins the sort exchange at
+    * ~1M grid rows per task (REPARTITION_BY_NUM, which AQE's coalescer
+    * skips). Same planner-sizes-what-AQE-cannot-see move as
+    * [[pairPartsFor]]. */
+  def gapFillGridPartsFor(s: SparkSession, dir: String, stepUs: Long): Int =
+    gridPartsMemo.getOrCompute(fileId(s, dir, "events") + s"#step=$stepUs", _ => {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+        .groupBy(col("user_id"))
+        .agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+        .select(sum(greatest(lit(0L),
+          expr(s"hi div $stepUs") - expr(s"(lo + ${stepUs - 1}) div $stepUs") + 1))
+          .as("n"))
+        .collect()(0)
+      val grid = if (rows.isNullAt(0)) 0L else rows.getLong(0)
+      val byRows = math.ceil(grid / 1000000.0).toInt
+      Int.box(math.min(4096, math.max(s.sparkContext.defaultParallelism, byRows)))
+    }).intValue()
+
   private val qualityBoundsMemo =
     new BoundedMemo[String, Array[(String, Long, Long, Long)]](64)
 
