@@ -45,7 +45,7 @@ object Bench {
     * whose frames already went out of scope), then run `rounds` of
     * gc + sleep so ContextCleaner's reference queue is processed HERE
     * rather than during the next timed query. */
-  private def settle(spark: SparkSession, rounds: Int, sleepMs: Long): Unit = {
+  private[graft] def settle(spark: SparkSession, rounds: Int, sleepMs: Long): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

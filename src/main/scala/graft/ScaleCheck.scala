@@ -101,17 +101,34 @@ object ScaleCheck {
         "broadcast at sf1 (0 MB task shuffle); at sf10 one side crossed " +
         "the threshold — 22 MB absolute, linear from here"))
 
+  /** Allowlist for the POSTCAP rung (sf10→sf20): by then every
+    * transition-window and broadcast-flip step must already have
+    * happened, so the default `1.4 × dataRatio` bound applies to
+    * everything and exceptions need a fresh measured attribution —
+    * reusing [[fullSurfaceAllow]]'s transition bounds here would let a
+    * query that SHOULD be linear hide inside its old 19–160× window. */
+  private val postcapAllow: Map[String, Allow] = Map.empty
+
   /** Audit-file gate: `ScaleCheck audits <auditA.json> <auditB.json>
-    * <dataRatio> <out.json>` — covers EVERY query present in both
-    * ShuffleAudit dumps with the default bound, requires an
-    * attributed allowlist entry for anything past it, and embeds the
-    * attribution in the artifact so no exception is silent. A B-side
-    * shuffle under [[SpillLimitMb]] MB is below measurement noise and
-    * passes regardless of ratio. */
+    * <dataRatio> <out.json> [transition|postcap]` — covers EVERY query
+    * present in both ShuffleAudit dumps with the default bound,
+    * requires an attributed allowlist entry for anything past it, and
+    * embeds the attribution in the artifact so no exception is silent.
+    * A B-side shuffle under [[SpillLimitMb]] MB is below measurement
+    * noise and passes regardless of ratio. The final arg picks the
+    * allowlist: `transition` (default — the sf1→sf10 window) or
+    * `postcap` (sf10→sf20, where steps are over and near-linear is
+    * the only acceptable answer). */
   private def auditGate(args: Array[String]): Unit = {
-    require(args.length == 4,
-      "usage: ScaleCheck audits <auditA.json> <auditB.json> <dataRatio> <out.json>")
-    val Array(pathA, pathB, ratioStr, outPath) = args
+    require(args.length == 4 || args.length == 5,
+      "usage: ScaleCheck audits <auditA.json> <auditB.json> <dataRatio> <out.json> [transition|postcap]")
+    val Array(pathA, pathB, ratioStr, outPath) = args.take(4)
+    val allowName = if (args.length == 5) args(4) else "transition"
+    val allowList = allowName match {
+      case "transition" => fullSurfaceAllow
+      case "postcap" => postcapAllow
+      case other => sys.error(s"unknown allowlist '$other' (transition|postcap)")
+    }
     val dataRatio = ratioStr.toDouble
     val defaultBound = DefaultSlack * dataRatio
 
@@ -140,14 +157,14 @@ object ScaleCheck {
       val ratio =
         if (sa <= 0.001) (if (sb <= 0.001) 1.0 else Double.PositiveInfinity)
         else math.round(sb / sa * 100) / 100.0
-      val allow = fullSurfaceAllow.get(n)
+      val allow = allowList.get(n)
       val bound = allow.map(_.bound).getOrElse(defaultBound)
       val spillOk = spillA <= SpillLimitMb && spillB <= SpillLimitMb
       val ok = (ratio <= bound || sb <= SpillLimitMb) && spillOk
       (n, sa, sb, ratio, bound, allow.map(_.why), ok)
     }
     val allOk = rows.forall(_._7)
-    val unusedAllow = fullSurfaceAllow.keySet -- names.toSet
+    val unusedAllow = allowList.keySet -- names.toSet
     val body = rows.map { case (n, sa, sb, ratio, bound, why, ok) =>
       val boundStr = if (bound.isPosInfinity) "\"inf\"" else bound.toString
       val ratioStr2 = if (ratio.isPosInfinity) "\"inf\"" else ratio.toString
@@ -157,6 +174,7 @@ object ScaleCheck {
     val json =
       s"""{
          | "note": "graft.ScaleCheck full-surface audit gate: task-view shuffle growth auditA->auditB within ${DefaultSlack}x data ratio (= $defaultBound) unless an ATTRIBUTED allowlist entry raises the bound; B-side shuffle <= $SpillLimitMb MB passes as noise; task spill <= $SpillLimitMb MB at both scales always required.",
+         | "allowlist": "$allowName",
          | "auditA": "$pathA",
          | "auditB": "$pathB",
          | "data_ratio": $dataRatio,

@@ -130,11 +130,23 @@ object ShuffleAudit {
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
-    // one warm pass: codegen, file listing, memo fits
-    ordered.foreach { case (_, fn) =>
+    // one warm pass: codegen, file listing, memo fits. Progress goes
+    // to stderr so a fatal executor OOM names its query (an Executor
+    // OOM exits the JVM — the per-query catch cannot attribute it).
+    ordered.foreach { case (name, fn) =>
+      System.err.println(s"[audit] warm $name")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // settle between measured queries (Bench's discipline): the warm
+    // pass and each heavy query leave ContextCleaner debt — broadcast
+    // and checkpoint blocks whose async cleanup otherwise lands as
+    // MEMORY PRESSURE inside the next query's measured region. The r10
+    // sf20 ladder measured the damage as attribution noise: g04
+    // "spilled" 10.2 GB in the back-to-back audit but 0 in isolation.
+    Bench.settle(spark, rounds = 2, sleepMs = 300)
     val rows = ordered.flatMap { case (name, fn) =>
+      System.err.println(s"[audit] measure $name")
+      Bench.settle(spark, rounds = 1, sleepMs = 200)
       try Some(name -> measure(spark, fn, sfDir))
       catch { case _: Throwable => None }
     }

@@ -493,22 +493,41 @@ object Dedup {
     * cross-doc count comes from a WINDOW over those collapsed rows —
     * never a groupBy + join-back, which would re-execute the
     * tokenize/explode subtree and re-shuffle token-scale rows twice.
-    * Grams group by their exact string (oracle-exact); at 100 TB swap
-    * the group key for `xxhash64(g)` — 8-byte shuffle rows, the
-    * standard fingerprint trade (a 2⁻⁶⁴ collision can merge two span
-    * families). minDocs and n are the volume knobs: raising n shrinks
-    * the hit set geometrically. */
+    * Grams group by `xxhash64(g)`, not the string: the gram text never
+    * reaches the output, so the fingerprint gives identical results
+    * absent a 64-bit collision (P ≈ G²/2⁶⁵ — ~7e-5 for the 5e7 grams
+    * of the sf20 ladder, and a collision merely merges two span
+    * families), while the exchange rows drop from ~64 B string-keyed
+    * to 20 B fixed-width — the r10 sf20 ladder measured the
+    * string-keyed sort-based collapse spilling 18.5 GB that the
+    * fingerprint rows eliminate outright. minDocs and n are the
+    * volume knobs: raising n shrinks the hit set geometrically. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 5, minDocs: Long = 2L): DataFrame = {
+                    n: Int = 5, minDocs: Long = 2L,
+                    gramParts: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1 && minDocs >= 1, s"n=$n minDocs=$minDocs must be >= 1")
     val grams = docs
       .select(col(idCol), tokenize(col(textCol)).as("_toks"))
       .select(col(idCol), posexplode(ngrams(col("_toks"), n)).as(Seq("pos", "g")))
-    val collapsed = grams.groupBy(col("g"), col(idCol))
+      .select(col(idCol), col("pos"), xxhash64(col("g")).as("gh"))
+    // gramParts pins ONE exchange on gh that the collapse aggregate
+    // AND the cross-doc window both ride (gh ⊆ {gh, id} satisfies the
+    // agg's clustering; the agg preserves it for the window). Without
+    // it the collapse runs its collect_list PARTIAL on the scan
+    // tasks, whose sort-based fallback holds each input split's full
+    // gram set — measured 8.3 GB of map-side spill at sf20 on 32 scan
+    // tasks — and the window pays a second token-scale exchange.
+    // Sized from corpus text volume (DerivedCaps.gramPartsFor), which
+    // AQE cannot derive from compressed map bytes.
+    val spread = gramParts match {
+      case Some(p) => grams.repartition(p, col("gh"))
+      case None => grams
+    }
+    val collapsed = spread.groupBy(col("gh"), col(idCol))
       .agg(collect_list(col("pos")).as("ps"))
     val hits = collapsed
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .filter(col("nd") >= minDocs)
       .select(col(idCol), explode(col("ps")).as("pos"))
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))

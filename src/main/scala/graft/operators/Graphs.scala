@@ -176,11 +176,22 @@ object Graphs {
     * state. Distances are integers: min() is exact in any engine.
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
-              seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+              seeds: DataFrame, idCol: String, maxHops: Int,
+              edgeParts: Option[Int] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
-    val e = edges
+    // edgeParts pins the dedup exchange for a FACT-SCALE edge list
+    // (the r10 sf20 ladder: AQE sized the distinct from compressed
+    // map bytes, packed ~10x that in-memory state per task, and the
+    // sort-based fallback spilled 33.7 GB). Partitioning on u alone
+    // satisfies the distinct's (u, v) clustering AND pre-buckets the
+    // edge list on the iteration rounds' join key, so the rounds
+    // reuse the same layout. Callers derive it from the edge-source
+    // row count (DerivedCaps.factPartsFor); None keeps AQE sizing for
+    // dimension-scale graphs.
+    val slim = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = edgeParts.fold(slim)(p => slim.repartition(p, col("u")))
       .distinct()
       .transform(Checkpoints.materialize)
     var dist = seeds.select(col(idCol).cast("long").as("u")).distinct()
@@ -212,18 +223,25 @@ object Graphs {
     * equi-joins + one aggregate, no cartesian anywhere. */
   def commonNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
                       maxDegree: Option[Long] = None,
-                      minCommon: Long = 2L): DataFrame =
+                      minCommon: Long = 2L,
+                      edgeParts: Option[Int] = None): DataFrame =
     commonNeighborPairs(
-      centeredEdges(edges, srcCol, dstCol, maxDegree), minCommon)
+      centeredEdges(edges, srcCol, dstCol, maxDegree, edgeParts), minCommon)
 
   /** Deduped, hub-capped `(_s, _c)` edge list — the shared prep for
-    * the neighbor-overlap family. */
+    * the neighbor-overlap family. `edgeParts` pins the dedup exchange
+    * for fact-scale edge sources (same AQE in-memory-state blind spot
+    * as [[bfsHops]]); partitioning on the CENTER column also
+    * pre-buckets the list for the wedge self-join and the degree cap,
+    * which cluster on `_c`. */
   private def centeredEdges(edges: DataFrame, srcCol: String,
                             dstCol: String,
-                            maxDegree: Option[Long]): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("_s"),
+                            maxDegree: Option[Long],
+                            edgeParts: Option[Int] = None): DataFrame = {
+    val slim = edges.select(col(srcCol).cast("long").as("_s"),
         col(dstCol).cast("long").as("_c"))
       .filter(col("_s").isNotNull && col("_c").isNotNull)
+    val e = edgeParts.fold(slim)(p => slim.repartition(p, col("_c")))
       .distinct()
     maxDegree match {
       case Some(cap) =>
@@ -253,8 +271,9 @@ object Graphs {
     * at scale); the wedge shuffle stays the budgeted cost. */
   def jaccardNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
                        maxDegree: Option[Long] = None,
-                       minCommon: Long = 2L): DataFrame = {
-    val centered = centeredEdges(edges, srcCol, dstCol, maxDegree)
+                       minCommon: Long = 2L,
+                       edgeParts: Option[Int] = None): DataFrame = {
+    val centered = centeredEdges(edges, srcCol, dstCol, maxDegree, edgeParts)
     val deg = centered.groupBy(col("_s")).agg(count(lit(1)).as("_d"))
     commonNeighborPairs(centered, minCommon)
       .join(deg.select(col("_s").as("a"), col("_d").as("_da")), Seq("a"))

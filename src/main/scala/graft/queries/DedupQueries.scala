@@ -115,7 +115,8 @@ object DedupQueries {
     // position, so the oracle replays it as plain SQL.
     "d12_repeated_spans" -> ((s, dir) => {
       import s.implicits._
-      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", n = 5, minDocs = 2L)
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", n = 5, minDocs = 2L,
+          gramParts = Some(DerivedCaps.gramPartsFor(s, dir)))
         .orderBy($"doc_id", $"start")
     }),
 

@@ -86,6 +86,52 @@ object DerivedCaps {
     docCountMemo.getOrCompute(fileId(s, dir, "documents"), _ =>
       Long.box(Tables.load(s, dir, "documents").count())).longValue()
 
+  private val tableCountMemo = new BoundedMemo[String, java.lang.Long](64)
+
+  /** Row count of any table in `dir` (parquet-metadata count, memoized
+    * per file identity). */
+  def tableCountFor(s: SparkSession, dir: String, table: String): Long =
+    tableCountMemo.getOrCompute(fileId(s, dir, table), _ =>
+      Long.box(Tables.load(s, dir, table).count())).longValue()
+
+  private def clampParts(s: SparkSession, parts: Long): Int =
+    math.min(4096L, math.max(s.sparkContext.defaultParallelism.toLong, parts)).toInt
+
+  /** Partition count for an exchange carrying ~one row per `table` row
+    * (the r10 sf20 ladder's find, third instance of the d03 pattern):
+    * AQE coalesces exchanges by COMPRESSED map-output bytes, but the
+    * per-task cost of a sort or (sort-based) aggregation is the
+    * IN-MEMORY row state — ~10× the compressed view for slim repetitive
+    * rows — so fact-scale sorts/distincts land on ~35 tasks and spill
+    * tens of GB (g03's edge distinct: 33.7 GB at sf20). Queries size
+    * that one exchange from the memoized row count instead:
+    * `rowsPerTask` ≈ 1M keeps per-task state ~tens of MB at any SF. */
+  def factPartsFor(s: SparkSession, dir: String, table: String,
+                   rowsPerTask: Long = 1000000L): Int =
+    clampParts(s, (tableCountFor(s, dir, table) + rowsPerTask - 1) / rowsPerTask)
+
+  private val gramPartsMemo = new BoundedMemo[String, java.lang.Integer](64)
+
+  /** Partition count for a token-n-gram-scale exchange over `dir`'s
+    * documents (d12's span mining): gram rows ≈ total text chars / ~6
+    * (one gram per token position), far beyond any row count a table
+    * metadata read can see, so the estimate comes from Σ n_chars — one
+    * memoized single-column aggregation. ~500k fixed-width fingerprint
+    * rows per task keeps the post-exchange sort-based aggregation's
+    * state comfortably in memory at any SF (the r10 sf20 ladder
+    * measured 1.5M STRING-keyed rows per task spilling 545 MB each —
+    * string sort state expands ~10x the compressed exchange view,
+    * which drove the switch to xxhash64 group keys in
+    * [[graft.operators.Dedup.repeatedSpans]]). */
+  def gramPartsFor(s: SparkSession, dir: String): Int =
+    gramPartsMemo.getOrCompute(fileId(s, dir, "documents"), _ => {
+      import org.apache.spark.sql.functions._
+      val chars = Tables.load(s, dir, "documents")
+        .agg(sum(col("n_chars"))).collect()(0)
+      val grams = (if (chars.isNullAt(0)) 0L else chars.getLong(0)) / 6L
+      Int.box(clampParts(s, (grams + 499999L) / 500000L))
+    }).intValue()
+
   private val gridPartsMemo = new BoundedMemo[String, java.lang.Integer](64)
 
   /** Partition count for a gap-fill output-grid sort over `dir`'s view

@@ -105,16 +105,24 @@ object GraphQueries {
     "g03_bfs_reach" -> ((s, dir) => {
       import s.implicits._
       val dTbl = (n: String) => graft.Tables.load(s, dir, n)
+      // Fact-fact join: SHUFFLE_HASH on the orders side streams the
+      // 4x-bigger lineitem side with NO sort (the sf20 ladder measured
+      // the SMJ's lineitem sort spilling 9.5 GB on AQE-coalesced
+      // tasks; the per-partition hash build of slim orders keys is a
+      // few MB). Dedup happens ONCE, inside bfsHops, on the pinned
+      // edgeParts exchange — a query-side distinct here would pay a
+      // second fact-scale aggregation for rows bfsHops re-dedups
+      // anyway.
       val cs = dTbl("lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(dTbl("orders").select($"o_orderkey", $"o_custkey"),
+        .join(dTbl("orders").select($"o_orderkey", $"o_custkey").hint("shuffle_hash"),
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sv"))
-        .distinct()
       val edges = cs.select($"c".as("src"), $"sv".as("dst"))
         .unionByName(cs.select($"sv".as("src"), $"c".as("dst")))
       val seeds = dTbl("customer").filter($"c_custkey" === 0)
         .select(($"c_custkey" * 2).as("id"))
-      Graphs.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
+      Graphs.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3,
+          edgeParts = Some(DerivedCaps.factPartsFor(s, dir, "lineitem")))
         .select(expr("id div 2").as("vertex_id"),
           when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
           $"hops")
@@ -135,7 +143,8 @@ object GraphQueries {
       val ps = graft.Tables.load(s, dir, "lineitem")
         .select($"l_partkey".as("part"), $"l_suppkey".as("supp"))
       Graphs.commonNeighbors(ps, srcCol = "supp", dstCol = "part",
-          maxDegree = Some(50L), minCommon = 2L)
+          maxDegree = Some(50L), minCommon = 2L,
+          edgeParts = Some(DerivedCaps.factPartsFor(s, dir, "lineitem")))
         .select($"a".as("supp_a"), $"b".as("supp_b"), $"n_common")
         .orderBy($"supp_a", $"supp_b")
     }),
@@ -149,7 +158,8 @@ object GraphQueries {
       val ps = graft.Tables.load(s, dir, "lineitem")
         .select($"l_partkey".as("part"), $"l_suppkey".as("supp"))
       Graphs.jaccardNeighbors(ps, srcCol = "supp", dstCol = "part",
-          maxDegree = Some(50L), minCommon = 2L)
+          maxDegree = Some(50L), minCommon = 2L,
+          edgeParts = Some(DerivedCaps.factPartsFor(s, dir, "lineitem")))
         .select($"a".as("supp_a"), $"b".as("supp_b"), $"n_common",
           $"jaccard_bp")
         .orderBy($"supp_a", $"supp_b")
