@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Deduplication queries over `documents`. Exact and n-gram-Jaccard
   * variants carry DuckDB oracles directly (the math is
@@ -120,6 +120,37 @@ object DedupQueries {
         .orderBy($"doc_id", $"start")
     }),
 
+    // SemDeDup-style semantic dedup end-to-end: embedding near-dup
+    // pairs (LSH buckets + exact cosine verified inside the join —
+    // s03's operator) closed into clusters by connected components,
+    // one representative (min vec_id) kept per cluster. This is the
+    // pipeline a semantic-dedup pass actually runs — pairs alone
+    // aren't actionable until they're clusters with a keep decision.
+    // Corpus: embeddings plus planted exact copies (vec_id+1e6 for
+    // vec_id<20, vec_id+2e6 for vec_id<10 — max organic vec_id is
+    // 4e5 at sf20, no collision), making the cluster structure
+    // deterministic at every SF: organic max pairwise cosine ≈ 0.51
+    // and ScaleGen's per-shard orthogonal transforms keep cross-shard
+    // cosines there too, so the 10 triples + 10 pairs planted are the
+    // ONLY clusters. Scale shape: the nearDupPairs scan dominates
+    // (gated via s03); CC iterates over the ~40-edge endpoint set.
+    "d13_semantic_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      def planted(offset: Long, below: Long) = e.filter($"vec_id" < below)
+        .select(($"vec_id" + offset).as("vec_id"), $"embedding", $"label")
+      val corpus = e.unionByName(planted(1000000L, 20))
+        .unionByName(planted(2000000L, 10))
+      val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        minCosine = 0.99, dim = SimilarityQueries.Dim,
+        bits = DerivedCaps.embBitsFor(s, dir), maxBucketSize = 4096)
+      graft.operators.ConnectedComponents.components(pairs, "a_id", "b_id",
+          corpus.select($"vec_id"), "vec_id")
+        .select($"vec_id", $"component".as("cluster"),
+          ($"vec_id" === $"component").cast("long").as("keep"))
+        .orderBy($"vec_id")
+    }),
+
     // MinHash-LSH near-dup pairs over the corpus PLUS planted exact
     // copies of the first 25 docs (doc_id + 1e6). Planted pairs have
     // identical shingle sets → identical signatures → all 16 bands
@@ -194,6 +225,26 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // d13's cluster structure is fully determined by the planted
+    // copies (organic cosines max ≈ 0.51 < 0.99; identical vectors
+    // share every LSH bucket, so recall on the planted pairs is
+    // deterministic), so the oracle states the expected closure
+    // directly — the same construction s03/d04 use for
+    // hash-family-specific operators.
+    "d13_semantic_clusters" ->
+      """WITH corpus AS (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 20
+        |  UNION ALL SELECT vec_id + 2000000 FROM embeddings WHERE vec_id < 10),
+        |lab AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id >= 1000000 THEN vec_id % 1000000 ELSE vec_id END AS cluster
+        |  FROM corpus)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(CASE WHEN vec_id = cluster THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM lab ORDER BY vec_id""".stripMargin,
+
     // d03's pair computation closed into components with a recursive
     // walk: every doc labeled with the least id it can reach
     "d07_dup_components" ->
