@@ -116,14 +116,18 @@ object ScaleCheck {
     * embeds the attribution in the artifact so no exception is silent.
     * A B-side shuffle under [[SpillLimitMb]] MB is below measurement
     * noise and passes regardless of ratio. The final arg picks the
-    * allowlist: `transition` (default — the sf1→sf10 window) or
+    * allowlist — MANDATORY: `transition` (the sf1→sf10 window) or
     * `postcap` (sf10→sf20, where steps are over and near-linear is
     * the only acceptable answer). */
   private def auditGate(args: Array[String]): Unit = {
-    require(args.length == 4 || args.length == 5,
-      "usage: ScaleCheck audits <auditA.json> <auditB.json> <dataRatio> <out.json> [transition|postcap]")
+    // the allowlist selector is MANDATORY (ADVICE r10): defaulting to
+    // the lenient transition table let a postcap rung silently run
+    // under 19–160x transition-window exceptions where near-linear is
+    // the only acceptable answer
+    require(args.length == 5,
+      "usage: ScaleCheck audits <auditA.json> <auditB.json> <dataRatio> <out.json> <transition|postcap>")
     val Array(pathA, pathB, ratioStr, outPath) = args.take(4)
-    val allowName = if (args.length == 5) args(4) else "transition"
+    val allowName = args(4)
     val allowList = allowName match {
       case "transition" => fullSurfaceAllow
       case "postcap" => postcapAllow

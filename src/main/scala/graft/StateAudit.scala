@@ -104,10 +104,13 @@ object StateAudit {
     // an unconditional driver-local temp dir here would be unreadable
     // by executors on a real cluster, exactly what WorkDirs exists to
     // prevent). Resolve the root ONCE, before the per-run override.
+    // The root is tagged with a UUID (ADVICE r10): a FIXED shared path
+    // would let two concurrent StateAudit runs under one workdir root
+    // wipe each other's live scratch at startup.
     val scratchRoot = new org.apache.hadoop.fs.Path(
-      WorkDirs.root(spark), "graft_stateaudit")
+      WorkDirs.root(spark),
+      s"graft_stateaudit_${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = scratchRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(scratchRoot, true)
     var runId = 0
     def runOne(name: String, dir: String): Measured = {
       runId += 1
@@ -132,7 +135,9 @@ object StateAudit {
         acc.inputRows, acc.batches, math.round(wall * 100) / 100.0)
     }
 
-    val rows = specs.map { case (name, bound) =>
+    // scratch cleanup in finally (ADVICE r10): a throw mid-run must
+    // not strand the per-run drain directories
+    val rows = try specs.map { case (name, bound) =>
       val a = runOne(name, dirA)
       val b = runOne(name, dirB)
       val ratio =
@@ -145,7 +150,7 @@ object StateAudit {
       println(f"[stateaudit] $name%-28s stateA=${a.stateRows}%7d stateB=${b.stateRows}%8d " +
         f"ratio=$ratio%6.2f bound=$bound%5.1f input×=$inputRatio%6.2f ${if (ok) "ok" else "FAIL"}")
       (name, bound, a, b, ratio, inputRatio, ok)
-    }
+    } finally fs.delete(scratchRoot, true)
 
     def fmt(m: Measured): String =
       s"""{"state_rows":${m.stateRows},"state_mem_mb":${m.stateMemMb},""" +
@@ -165,7 +170,6 @@ object StateAudit {
          |}""".stripMargin
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
-    fs.delete(scratchRoot, true)
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -130,7 +130,13 @@ object ZipScaleBench {
                 i += 1
               }
             } finally zos.close()
-            if (!efs.rename(tmp, out)) efs.delete(tmp, true)
+            // a swallowed rename failure would still write _BUILT and
+            // persist a corrupted corpus (ADVICE r10) — fail the build
+            // so the next run rebuilds instead
+            if (!efs.rename(tmp, out)) {
+              efs.delete(tmp, true)
+              sys.error(s"zipbench: rename $tmp -> $out failed; rerun to rebuild")
+            }
           }
         }
       fs.create(doneMark, true).close()
@@ -251,7 +257,11 @@ object ZipScaleBench {
             i += 1
           }
         } finally zos.close()
-        if (!efs.rename(tmp, out)) efs.delete(tmp, true)
+        // same swallowed-rename hazard as the multi-archive build
+        if (!efs.rename(tmp, out)) {
+          efs.delete(tmp, true)
+          sys.error(s"zipbench: rename $tmp -> $out failed; rerun to rebuild")
+        }
         ()
       }
       println(f"[zipbench] built $target in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -97,7 +97,11 @@ object DedupQueries {
       val banded = graft.operators.Checkpoints.materialize(
         Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
             n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        // mined corpus = base + two 1/15 prefixed slices (ADVICE r10)
+        nDocs = {
+          val dc = DerivedCaps.docCountFor(s, dir); dc + 2L * (dc / 15L + 1L)
+        })
           .select(floor($"jaccard" * 10).cast("long").as("band"),
             $"a_id", $"b_id"))
       val perBand = banded.groupBy($"band").agg(count(lit(1)).as("n_pairs"))

@@ -76,9 +76,12 @@ object GraphQueries {
       val planted = d.filter($"doc_id" < 25)
         .withColumn("doc_id", $"doc_id" + 1000000L)
       val corpus = d.unionByName(planted)
+      // nDocs counts the MINED corpus, not the base table (ADVICE
+      // r10): base + the 25 planted copies
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        nDocs = DerivedCaps.docCountFor(s, dir) + 25)
       // symmetrize with a map-side explode, NOT a two-branch union: a
       // union re-executes the whole pair-mining subtree once per
       // branch IN THE SAME STAGE, and at sf1 the two concurrent
@@ -180,9 +183,11 @@ object GraphQueries {
       val planted = d.filter($"doc_id" < 25)
         .withColumn("doc_id", $"doc_id" + 1000000L)
       val corpus = d.unionByName(planted)
+      // nDocs = mined corpus: base + 25 planted copies (ADVICE r10)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        nDocs = DerivedCaps.docCountFor(s, dir) + 25)
       Graphs.hits(pairs, "a_id", "b_id", corpus.select($"doc_id"), "doc_id",
           iterations = HitsIters)
         .orderBy($"doc_id")
@@ -215,9 +220,13 @@ object GraphQueries {
       val corpus = slice
         .unionByName(slice.withColumn("doc_id", $"doc_id" + 1000000L))
         .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
+      // nDocs bounds the mined 3x-slice union; 3x the base count is a
+      // safe over-count (the slice is a subset) — an under-count could
+      // broadcast a sizes frame past the gate (ADVICE r10)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        nDocs = 3L * DerivedCaps.docCountFor(s, dir))
       Graphs.kCorePeel(pairs, "a_id", "b_id", k = 2L, rounds = 3)
         .select($"vertex".as("doc_id"), $"deg")
         .orderBy($"doc_id")
@@ -233,9 +242,11 @@ object GraphQueries {
       val corpus = slice
         .unionByName(slice.withColumn("doc_id", $"doc_id" + 1000000L))
         .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
+      // same 3x-slice bound as g08 (ADVICE r10)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir), nDocs = DerivedCaps.docCountFor(s, dir))
+        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        nDocs = 3L * DerivedCaps.docCountFor(s, dir))
       Graphs.triangleCounts(pairs, "a_id", "b_id")
         .orderBy($"vertex")
     }),
