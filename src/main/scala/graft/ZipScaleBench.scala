@@ -87,13 +87,11 @@ object ZipScaleBench {
     * serializing 100k remote RPCs onto the driver, and THAT part is
     * structural (the gate pins which branch planned via the planner's
     * own job count). */
-  private def multiMain(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("ZIPBENCH_r10_multi.json")
-    val nArchives = if (args.length > 1) args(1).toInt else 256
-    val entriesPer = if (args.length > 2) args(2).toInt else 200
-    val entryKb = if (args.length > 3) args(3).toInt else 24
-    val spark = GraftSession.get("zip-scale-bench-multi")
-
+  /** Build (idempotent) the `nArchives × entriesPer` fixture under the
+    * WorkDirs scratch root; returns the archives directory. Shared by
+    * the `multi` and `latency` rungs. */
+  private def ensureMultiFixture(spark: SparkSession, nArchives: Int,
+                                 entriesPer: Int, entryKb: Int): HPath = {
     val root = WorkDirs.scratch(spark, "zipbench",
       s"multi-a$nArchives-e$entriesPer-kb$entryKb")
     val dir = new HPath(root, "archives")
@@ -142,6 +140,16 @@ object ZipScaleBench {
       fs.create(doneMark, true).close()
       println(f"[zipbench] built $nArchives archives in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    dir
+  }
+
+  private def multiMain(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("ZIPBENCH_r10_multi.json")
+    val nArchives = if (args.length > 1) args(1).toInt else 256
+    val entriesPer = if (args.length > 2) args(2).toInt else 200
+    val entryKb = if (args.length > 3) args(3).toInt else 24
+    val spark = GraftSession.get("zip-scale-bench-multi")
+    val dir = ensureMultiFixture(spark, nArchives, entriesPer, entryKb)
 
     def timed[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -218,8 +226,83 @@ object ZipScaleBench {
     if (!ok) sys.exit(1)
   }
 
+  /** Object-store-latency rung (VERDICT r10 "what's missing" #4): the
+    * many-archive claim — executor-side central-directory planning
+    * beats a driver loop — was structural only, because a local-FS
+    * tail read is ~free. This rung makes each archive's metadata read
+    * pay a simulated object-store RTT (`simulatedMetaLatencyMs`,
+    * applied inside [[graft.sources.v2.ZipPlanning.archiveMeta]] on
+    * whichever side plans) and measures the wall both ways:
+    *
+    *  - driver loop: nArchives × RTT, STRICTLY SERIAL — the gate
+    *    asserts the measured wall actually carries that floor (≥ 80%
+    *    of nArchives × latency), proving the simulation bites;
+    *  - executor job: the same per-archive RTTs overlapped across
+    *    task slots — gated at ≤ driver/3 wall (measured ~1/20th);
+    *  - both branches must still plan IDENTICAL task counts equal to
+    *    the greedy-pack prediction.
+    *
+    * Usage: ZipScaleBench latency [out.json] [nArchives] [entriesPer]
+    *          [entryKb] [latencyMs]
+    */
+  private def latencyMain(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("ZIPBENCH_r11_latency.json")
+    val nArchives = if (args.length > 1) args(1).toInt else 256
+    val entriesPer = if (args.length > 2) args(2).toInt else 200
+    val entryKb = if (args.length > 3) args(3).toInt else 24
+    val latencyMs = if (args.length > 4) args(4).toLong else 30L
+    val spark = GraftSession.get("zip-scale-bench-latency")
+    val dir = ensureMultiFixture(spark, nArchives, entriesPer, entryKb)
+
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, math.round((System.nanoTime() - t0) / 1e7) / 100.0)
+    }
+    def plan(threshold: Int, latency: Long): Int =
+      spark.read.format("zip-entries")
+        .option("parallelPlanningThreshold", threshold.toString)
+        .option("simulatedMetaLatencyMs", latency.toString)
+        .load(s"$dir/*.zip")
+        .rdd.getNumPartitions
+
+    // warm FS listings + codegen with latency OFF so both timed runs
+    // pay only the simulated RTTs plus their own orchestration
+    plan(1, 0); plan(nArchives + 1, 0)
+    val (parTasks, parWall) = timed(plan(1, latencyMs))
+    val (drvTasks, drvWall) = timed(plan(nArchives + 1, latencyMs))
+
+    val perSplit = math.max(1L, (128L * 1024 * 1024) / (entryKb * 1024L))
+    val predicted = math.ceil(entriesPer.toDouble / perSplit).toInt * nArchives
+    val serialFloor = nArchives * latencyMs / 1000.0
+    val ok =
+      parTasks == drvTasks && parTasks == predicted &&
+        drvWall >= serialFloor * 0.8 &&
+        parWall <= drvWall / 3.0
+    val json =
+      s"""{
+         | "note": "graft.ZipScaleBench latency: each archive's central-directory read pays a simulated ${latencyMs} ms object-store RTT on whichever side plans. The driver loop must measure >= 80% of its nArchives x RTT serial floor (the simulation really bites); the executor-side planning job must overlap those RTTs to <= 1/3 of the driver wall; both branches must plan identical task counts equal to the greedy-pack prediction.",
+         | "n_archives": $nArchives,
+         | "entries_per_archive": $entriesPer,
+         | "latency_ms": $latencyMs,
+         | "serial_floor_s": $serialFloor,
+         | "planned_tasks_parallel": $parTasks,
+         | "planned_tasks_driver": $drvTasks,
+         | "predicted_tasks": $predicted,
+         | "planning_wall_parallel_s": $parWall,
+         | "planning_wall_driver_s": $drvWall,
+         | "speedup": ${if (parWall > 0) math.round(drvWall / parWall * 10) / 10.0 else -1},
+         | "all_ok": $ok
+         |}""".stripMargin
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("multi")) { multiMain(args.drop(1)); return }
+    if (args.headOption.contains("latency")) { latencyMain(args.drop(1)); return }
     val outPath = args.headOption.getOrElse("ZIPBENCH_r10.json")
     val nEntries = if (args.length > 1) args(1).toInt else 10000
     val entryKb = if (args.length > 2) args(2).toInt else 300

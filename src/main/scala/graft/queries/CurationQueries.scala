@@ -197,27 +197,37 @@ object CurationQueries {
     }),
   )
 
-  /** Land orders + lineitem bucketed by the join key (8 buckets,
-    * sorted within buckets) as session-catalog tables over the shared
-    * scratch, and hand back the two table frames. The layout is a
-    * WRITE-ONCE artifact (that is the whole point of bucketing), so
-    * repeat invocations in one session reuse the landed tables —
-    * names are corpus-tagged so two sf dirs never collide — and only
-    * the first call pays the write; same posture as s05's cached IVF
-    * index. */
+  /** Land orders + lineitem bucketed by the join key (sorted within
+    * buckets) as session-catalog tables over the shared scratch, and
+    * hand back the two table frames. The layout is a WRITE-ONCE
+    * artifact (that is the whole point of bucketing), so repeat
+    * invocations in one session reuse the landed tables — names are
+    * corpus-tagged so two sf dirs never collide — and only the first
+    * call pays the write; same posture as s05's cached IVF index.
+    *
+    * The bucket COUNT is derived from the fact table's row count
+    * (≤ ~1.5M lineitem rows per bucket), not fixed: a co-located join
+    * reads one whole bucket per task and re-sorts it in memory (the
+    * writer's sortBy does not survive multi-file buckets), so per-task
+    * sort state IS the bucket size — MemAudit measured the old fixed
+    * 8 buckets at 528 MB/task at sf10, doubling every rung (the
+    * preventive detector's first catch, r11). Both sides use the same
+    * derived count, as the zero-exchange plan requires. */
   private[graft] def bucketedTables(s: SparkSession,
                                     dir: String): (DataFrame, DataFrame) = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val (oT, lT) = (s"graft_p08_orders_$tag", s"graft_p08_lineitem_$tag")
     if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(lT)) {
+      val nBuckets = math.max(8,
+        DerivedCaps.factPartsFor(s, dir, "lineitem", rowsPerTask = 1500000L))
       val out = sinkScratch(s, "p08", dir)
       Tables.load(s, dir, "orders").write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", out + "/orders").mode("overwrite")
         .saveAsTable(oT)
       Tables.load(s, dir, "lineitem").write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", out + "/lineitem").mode("overwrite")
         .saveAsTable(lT)
     }

@@ -112,6 +112,26 @@ object SimilarityQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // Multi-probe near-dup mining (the s03 semantics on the
+    // skew-mitigation scale path): 2 tables × a 2·(derived+1)-bit
+    // code, Hamming ≤ 1 matching via pigeonhole segment joins — each
+    // segment stays one bit FINER than s03's full buckets, so the
+    // candidate second moment that gave s03 its 2.28×/2× postcap
+    // residue shrinks quadratically while exact-duplicate recall stays
+    // deterministic (identical vectors share every segment). Same
+    // planted construction and oracle as s03.
+    "s11_multiprobe_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val planted = e.filter($"vec_id" < 20)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+      Similarity.multiProbePairs(e.unionByName(planted), "vec_id", "embedding",
+          minCosine = 0.99, dim = Dim, tables = 2,
+          bits = 2 * (DerivedCaps.embBitsFor(s, dir) + 1))
+        .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // Deterministic k-means partition of the embedding corpus:
     // 2 Lloyd iterations in scaled-integer arithmetic (quantized
     // non-negative coords, exact integer distances, floor-mean
@@ -414,6 +434,14 @@ object SimilarityQueries {
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "s03_embed_neardup" ->
+      """SELECT vec_id AS a_id, vec_id + 1000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 20 ORDER BY a_id""".stripMargin,
+
+    // same planted construction as s03: the corpus has no organic pair
+    // above cosine 0.51, so the answer is exactly the planted exact
+    // duplicates (cosine 1.0), which share every segment of every
+    // table deterministically
+    "s11_multiprobe_neardup" ->
       """SELECT vec_id AS a_id, vec_id + 1000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings WHERE vec_id < 20 ORDER BY a_id""".stripMargin,
 

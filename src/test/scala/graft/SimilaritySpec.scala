@@ -46,6 +46,46 @@ class SimilaritySpec extends SparkSpec {
     assert(res.forall { case (a, b, c) => b == a + 1000L && math.abs(c - 1.0) < 1e-9 })
   }
 
+  test("multiProbePairs finds planted exact duplicates with cosine 1.0") {
+    val planted = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding", $"label")
+    val res = Similarity.multiProbePairs(emb.filter($"vec_id" < 100).unionByName(planted),
+        "vec_id", "embedding", minCosine = 0.99, dim = 64, tables = 2, bits = 18)
+      .select($"a_id", $"b_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(res.length == 10)
+    assert(res.forall { case (a, b, c) => b == a + 1000L && math.abs(c - 1.0) < 1e-9 })
+  }
+
+  test("multiProbePairs candidate set IS the Hamming<=1 relation (pigeonhole join exactness)") {
+    // with the cosine filter disabled, the operator must return
+    // EXACTLY the pairs whose codes differ in <= 1 bit in some table —
+    // computed here by brute force over the collected codes. Small
+    // bits force plenty of both Hamming-0 and Hamming-1 collisions.
+    val corpus = emb.filter($"vec_id" < 200)
+    val bits = 6
+    val codes = corpus.select($"vec_id",
+        graft.functions.VectorFunctions.rpSignature($"embedding", 2, bits, 42L).as("sig"))
+      .as[(Long, Seq[Long])].collect()
+    val expected = (for {
+      (a, sa) <- codes; (b, sb) <- codes if a < b
+      if sa.zip(sb).exists { case (x, y) => java.lang.Long.bitCount(x ^ y) <= 1 }
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture produced no Hamming<=1 pairs — bits too high")
+    // sanity: some pairs must come from Hamming-1 alone (the probe
+    // path), not just equal buckets
+    val h1only = (for {
+      (a, sa) <- codes; (b, sb) <- codes if a < b
+      if sa.zip(sb).exists { case (x, y) => java.lang.Long.bitCount(x ^ y) == 1 } &&
+        !sa.zip(sb).exists { case (x, y) => x == y }
+    } yield (a, b)).toSet
+    assert(h1only.nonEmpty, "fixture exercised only the Hamming-0 path")
+    val got = Similarity.multiProbePairs(corpus, "vec_id", "embedding",
+        minCosine = -1.0, dim = 64, tables = 2, bits = bits)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("int8 quantization: codes bounded, max element hits ±127, dequantization approximates") {
     val q = Similarity.quantizeInt8(emb, "embedding")
       .select($"vec_id", $"embedding", $"q", $"scale")
