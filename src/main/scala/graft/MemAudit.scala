@@ -75,7 +75,7 @@ object MemAudit {
 
   /** Max and count of per-task accumulator updates, by accumulator id.
     * The listener sees every task of every job the query runs. */
-  private final class TaskAccum extends SparkListener {
+  private[graft] final class TaskAccum extends SparkListener {
     val maxUpd = new ConcurrentHashMap[Long, Long]()
     val cntUpd = new ConcurrentHashMap[Long, Long]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -148,6 +148,32 @@ object MemAudit {
 
   private def mb(v: Double): Double = math.round(v / 1048.576) / 1000.0
 
+  /** The per-node state profile of an EXECUTED plan, read against the
+    * per-task accumulator maxima `acc` collected while it ran — shared
+    * by [[profile]] and [[ShuffleAudit.measure]]'s merged pass. */
+  private[graft] def statsFrom(acc: TaskAccum, plan: SparkPlan): Seq[NodeStat] = {
+    acc.settled()
+    flatten(plan).flatMap { n =>
+      val peakMetric = n.metrics.get("peakMemory")
+        .orElse(n.metrics.get("buildDataSize"))
+      peakMetric.flatMap { m =>
+        val maxPeak = Option(acc.maxUpd.get(m.id)).map(_.longValue).getOrElse(0L)
+        val tasks = Option(acc.cntUpd.get(m.id)).map(_.longValue).getOrElse(0L)
+        if (maxPeak <= 0 || tasks <= 0) None
+        else {
+          val inBytes = feedingShuffleBytes(n)
+          val inPerTask = inBytes.map(_.toDouble / tasks)
+          val ampl = inPerTask.filter(_ >= AmplInputFloorBytes).map(maxPeak / _)
+          val proj = ampl.map(a => mb(a * AdvisoryBytes))
+          val spill = n.metrics.get("spillSize").map(_.value).filter(_ > 0).getOrElse(0L)
+          Some(NodeStat(n.nodeName, mb(maxPeak.toDouble), tasks,
+            inPerTask.map(mb), ampl.map(a => math.round(a * 100) / 100.0),
+            proj, mb(spill.toDouble)))
+        }
+      }
+    }.sortBy(-_.maxTaskPeakMb)
+  }
+
   /** Runs `fn` once and returns the per-node state profile of every
     * memory-holding node in its final adaptive plan. */
   private[graft] def profile(spark: SparkSession,
@@ -158,27 +184,7 @@ object MemAudit {
     try {
       val df = fn(spark, sfDir)
       df.queryExecution.toRdd.count()
-      acc.settled()
-      val nodes = flatten(df.queryExecution.executedPlan)
-      nodes.flatMap { n =>
-        val peakMetric = n.metrics.get("peakMemory")
-          .orElse(n.metrics.get("buildDataSize"))
-        peakMetric.flatMap { m =>
-          val maxPeak = Option(acc.maxUpd.get(m.id)).map(_.longValue).getOrElse(0L)
-          val tasks = Option(acc.cntUpd.get(m.id)).map(_.longValue).getOrElse(0L)
-          if (maxPeak <= 0 || tasks <= 0) None
-          else {
-            val inBytes = feedingShuffleBytes(n)
-            val inPerTask = inBytes.map(_.toDouble / tasks)
-            val ampl = inPerTask.filter(_ >= AmplInputFloorBytes).map(maxPeak / _)
-            val proj = ampl.map(a => mb(a * AdvisoryBytes))
-            val spill = n.metrics.get("spillSize").map(_.value).filter(_ > 0).getOrElse(0L)
-            Some(NodeStat(n.nodeName, mb(maxPeak.toDouble), tasks,
-              inPerTask.map(mb), ampl.map(a => math.round(a * 100) / 100.0),
-              proj, mb(spill.toDouble)))
-          }
-        }
-      }.sortBy(-_.maxTaskPeakMb)
+      statsFrom(acc, df.queryExecution.executedPlan)
     } finally spark.sparkContext.removeSparkListener(acc)
   }
 

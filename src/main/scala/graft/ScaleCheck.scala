@@ -84,6 +84,10 @@ object ScaleCheck {
     "d03_ngram_jaccard" -> Allow(19,
       "mining transition window: df crosses the derived cap between the " +
         "two scales (model predicts 18.7x); postcap gate measures 1.67x/2x"),
+    "d05_simhash" -> Allow(19,
+      "r11: runs d03's miner at threshold 0.9 as its exact-anchor side " +
+        "(organic-recall oracle) + the SimHash chunk join; same " +
+        "transition window as d03"),
     "d07_dup_components" -> Allow(19,
       "= d03's miner + vertex-sized rounds; same transition window"),
     "g01_pagerank" -> Allow(19, "shared mining core; same transition window"),
@@ -100,6 +104,19 @@ object ScaleCheck {
       "flip from zero: the curation pipeline's dedup-pair join ran fully " +
         "broadcast at sf1 (0 MB task shuffle); at sf10 one side crossed " +
         "the threshold — 22 MB absolute, linear from here"))
+
+  /** Budgets for the per-task STATE columns (VERDICT r10 #1): max
+    * single-task in-memory sort/agg/hash-build state, and its
+    * projection to AQE's 64 MB advisory coalescing target — the same
+    * bounds [[MemAudit]] gates standalone, here enforced on every
+    * rung the audit artifacts cover so the recurring defect class
+    * (state invisible to AQE's compressed-byte sizing) fails the gate
+    * at rung N instead of spilling at rung N+1. */
+  private val StatePeakBudgetMb = 512.0
+  private val StateProjBudgetMb = 1024.0
+
+  private val stateAllow: Map[String, Allow2] = Map.empty
+  private final case class Allow2(peakMb: Double, projMb: Double, why: String)
 
   /** Allowlist for the POSTCAP rung (sf10→sf20): by then every
     * transition-window and broadcast-flip step must already have
@@ -136,14 +153,20 @@ object ScaleCheck {
     val dataRatio = ratioStr.toDouble
     val defaultBound = DefaultSlack * dataRatio
 
-    def parse(path: String): Map[String, (Double, Double)] = {
+    // (task_shuffle_mb, task_spill_mb, max_task_peak_mb, max_task_projected_mb)
+    // — the two STATE columns (VERDICT r10 #1) are optional so the gate
+    // still reads pre-r11 artifacts, which lack them
+    def parse(path: String): Map[String, (Double, Double, Option[Double], Option[Double])] = {
       val text = Files.readString(Paths.get(path))
       // tolerate either ShuffleAudit's compact output or a
       // pretty-printed re-save (whitespace after separators)
       val entry = ("\"(\\w+)\"\\s*:\\s*\\{[^}]*\"task_shuffle_mb\"\\s*:\\s*([0-9.eE+-]+)\\s*," +
-        "\\s*\"task_spill_mb\"\\s*:\\s*([0-9.eE+-]+)").r
+        "\\s*\"task_spill_mb\"\\s*:\\s*([0-9.eE+-]+)" +
+        "(?:\\s*,\\s*\"max_task_peak_mb\"\\s*:\\s*([0-9.eE+-]+)\\s*," +
+        "\\s*\"max_task_projected_mb\"\\s*:\\s*([0-9.eE+-]+))?").r
       entry.findAllMatchIn(text).map(m =>
-        m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
+        m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
+          Option(m.group(4)).map(_.toDouble), Option(m.group(5)).map(_.toDouble))).toMap
     }
     val a = parse(pathA)
     val b = parse(pathB)
@@ -156,28 +179,49 @@ object ScaleCheck {
       s"queries present in only one audit: ${missing.mkString(", ")}")
 
     val rows = names.map { n =>
-      val (sa, spillA) = a(n)
-      val (sb, spillB) = b(n)
+      val (sa, spillA, peakA, projA) = a(n)
+      val (sb, spillB, peakB, projB) = b(n)
       val ratio =
         if (sa <= 0.001) (if (sb <= 0.001) 1.0 else Double.PositiveInfinity)
         else math.round(sb / sa * 100) / 100.0
       val allow = allowList.get(n)
       val bound = allow.map(_.bound).getOrElse(defaultBound)
       val spillOk = spillA <= SpillLimitMb && spillB <= SpillLimitMb
-      val ok = (ratio <= bound || sb <= SpillLimitMb) && spillOk
-      (n, sa, sb, ratio, bound, allow.map(_.why), ok)
+      // the preventive state gate (VERDICT r10 #1): max single-task
+      // sort/agg/hash-build state and its projection to AQE's 64 MB
+      // advisory target, bounded at BOTH rungs wherever the audit
+      // recorded them — the defect class this catches (d03 r9,
+      // s03/a14 r9-r10, d12/g03/g04 r10) looked clean on shuffle
+      // bytes at rung N and spilled multi-GB at rung N+1
+      val stateAllowE = stateAllow.get(n)
+      val peakBound = stateAllowE.map(_.peakMb).getOrElse(StatePeakBudgetMb)
+      val projBound = stateAllowE.map(_.projMb).getOrElse(StateProjBudgetMb)
+      val stateOk = Seq(peakA, peakB).flatten.forall(_ <= peakBound) &&
+        Seq(projA, projB).flatten.forall(_ <= projBound)
+      val ok = (ratio <= bound || sb <= SpillLimitMb) && spillOk && stateOk
+      (n, sa, sb, ratio, bound, allow.map(_.why), ok,
+        (peakA, peakB, projA, projB, stateOk, stateAllowE.map(_.why)))
     }
     val allOk = rows.forall(_._7)
     val unusedAllow = allowList.keySet -- names.toSet
-    val body = rows.map { case (n, sa, sb, ratio, bound, why, ok) =>
+    val body = rows.map { case (n, sa, sb, ratio, bound, why, ok, st) =>
       val boundStr = if (bound.isPosInfinity) "\"inf\"" else bound.toString
       val ratioStr2 = if (ratio.isPosInfinity) "\"inf\"" else ratio.toString
+      val (peakA, peakB, projA, projB, stateOk, stateWhy) = st
+      val stateStr = (peakA, peakB) match {
+        case (Some(pa), Some(pb)) =>
+          s""","peak_a_mb":$pa,"peak_b_mb":$pb""" +
+            s""","proj_a_mb":${projA.getOrElse(0.0)},"proj_b_mb":${projB.getOrElse(0.0)}""" +
+            s""","state_ok":$stateOk""" +
+            stateWhy.map(w => s""","state_attribution":"$w"""").getOrElse("")
+        case _ => ""
+      }
       s""" "$n":{"a_mb":$sa,"b_mb":$sb,"shuffle_ratio":$ratioStr2,"bound":$boundStr,"ok":$ok""" +
-        why.map(w => s""","attribution":"$w"""").getOrElse("") + "}"
+        stateStr + why.map(w => s""","attribution":"$w"""").getOrElse("") + "}"
     }.mkString(",\n")
     val json =
       s"""{
-         | "note": "graft.ScaleCheck full-surface audit gate: task-view shuffle growth auditA->auditB within ${DefaultSlack}x data ratio (= $defaultBound) unless an ATTRIBUTED allowlist entry raises the bound; B-side shuffle <= $SpillLimitMb MB passes as noise; task spill <= $SpillLimitMb MB at both scales always required.",
+         | "note": "graft.ScaleCheck full-surface audit gate: task-view shuffle growth auditA->auditB within ${DefaultSlack}x data ratio (= $defaultBound) unless an ATTRIBUTED allowlist entry raises the bound; B-side shuffle <= $SpillLimitMb MB passes as noise; task spill <= $SpillLimitMb MB at both scales always required. Where the audits carry the r11 state columns, max single-task sort/agg/hash-build state <= $StatePeakBudgetMb MB and its projection to AQE's 64 MB advisory target <= $StateProjBudgetMb MB at both rungs (the preventive gate for the class that spilled d03/s03/a14/d12/g03/g04 one rung after looking clean).",
          | "allowlist": "$allowName",
          | "auditA": "$pathA",
          | "auditB": "$pathB",
@@ -189,7 +233,7 @@ object ScaleCheck {
          |}""".stripMargin
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
-    rows.filterNot(_._7).foreach { case (n, sa, sb, ratio, bound, _, _) =>
+    rows.filterNot(_._7).foreach { case (n, sa, sb, ratio, bound, _, _, _) =>
       System.err.println(s"[scalecheck] FAIL $n: $sa -> $sb MB (x$ratio, bound $bound)")
     }
     if (!allOk) sys.exit(1)

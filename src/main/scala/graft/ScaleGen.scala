@@ -78,6 +78,28 @@ import org.apache.spark.sql.functions._
   * volume-only dir separates them — a keyed state store must stay
   * ~FLAT on it while input rows grow K×, and only a row-buffering
   * operator (a stream-stream join's watermark band) may track volume.
+  *
+  * `skew` (VERDICT r10 "next round" #6) Zipf-sharpens the key
+  * distributions at FIXED volume: every scale rung so far grew the
+  * corpus distribution-preservingly, but real corpora sharpen their
+  * heads as they grow. The mode redirects a `SkewFraction` share of
+  * rows onto a `SkewHotKeys`-sized hot set with log-uniform ranks
+  * (P(rank ≤ x) ∝ ln x — the Zipf s=1 mass shape), deterministically
+  * from row-identity hashes (no RNG; same input ⇒ same corpus):
+  *  - `orders.o_custkey`  → hot customers (customer⋈orders joins,
+  *    per-customer aggs): top hot customer carries ~fraction/H(64)
+  *    ≈ 5% of ALL orders;
+  *  - `lineitem.l_orderkey` → hot orders, drawn from orders' real key
+  *    set so the FK holds (orders⋈lineitem multiplicity skew — the
+  *    shape q33's salt exists for, now imposed on the UNSALTED paths);
+  *  - `events.user_id`    → hot users (sessionization / profile
+  *    state: one user suddenly owns ~5% of all events);
+  *  - `documents.text`    → a `SkewFraction` share of TOKEN
+  *    occurrences rewrites to the corpus's own top-`SkewHotKeys`
+  *    words, sharpening the token/gram df head the text/dedup cost
+  *    models read.
+  * Remaining tables copy through unchanged (same dir contract).
+  * K is ignored; [[SkewDrill]] is the consuming gate.
   */
 object ScaleGen {
 
@@ -131,9 +153,12 @@ object ScaleGen {
         ts
       }
     val mode = if (args.length > 4) args(4) else "scale"
-    require(mode == "scale" || mode == "volume", s"unknown mode $mode")
+    require(mode == "scale" || mode == "volume" || mode == "skew",
+      s"unknown mode $mode")
     val spark = GraftSession.get("scale-gen")
     import spark.implicits._
+
+    if (mode == "skew") { skewMain(spark, src, dst, tables); return }
 
     val shards = broadcast(spark.range(k).select($"id".cast("int").as("shard")))
     def write(df: DataFrame, name: String): Unit = {
@@ -352,6 +377,88 @@ object ScaleGen {
     }
 
     println(s"[scalegen] wrote $dst (K=$k from $src, tables=${tables.mkString(",")})")
+    spark.stop()
+  }
+
+  /** Share of rows (token occurrences, for documents) redirected onto
+    * the hot set, and the hot-set size. fraction/H(64) ≈ 5.3% of ALL
+    * rows land on the single hottest key — at sf10 that is ~3M
+    * lineitem rows behind ONE join key, the per-task-state stress the
+    * drill exists to impose. */
+  private[graft] val SkewFraction = 0.25
+  private[graft] val SkewHotKeys = 64
+
+  /** Deterministic uniform in [0,1) from the row-identity columns plus
+    * a purpose salt (selection and rank draws must be independent). */
+  private def unif(salt: String, id: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    pmod(xxhash64((id :+ lit(salt)): _*), lit(1048576L)).cast("double") / 1048576.0
+
+  /** 1-based log-uniform rank in [1, H]: P(rank ≤ x) ≈ ln(x+1)/ln(H+1)
+    * — the Zipf s=1 mass shape (rank r carries ~1/r of the hot mass). */
+  private def zipfRank(u: org.apache.spark.sql.Column, h: Int): org.apache.spark.sql.Column =
+    least(floor(exp(u * math.log(h.toDouble))).cast("int") + 1, lit(h))
+
+  private def skewMain(spark: SparkSession, src: String, dst: String,
+                       tables: Seq[String]): Unit = {
+    import spark.implicits._
+    val frac = SkewFraction
+    val h = SkewHotKeys
+    def load(t: String): DataFrame = Tables.load(spark, src, t)
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen] $name done (skew)")
+    }
+    // hot sets are EXISTING keys (FKs stay valid): the H smallest
+    // distinct values, which in both driver and generated dirs are
+    // dense enough to be ordinary keys, not outliers
+    def hotArr(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      typedLit(df.select(col(c).cast("long")).distinct()
+        .orderBy(col(c)).limit(h).as[Long].collect().toSeq)
+    def redirect(df: DataFrame, keyCol: String, hot: org.apache.spark.sql.Column,
+                 id: org.apache.spark.sql.Column*): DataFrame = {
+      val sel = unif("skew-sel", id: _*) < frac
+      val pick = element_at(hot, zipfRank(unif("skew-rank", id: _*), h))
+      df.withColumn(keyCol,
+        when(sel, pick.cast(df.schema(keyCol).dataType)).otherwise(col(keyCol)))
+    }
+
+    for (t <- tables) t match {
+      case "orders" =>
+        write(redirect(load("orders"), "o_custkey",
+          hotArr(load("orders"), "o_custkey"), $"o_orderkey"), "orders")
+      case "lineitem" =>
+        write(redirect(load("lineitem"), "l_orderkey",
+          hotArr(load("orders"), "o_orderkey"),
+          $"l_orderkey", $"l_linenumber", $"l_suppkey"), "lineitem")
+      case "events" =>
+        write(redirect(load("events"), "user_id",
+          hotArr(load("events"), "user_id"), $"event_id"), "events")
+      case "documents" =>
+        // token-occurrence skew: frac of all token OCCURRENCES rewrite
+        // to the corpus's own top-h words — the head the text/dedup
+        // cost models' realized df histograms must absorb
+        val hotWords = typedLit(load("documents")
+          .select(explode(expr("sanitize_tokens(text)")).as("w"))
+          .groupBy($"w").count().orderBy($"count".desc, $"w").limit(h)
+          .select($"w").as[String].collect().toSeq)
+        write(load("documents")
+          .withColumn("_hot", hotWords)
+          .withColumn("text", expr(
+            s"""array_join(transform(split(text, ' '), (w, i) ->
+               |  CASE WHEN pmod(xxhash64(doc_id, i, 'skew-wsel'), 1048576) / 1048576.0 < $frac
+               |  THEN element_at(_hot, CAST(least(floor(exp(
+               |         pmod(xxhash64(doc_id, i, 'skew-wrank'), 1048576) / 1048576.0
+               |         * ln(CAST($h AS DOUBLE)))) + 1, $h) AS INT))
+               |  ELSE w END), ' ')""".stripMargin))
+          .drop("_hot")
+          .withColumn("n_chars", length($"text")), "documents")
+      case other =>
+        // pass-through: the drill reads one dir, so untouched tables
+        // still need to be present
+        write(load(other), other)
+    }
+    println(s"[scalegen] wrote $dst (skew fraction=$frac hot=$h from $src, " +
+      s"tables=${tables.mkString(",")})")
     spark.stop()
   }
 }

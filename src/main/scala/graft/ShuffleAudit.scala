@@ -84,17 +84,25 @@ object ShuffleAudit {
 
   /** One measured execution of `fn(spark, sfDir)` (caller warms
     * first): wall seconds, plan-view shuffle/spill MB, task-view
-    * shuffle/spill MB. The task view sums EVERY job the query runs —
-    * iteration rounds, micro-batches, subqueries — which the plan
-    * view cannot see. */
+    * shuffle/spill MB, and the per-task STATE columns (VERDICT r10
+    * #1 — the preventive detector for the AQE compressed-bytes-vs-
+    * in-memory-state blind spot, measured by [[MemAudit.statsFrom]]
+    * in the same pass): `maxTaskPeakMb` = largest single-task
+    * in-memory sort/agg/hash-build state, `maxProjectedMb` = that
+    * state extrapolated to AQE's 64 MB advisory coalescing target.
+    * The task view sums EVERY job the query runs — iteration rounds,
+    * micro-batches, subqueries — which the plan view cannot see. */
   private[graft] final case class Measured(wallSec: Double, shuffleMb: Double,
-      spillMb: Double, taskShuffleMb: Double, taskSpillMb: Double)
+      spillMb: Double, taskShuffleMb: Double, taskSpillMb: Double,
+      maxTaskPeakMb: Double, maxProjectedMb: Double)
 
   private[graft] def measure(spark: SparkSession,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       sfDir: String): Measured = {
     val totals = new TaskTotals
+    val acc = new MemAudit.TaskAccum
     spark.sparkContext.addSparkListener(totals)
+    spark.sparkContext.addSparkListener(acc)
     try {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -104,10 +112,16 @@ object ShuffleAudit {
       val wall = (System.nanoTime() - t0) / 1e9
       val nodes = flatten(df.queryExecution.executedPlan)
       val (tw, ts) = totals.settled()
+      val stats = MemAudit.statsFrom(acc, df.queryExecution.executedPlan)
       Measured(math.round(wall * 1000) / 1000.0,
         mb(sumMetric(nodes, "shuffleBytesWritten")),
-        mb(sumMetric(nodes, "spillSize")), mb(tw), mb(ts))
-    } finally spark.sparkContext.removeSparkListener(totals)
+        mb(sumMetric(nodes, "spillSize")), mb(tw), mb(ts),
+        stats.map(_.maxTaskPeakMb).maxOption.getOrElse(0.0),
+        stats.flatMap(_.projectedMb).maxOption.getOrElse(0.0))
+    } finally {
+      spark.sparkContext.removeSparkListener(totals)
+      spark.sparkContext.removeSparkListener(acc)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -153,7 +167,8 @@ object ShuffleAudit {
     val line = rows
       .map { case (n, m) =>
         s""""$n":{"shuffle_mb":${m.shuffleMb},"spill_mb":${m.spillMb},""" +
-          s""""task_shuffle_mb":${m.taskShuffleMb},"task_spill_mb":${m.taskSpillMb}}"""
+          s""""task_shuffle_mb":${m.taskShuffleMb},"task_spill_mb":${m.taskSpillMb},""" +
+          s""""max_task_peak_mb":${m.maxTaskPeakMb},"max_task_projected_mb":${m.maxProjectedMb}}"""
       }
       .mkString("{", ",", "}")
     println(line)

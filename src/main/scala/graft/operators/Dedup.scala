@@ -380,6 +380,24 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Diagnostic view of [[minHashPairs]]' LSH banding — `(id, band,
+    * bkey)`, one row per (doc, band) with the exact signature/band-key
+    * expressions the operator uses — so [[graft.MinHashBandDiag]] can
+    * measure bucket-occupancy moments and the candidate budget
+    * Σ_buckets C(b,2) per data dir without re-typing the hash family
+    * (a drifted copy would attribute a different operator). */
+  private[graft] def minHashBanded(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val sets = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
+    sets.select(col(idCol),
+        minHashSignature(shingleHashes(col("_set")), k, seed).as("sig"))
+      .select(col(idCol),
+        posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "bkey")))
+  }
+
   /** All ordered pairs (x, y), x < y, from a SORTED array attribute —
     * as a flat array of structs, built from Catalyst built-ins. Pass a
     * materialized column only (referenced inside the lambda bodies). */

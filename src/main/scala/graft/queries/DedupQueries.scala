@@ -173,19 +173,37 @@ object DedupQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
-    // SimHash near-dup pairs, Hamming ≤ 3, over a slice with no
-    // organic near-dups (no pair within doc_id < 25 — checked against
-    // d03's exact output) plus planted exact copies. The 4×16-bit
-    // banding is pigeonhole-exact for Hamming ≤ 3, so the output is
-    // EXACTLY the planted (a, a+1e6, hamming=0) pairs — deterministic
-    // and oracle-checkable. Full-corpus SimHash recall is covered by
-    // DedupSpec unit tests against the exact-Jaccard pairs.
+    // SimHash ORGANIC recall under the oracle (VERDICT r10 #7 — the
+    // old planted-slice construction was deterministic by
+    // construction and never oracle-exercised a real near-dup): the
+    // exact ≥ 0.9-Jaccard pairs of the FULL corpus (the d03 machinery
+    // at a higher threshold; DuckDB recomputes them independently —
+    // the exact anchors) left-joined against SimHash Hamming ≤ 3 over
+    // the same corpus, collapsed to the bounded property the oracle
+    // pins: corpus-level recall ≥ 0.5 (same anchor style as q31/a10).
+    // Per-row recall is NOT guaranteed by 64-bit SimHash at this
+    // radius — measured at sf0.01: 15/25 organic pairs caught (0.60;
+    // frequency-weighted fingerprints flip > 3 bits on pairs up to
+    // set-Jaccard 0.976), deterministic for a fixed corpus under the
+    // fixed hash. DedupSpec holds the planted/identical-doc and
+    // Hamming-value coverage the old query carried.
     "d05_simhash" -> ((s, dir) => {
       import s.implicits._
-      val slice = docs(s, dir).filter($"doc_id" < 25)
-      val planted = slice.withColumn("doc_id", $"doc_id" + 1000000L)
-      Dedup.simHashPairs(slice.unionByName(planted), "doc_id", "text", maxHamming = 3)
-        .select($"a_id", $"b_id", $"hamming".cast("long").as("hamming"))
+      val d = docs(s, dir)
+      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+        minJaccard = 0.9, maxDf = DerivedCaps.maxDfFor(s, dir),
+        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        nDocs = DerivedCaps.docCountFor(s, dir))
+      val sim = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3)
+        .select($"a_id", $"b_id", $"hamming")
+      // the global-window recall runs over pair rows only (tens at
+      // sf0.01, still group-sized at sf20) — never the corpus
+      exact.join(sim, Seq("a_id", "b_id"), "left")
+        .withColumn("_caught", $"hamming".isNotNull.cast("long"))
+        .withColumn("recall_ok",
+          (sum($"_caught").over() >= count(lit(1)).over() * 0.5).cast("long"))
+        .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"),
+          $"recall_ok")
         .orderBy($"a_id", $"b_id")
     }),
 
@@ -458,9 +476,34 @@ object DedupQueries {
     // The slice has no organic pair at Hamming ≤ 3 (checked: no d03
     // near-dup pair lies within doc_id < 25), so the output is exactly
     // the planted identical-copy pairs at Hamming 0.
+    // the exact ≥ 0.9-Jaccard pair set recomputed independently (d03's
+    // construction at the higher threshold) = the anchors; recall_ok=1
+    // is the pinned bounded property — SimHash at Hamming ≤ 3 must
+    // catch ≥ half the organic exact near-dups (measured 0.60 at
+    // sf0.01) or every row's flag flips and the hash mismatches
     "d05_simhash" ->
-      """SELECT doc_id AS a_id, doc_id + 1000000 AS b_id,
-        |       CAST(0 AS BIGINT) AS hamming
-        |FROM documents WHERE doc_id < 25 ORDER BY a_id, b_id""".stripMargin,
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }
