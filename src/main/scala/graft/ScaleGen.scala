@@ -390,12 +390,12 @@ object ScaleGen {
 
   /** Deterministic uniform in [0,1) from the row-identity columns plus
     * a purpose salt (selection and rank draws must be independent). */
-  private def unif(salt: String, id: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+  private[graft] def unif(salt: String, id: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     pmod(xxhash64((id :+ lit(salt)): _*), lit(1048576L)).cast("double") / 1048576.0
 
   /** 1-based log-uniform rank in [1, H]: P(rank ≤ x) ≈ ln(x+1)/ln(H+1)
     * — the Zipf s=1 mass shape (rank r carries ~1/r of the hot mass). */
-  private def zipfRank(u: org.apache.spark.sql.Column, h: Int): org.apache.spark.sql.Column =
+  private[graft] def zipfRank(u: org.apache.spark.sql.Column, h: Int): org.apache.spark.sql.Column =
     least(floor(exp(u * math.log(h.toDouble))).cast("int") + 1, lit(h))
 
   private def skewMain(spark: SparkSession, src: String, dst: String,

@@ -29,9 +29,15 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * A large task/plan gap is itself the finding: it measures exactly
   * the internally-materialized dataflow the plan view cannot see.
   *
+  * Since r11 each entry also carries the per-task STATE columns
+  * (`max_task_peak_mb`, `max_task_projected_mb` — see
+  * [[ShuffleAudit.measure]]), captured in the same pass and gated by
+  * `ScaleCheck audits` at every rung.
+  *
   * Usage: tools/jrun.sh graft.ShuffleAudit [sfDir] [query...]
   * Prints one JSON line:
-  * {"query":{"shuffle_mb":x,"spill_mb":y,"task_shuffle_mb":z,"task_spill_mb":w},...}.
+  * {"query":{"shuffle_mb":x,"spill_mb":y,"task_shuffle_mb":z,"task_spill_mb":w,
+  *  "max_task_peak_mb":p,"max_task_projected_mb":j},...}.
   */
 object ShuffleAudit {
 

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The skew generator's draw expressions must actually produce the
+  * adversarial head [[SkewDrill]] claims to test: deterministic
+  * (same input ⇒ same corpus — a rerun must not invalidate cached
+  * fixtures), bounded to the hot set, and log-uniform (rank r carries
+  * ~1/r of the hot mass — the Zipf s=1 head shape, so the top key is
+  * a genuine hot spot, not 1/H of a uniform smear). */
+class SkewGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unif is deterministic, uniform-ish, and salt-decorrelated") {
+    val df = spark.range(100000L).select(
+      ScaleGen.unif("a", $"id").as("ua"), ScaleGen.unif("b", $"id").as("ub"))
+    val again = spark.range(100000L).select(ScaleGen.unif("a", $"id").as("ua2"))
+    // deterministic across evaluations
+    val joined = df.select($"ua").withColumn("rn", monotonically_increasing_id())
+      .join(again.withColumn("rn", monotonically_increasing_id()), "rn")
+    assert(joined.filter($"ua" =!= $"ua2").count() === 0L)
+    val row = df.agg(min($"ua"), max($"ua"), avg($"ua"),
+      corr($"ua", $"ub")).collect()(0)
+    assert(row.getDouble(0) >= 0.0 && row.getDouble(1) < 1.0)
+    assert(math.abs(row.getDouble(2) - 0.5) < 0.01, s"mean ${row.getDouble(2)}")
+    // distinct salts give independent draws (|corr| small)
+    assert(math.abs(row.getDouble(3)) < 0.02, s"corr ${row.getDouble(3)}")
+  }
+
+  test("zipfRank is 1..H with ~1/r mass decay") {
+    val h = 64
+    val counts = spark.range(200000L)
+      .select(ScaleGen.zipfRank(ScaleGen.unif("r", $"id"), h).as("r"))
+      .groupBy($"r").count().as[(Int, Long)].collect().toMap
+    assert(counts.keys.min >= 1 && counts.keys.max <= h)
+    assert(counts.size == h, s"only ${counts.size} of $h ranks drawn")
+    // log-uniform: mass(rank 1) ≈ ln(2)/ln(H) of total ≈ 16.7% at H=64,
+    // and the head dominates the tail by ~rank ratio
+    val total = counts.values.sum.toDouble
+    val top = counts(1) / total
+    assert(top > 0.10 && top < 0.25, s"rank-1 mass $top")
+    assert(counts(1) > 8L * counts(h),
+      s"head ${counts(1)} vs tail ${counts(h)} — not a Zipf head")
+  }
+}
