@@ -1,0 +1,57 @@
+#!/bin/bash
+# The full round-N gate set, in dependency order — every artifact in
+# README.md's "round gate set" table, regenerated on current code.
+# Usage: tools/round_gates.sh <N>     (e.g. 11)
+# Runs STRICTLY SERIALLY: two concurrent Spark JVMs corrupt timing
+# and ContextCleaner settling. Individual gate failures don't stop
+# the run (each artifact records its own all_ok); the summary at the
+# end lists what failed.
+set -u
+cd "$(dirname "$0")/.."
+N="${1:?usage: round_gates.sh <round number>}"
+J=tools/jrun.sh
+FAIL=()
+run() { echo "[gates] $*" >&2; "$@" || FAIL+=("$1 $2"); }
+
+# 0. correctness (the driver also runs this; here for self-service)
+rm -rf /tmp/verify_out
+bash tools/run_verify.sh /root/testdata/sf0.01 /tmp/verify_out 2>/tmp/verify_err.log
+python3 tools/check_oracles.py /root/testdata/sf0.01 /tmp/verify_out | tail -1
+
+# 1. full-surface shuffle+state audits at three rungs
+run $J graft.ShuffleAudit target/sfdata/sf1  > shuffle_audit_sf1.json
+run $J graft.ShuffleAudit target/sfdata/sf10 > shuffle_audit_sf10.json
+run $J graft.ShuffleAudit target/sfdata/sf20 > shuffle_audit_sf20.json
+
+# 2. scale gates (shuffle growth + per-task state at both rungs)
+run $J graft.ScaleCheck audits shuffle_audit_sf1.json shuffle_audit_sf10.json 10 "SCALE_r${N}.json" transition
+run $J graft.ScaleCheck audits shuffle_audit_sf10.json shuffle_audit_sf20.json 2 "SCALE_r${N}_postcap.json" postcap
+
+# 3. skew-stress rung (fixed volume, Zipf-sharpened key heads)
+[ -d target/sfdata/sf10skew ] || run $J graft.ScaleGen target/sfdata/sf10 target/sfdata/sf10skew 1 all skew
+run $J graft.SkewDrill target/sfdata/sf10 target/sfdata/sf10skew "SKEW_r${N}.json"
+
+# 4. constrained-heap degradation drill (cluster-container memory share)
+SPARK_DRIVER_MEM=8g SPARK_GRAFT_CPUS=8 \
+  run $J graft.HeapDrill target/sfdata/sf20 "MEMBOUND_r${N}.json" \
+  d03_ngram_jaccard d07_dup_components d12_repeated_spans \
+  d13_semantic_clusters g01_pagerank g03_bfs_reach g04_link_predict \
+  g05_jaccard_predict a14_gap_fill s03_embed_neardup
+
+# 5. streaming state gates (keys-scaled vs volume-only corpora)
+[ -d target/sfdata/vol10 ] || run $J graft.ScaleGen /root/testdata/sf0.1 target/sfdata/vol10 10 all volume
+SQ="e05_stream_sessionize e06_stream_windows e07_stream_range_join \
+e10_stream_funnel e11_stream_heavy_users e13_stream_sliding \
+e15_stream_session_window e16_stream_dq e17_stream_zone_maps \
+e18_stream_window_users d06_stream_dedup d08_stream_novel x21_stream_upsert"
+run $J graft.StateAudit /root/testdata/sf0.1 target/sfdata/sf1 14.0 "STATE_r${N}_scale.json" $SQ
+run $J graft.StateAudit /root/testdata/sf0.1 target/sfdata/vol10 1.5 "STATE_r${N}_volume.json" \
+  $(echo $SQ | sed 's/e07_stream_range_join/e07_stream_range_join:15.0/')
+
+# 6. ZIP source rungs (archive scale, planning parity, object-store RTT)
+run $J graft.ZipScaleBench "ZIPBENCH_r${N}.json"
+run $J graft.ZipScaleBench multi "ZIPBENCH_r${N}_multi.json"
+run $J graft.ZipScaleBench latency "ZIPBENCH_r${N}_latency.json"
+
+echo "[gates] done; failures: ${#FAIL[@]}"
+for f in "${FAIL[@]:-}"; do [ -n "$f" ] && echo "[gates] FAILED: $f"; done
