@@ -396,7 +396,11 @@ object ScaleGen {
   /** 1-based log-uniform rank in [1, H]: P(rank ≤ x) ≈ ln(x+1)/ln(H+1)
     * — the Zipf s=1 mass shape (rank r carries ~1/r of the hot mass). */
   private[graft] def zipfRank(u: org.apache.spark.sql.Column, h: Int): org.apache.spark.sql.Column =
-    least(floor(exp(u * math.log(h.toDouble))).cast("int") + 1, lit(h))
+    // exp(u·ln(h+1)) ∈ [1, h+1) so floor lands in [1, h] directly — a
+    // "+ 1" here would shift the range to [2, h+1] and rank 1 (the
+    // hottest key!) would never be drawn (caught by SkewGenSpec); the
+    // clamp only guards the u→1 float-rounding edge
+    least(floor(exp(u * math.log((h + 1).toDouble))).cast("int"), lit(h))
 
   private def skewMain(spark: SparkSession, src: String, dst: String,
                        tables: Seq[String]): Unit = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Manual skew-mitigation primitives.
@@ -49,6 +50,97 @@ object Skew {
   def rowSalt(df: DataFrame, saltBuckets: Int): Column =
     pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets))
       .cast("int")
+
+  /** Global per-partition rank + partition size over a LOW-CARDINALITY
+    * window key, without ever buffering a whole key's rows in one
+    * task. `Window.partitionBy(k).orderBy(v, tie)` hashes each key's
+    * ENTIRE row set to a single task whose sort/window buffer IS the
+    * partition — state doubles with every data doubling (the r11
+    * preventive state gate caught exactly this on q32: 288 MB at sf10
+    * → 576 MB at sf20, over the 512 MB per-task budget, on a 5-value
+    * key). Same distributed-ranking trick as
+    * [[Mixing.enumerateShuffled]], with a VALUE-RANGE shard instead of
+    * a hash-coin prefix so the shard is a prefix of the window order:
+    *
+    *  1. one tiny agg (|keys| rows) collects per-key (min, max, n) and
+    *     derives each key's shard count `ceil(n / rowsPerShard)` —
+    *     splitting is adaptive per key, a cold key stays one shard;
+    *  2. `shard = floor((v - min) / (max - min) * shards)` (clamped)
+    *     is monotone non-decreasing in `v`, so shard-major enumeration
+    *     is the window order, and the per-task window buffer shrinks
+    *     to ~`rowsPerShard` rows regardless of key cardinality;
+    *  3. `row_number` runs per (key, shard) — one hash exchange over
+    *     |keys| × shards groups — and the (key, shard) count table
+    *     cumsums under a trivially small window before broadcasting
+    *     back: `rank = shard_offset + rank_in_shard`.
+    *
+    * Returns the input plus `rank` (= `row_number() OVER (PARTITION BY
+    * partCol ORDER BY valueCol, tieCol)`) and `n` (partition row
+    * count) — enough to derive every distribution window exactly:
+    * `percent_rank = (rank-1)/(n-1)`, `cume_dist = rank/n`, and
+    * ntile's uneven-bucket arithmetic ([[ntileFromRank]]).
+    *
+    * PRECONDITION: `(valueCol, tieCol)` unique within a key (a unique
+    * tie column), so `row_number = rank` and every row is its own peer
+    * group — the same precondition the plain-window q32 documents.
+    * Value skew caveat: range shards split by VALUE, so a single value
+    * repeated > rowsPerShard times still lands in one shard; with a
+    * unique tie column available, such keys can shard on the tie
+    * instead. */
+  def distributionRanks(df: DataFrame, partCol: String, valueCol: String,
+                        tieCol: String,
+                        rowsPerShard: Long = 500000L): DataFrame = {
+    require(rowsPerShard >= 1, s"rowsPerShard=$rowsPerShard must be >= 1")
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(col(partCol))
+      .agg(min(v).as("_minv"), max(v).as("_maxv"), count(lit(1)).as("n"))
+      .withColumn("_shards",
+        greatest(lit(1L), ceil(col("n").cast("double") / rowsPerShard))
+          .cast("int"))
+    // prefix-of-order bucket: monotone non-decreasing in valueCol
+    // (the double cast can merge near-ties, never invert them)
+    val shard = when(col("_maxv") <= col("_minv"), lit(0))
+      .otherwise(least(col("_shards") - 1,
+        floor((v - col("_minv")) / (col("_maxv") - col("_minv")) *
+          col("_shards")).cast("int")))
+    val sharded = df.join(broadcast(bounds), Seq(partCol))
+      .withColumn("_shard", shard)
+    val w = Window.partitionBy(col(partCol), col("_shard"))
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = sharded.withColumn("_lrank", row_number().over(w).cast("long"))
+    // (key, shard) counts: ≤ |keys| × ceil(n / rowsPerShard) rows —
+    // the cumsum window is trivially cheap and the join broadcasts
+    val offs = sharded.groupBy(col(partCol), col("_shard"))
+      .agg(count(lit(1)).as("_sn"))
+      .withColumn("_off",
+        coalesce(sum(col("_sn")).over(
+          Window.partitionBy(col(partCol)).orderBy(col("_shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(partCol), col("_shard"), col("_off"))
+    ranked.join(broadcast(offs), Seq(partCol, "_shard"))
+      .withColumn("rank", col("_off") + col("_lrank"))
+      .drop("_minv", "_maxv", "_shards", "_shard", "_lrank", "_off")
+  }
+
+  /** Exact `ntile(k)` from (rank, n) under a unique total order: the
+    * first `n % k` buckets carry `n div k + 1` rows, the rest
+    * `n div k` (the SQL-standard uneven split both Spark and DuckDB
+    * implement). The `greatest(base, 1)` divisor keeps the dead
+    * branch well-defined under ANSI when n < k (every row then takes
+    * the first branch: bucket = rank). */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // exact long floor-division: (a - a%b) is an exact multiple of b,
+    // so the double division is exact for quotients < 2^53 (Column
+    // has no integral `div` operator)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)).cast("double") / b.cast("double")).cast("long")
+    val base = idiv(n.cast("long"), lit(k.toLong))
+    val rem = n.cast("long") % k.toLong
+    val headRows = rem * (base + lit(1L))
+    when(rank <= headRows, idiv(rank - 1L, base + lit(1L)) + lit(1L))
+      .otherwise(rem + idiv(rank - headRows - 1L, greatest(base, lit(1L))) +
+        lit(1L))
+  }
 
   /** count(DISTINCT valueCol) per group, two-phase: first collapse
     * (group, value) pairs — spreading a hot group across reducers by

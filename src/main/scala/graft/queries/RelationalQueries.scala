@@ -404,21 +404,28 @@ object RelationalQueries {
     }),
 
     // Distribution-rank windows: ntile quartiles, percent_rank,
-    // cume_dist in ONE window pass (all three share the same
-    // partition+sort, so Spark plans a single Sort+Window over one
-    // hash exchange on o_orderpriority). The orderkey tiebreak makes
-    // every row its own peer group, so the rank fractions are exact
-    // rationals of (rank, n) — identical IEEE division on both
-    // engines; rounded at 6dp anyway for belt-and-braces.
+    // cume_dist — via Skew.distributionRanks, NOT a plain
+    // `Window.partitionBy(o_orderpriority)`: the key has 5 values, so
+    // the plain window buffers a fifth of orders in ONE task and its
+    // state doubles every rung (the r11 preventive gate measured
+    // 288 MB at sf10 → 576 MB at sf20, over the 512 MB budget).
+    // Value-range shards split each priority adaptively; the orderkey
+    // tiebreak makes every row its own peer group, so all three
+    // functions are exact rationals of (rank, n) — identical IEEE
+    // division on both engines; rounded at 6dp anyway for
+    // belt-and-braces.
     "q32_window_dist" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"o_totalprice", $"o_orderkey")
-      t(s, dir, "orders")
-        .select($"o_orderpriority", $"o_orderkey",
-          ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cum_dist"))
+      val ranked = graft.operators.Skew.distributionRanks(
+        t(s, dir, "orders")
+          .select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+        "o_orderpriority", "o_totalprice", "o_orderkey")
+      ranked.select($"o_orderpriority", $"o_orderkey",
+          graft.operators.Skew.ntileFromRank($"rank", $"n", 4).as("quartile"),
+          round(when($"n" === 1L, 0.0)
+            .otherwise(($"rank" - 1L).cast("double") / ($"n" - 1L)), 6)
+            .as("pct_rank"),
+          round($"rank".cast("double") / $"n", 6).as("cum_dist"))
         .orderBy($"o_orderpriority", $"o_orderkey")
     }),
 

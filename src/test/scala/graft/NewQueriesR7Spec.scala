@@ -27,13 +27,23 @@ class NewQueriesR7Spec extends SparkSpec {
     }
   }
 
-  test("q32 plans ONE window pass (shared partition+sort for all three ranks)") {
+  test("q32's data-scale window is sharded (no whole-priority buffering)") {
     val p = SparkEntry.queries("q32_window_dist")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p.sliding("Window".length).count(_ == "Window") >= 1)
-    // one Window operator computes all three functions — a second one
-    // would mean the shared frame was split into extra sort+exchange
-    assert("(?<!WholeStageCodegen.)Window\\b".r.findAllIn(p).size == 1, p)
+    // the row_number pass — the only window that sees data-scale rows —
+    // partitions by (o_orderpriority, _shard): a fifth of orders can
+    // never pool in one task's window buffer (the r11 state gate
+    // measured the unsharded plan at 288 MB/task sf10 → 576 MB sf20,
+    // doubling every rung on a 5-value key)
+    assert("row_number\\(\\) windowspecdefinition\\(o_orderpriority#\\d+, _shard#\\d+"
+      .r.findAllIn(p).size == 1, p)
+    // the plain low-cardinality window must not reappear
+    assert("windowspecdefinition\\(o_orderpriority#\\d+, o_totalprice"
+      .r.findAllIn(p).isEmpty, p)
+    // bounds and shard offsets come back via broadcast joins — the
+    // only non-broadcast exchange the ranks need is the (key, shard)
+    // hash partitioning the window sorts on
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
   test("t18 matches a sequential reference on an adversarial name set") {

@@ -85,6 +85,52 @@ class SkewAndBucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("distributionRanks: rank and n equal the plain window, multi-shard forced") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 keys of very different sizes, duplicate values (ties broken by
+    // the unique id), negative and constant-value keys included;
+    // rowsPerShard=7 forces many shards on the big keys
+    val rows = (1 to 500).map(i => ("hot", (i % 37).toDouble - 5.0, i.toLong)) ++
+      (1 to 40).map(i => ("warm", (i % 11).toDouble, 1000L + i)) ++
+      Seq(("cold", 3.14, 5000L)) ++
+      (1 to 20).map(i => ("flat", 1.0, 6000L + i)) // max == min: one shard
+    val df = rows.toDF("k", "v", "id")
+    val got = Skew.distributionRanks(df, "k", "v", "id", rowsPerShard = 7)
+      .select($"k", $"id", $"rank", $"n")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"v", $"id")
+    val want = df.select($"k", $"id",
+        row_number().over(w).cast("long").as("rank"),
+        count(lit(1)).over(Window.partitionBy($"k")).as("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("distribution windows from (rank, n) equal ntile/percent_rank/cume_dist") {
+    import org.apache.spark.sql.expressions.Window
+    // ntile's uneven split exercised: n % k != 0 for every key, plus a
+    // key with n < k (base = 0) and a single-row key (percent_rank 0)
+    val rows = (1 to 103).map(i => ("a", (i * 7 % 23).toDouble, i.toLong)) ++
+      (1 to 6).map(i => ("b", i.toDouble, 200L + i)) ++
+      (1 to 3).map(i => ("c", 9.0, 300L + i)) ++ // n=3 < k=4
+      Seq(("d", 0.0, 400L)) // n=1
+    val df = rows.toDF("k", "v", "id")
+    val r = Skew.distributionRanks(df, "k", "v", "id", rowsPerShard = 10)
+    val got = r.select($"k", $"id",
+        Skew.ntileFromRank($"rank", $"n", 4).as("q"),
+        round(when($"n" === 1L, 0.0)
+          .otherwise(($"rank" - 1L).cast("double") / ($"n" - 1L)), 6).as("pr"),
+        round($"rank".cast("double") / $"n", 6).as("cd"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"v", $"id")
+    val want = df.select($"k", $"id",
+        ntile(4).over(w).cast("long").as("q"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("twoPhaseDistinctCount matches countDistinct") {
     val df = (1 to 1000).map(i => (i % 3, s"v${i % 37}")).toDF("g", "v")
     val expected = df.groupBy($"g").agg(countDistinct($"v").as("nd_v"))
