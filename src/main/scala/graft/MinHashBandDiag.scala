@@ -44,6 +44,17 @@ object MinHashBandDiag {
       println(f"[banddiag] $dir sigRows=$sigRows " +
         f"candidates=${row.getDouble(0)}%.3e candidatesOverCap=${row.getDouble(1)}%.3e " +
         f"buckets=${row.getLong(2)} maxOcc=${row.getLong(3)} avgOcc=${row.getDouble(4)}%.2f")
+      // candidate mass by occupancy range — tells WHERE the second
+      // moment lives, i.e. what rehashBucketSize would actually bite
+      val hist = occ.filter($"b" >= 2)
+        .groupBy(
+          when($"b" <= 4, "b02_04").when($"b" <= 8, "b05_08")
+            .when($"b" <= 16, "b09_16").when($"b" <= 32, "b17_32")
+            .when($"b" <= 64, "b33_64").otherwise("b65_up").as("range"))
+        .agg(count(lit(1)).as("nb"), sum(expr("b * (b - 1) / 2")).as("cand"))
+        .orderBy($"range").collect()
+      hist.foreach(h => println(f"[banddiag]   $dir ${h.getString(0)} " +
+        f"buckets=${h.getLong(1)} candidates=${h.getDouble(2)}%.3e"))
     }
     spark.stop()
   }

@@ -298,11 +298,31 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs + exact-Jaccard verification.
     * bands × rowsPerBand must equal k. Returns `(a_id, b_id, jaccard)`
-    * with jaccard ≥ minJaccard, pairs from ≥1 shared LSH bucket only. */
+    * with jaccard ≥ minJaccard, pairs from ≥1 shared LSH bucket only.
+    *
+    * `rehashBucketSize` (OPT-IN, default no-op): buckets whose
+    * occupancy exceeds it are split into `ceil(occ / rehashBucketSize)`
+    * sub-buckets by one extra signature row (the next band's first
+    * minhash), and pairs generate within sub-buckets only. Rationale:
+    * a growing corpus sharpens its boilerplate head, so hot-bucket
+    * occupancy grows FASTER than the corpus and the candidate budget
+    * Σ C(occ, 2) goes super-linear — the sf20→sf40 rung measured d04's
+    * candidates at 3.07× per 2× data (MinHashBandDiag: max occupancy
+    * 51 → 117 → 226 across sf10/sf20/sf40) while true pair output grew
+    * 2.33× (QueryCountDiag); the gap is skew waste this split removes.
+    * Semantics: pairs with IDENTICAL signatures (exact dups — the
+    * planted-recall contract) always share every sub-bucket, so their
+    * recall is untouched; a non-identical pair inside an oversized
+    * bucket survives that bucket with P ≈ its Jaccard (same next-band
+    * minhash) and keeps its other bands regardless, so added miss
+    * probability is bounded by (1-J)·P[only collision was oversized].
+    * The split runs INSIDE the aggregated bucket row via higher-order
+    * functions — no extra shuffle or occupancy pre-pass. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 64, bands: Int = 16,
                    minJaccard: Double = 0.5, seed: Long = 42L,
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000,
+                   rehashBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     // ONE tokenize+shingle pass feeds both the signature path and the
     // exact-Jaccard verify (through r2 the corpus was shingled twice —
@@ -330,7 +350,8 @@ object Dedup {
       .repartition(col(idCol))
     val sets = anchored
       .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
-    minHashPairsFromSets(sets, idCol, k, bands, minJaccard, seed, maxBucketSize)
+    minHashPairsFromSets(sets, idCol, k, bands, minJaccard, seed, maxBucketSize,
+      rehashBucketSize)
   }
 
   /** [[minHashPairs]] over pre-tokenized docs `(id, tokens)` — skips
@@ -339,34 +360,68 @@ object Dedup {
   def minHashPairsFromTokens(docs: DataFrame, idCol: String, toksCol: String,
                              n: Int = 3, k: Int = 64, bands: Int = 16,
                              minJaccard: Double = 0.5, seed: Long = 42L,
-                             maxBucketSize: Int = 1000): DataFrame = {
+                             maxBucketSize: Int = 1000,
+                             rehashBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val anchored = docs.filter(col(idCol).isNotNull)
       .select(col(idCol), col(toksCol).as("_toks"))
       .repartition(col(idCol))
     val sets = anchored
       .select(col(idCol), array_distinct(ngrams(col("_toks"), n)).as("_set"))
-    minHashPairsFromSets(sets, idCol, k, bands, minJaccard, seed, maxBucketSize)
+    minHashPairsFromSets(sets, idCol, k, bands, minJaccard, seed, maxBucketSize,
+      rehashBucketSize)
   }
 
   /** Shared LSH core over the anchored shingle-set frame `(id, _set)`. */
   private def minHashPairsFromSets(sets: DataFrame, idCol: String, k: Int,
                                    bands: Int, minJaccard: Double, seed: Long,
-                                   maxBucketSize: Int): DataFrame = {
+                                   maxBucketSize: Int,
+                                   rehashBucketSize: Int = Int.MaxValue): DataFrame = {
     val r = k / bands
     val sig = sets.select(col(idCol),
       minHashSignature(shingleHashes(col("_set")), k, seed).as("sig"))
-    val banded = sig.select(col(idCol),
-        posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
     // candidate pairs: co-bucketed ids; cap pathological buckets (boilerplate
     // shingles) so one hot bucket can't go quadratic at scale
-    val buckets = banded.groupBy(col("band"), col("bkey"))
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-    val cand = buckets
-      .select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
-      .distinct()
+    val cand =
+      if (rehashBucketSize == Int.MaxValue) {
+        val banded = sig.select(col(idCol),
+          posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+        banded.groupBy(col("band"), col("bkey"))
+          .agg(array_sort(collect_list(col(idCol))).as("ids"))
+          .filter(size(col("ids")).between(2, maxBucketSize))
+          .select(explode(pairCombinations(col("ids"))).as("p"))
+          .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
+          .distinct()
+      } else {
+        // oversized-bucket rehash (see minHashPairs scaladoc): each
+        // banded row carries ONE extra hash — of the NEXT band's first
+        // signature row (a position outside this band, so co-bucketed
+        // docs can differ on it) — and oversized buckets split by it
+        // INSIDE the aggregated array: no occupancy pre-pass, no extra
+        // exchange, +8 bytes/row on the banding shuffle.
+        val banded = sig
+          .select(col(idCol), col("sig"),
+            posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bkey")))
+          .select(col(idCol), col("band"), col("bkey"),
+            xxhash64(element_at(col("sig"),
+              pmod(col("band") + 1, lit(bands)) * r + 1)).as("_subh"))
+        banded.groupBy(col("band"), col("bkey"))
+          .agg(array_sort(collect_list(struct(col(idCol).as("_id"),
+            col("_subh").as("_sh")))).as("xs"))
+          .filter(size(col("xs")) >= 2)
+          // F sub-buckets; F = 1 (the common case) is the identity split
+          .withColumn("_f",
+            greatest(lit(1L), ceil(size(col("xs")).cast("double") /
+              rehashBucketSize).cast("long")))
+          .select(explode(transform(sequence(lit(0L), col("_f") - 1), fi =>
+            transform(filter(col("xs"),
+                x => pmod(x.getField("_sh"), col("_f")) === fi),
+              x => x.getField("_id")))).as("ids"))
+          .filter(size(col("ids")).between(2, maxBucketSize))
+          .select(explode(pairCombinations(col("ids"))).as("p"))
+          .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
+          .distinct()
+      }
     // verify candidates with exact Jaccard via array_intersect on the
     // per-doc shingle SETS (read back from the reused exchange) —
     // candidates are few, so two hash joins beat re-exploding the

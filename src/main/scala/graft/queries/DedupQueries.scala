@@ -167,8 +167,17 @@ object DedupQueries {
       val d = docs(s, dir)
       val planted = d.filter($"doc_id" < 25)
         .withColumn("doc_id", $"doc_id" + 1000000L)
+      // rehashBucketSize = 8 ≈ 8× the expected bucket occupancy
+      // (avgOcc ≈ 1.07 at every rung, MinHashBandDiag): the occupancy
+      // histogram shows candidate mass in b ≤ 8 buckets tracking true
+      // pair output (2.36× per 2× data) while the b = 9..64 mass grows
+      // 4–13× per rung — the boilerplate skew the split removes.
+      // Planted recall untouched (identical signatures share every
+      // sub-bucket); an organic J ≥ 0.9 pair in a split bucket keeps
+      // P(total miss) < 1e-6 via its other 15 bands
       Dedup.minHashPairs(d.unionByName(planted), "doc_id", "text",
-          n = 3, k = 64, bands = 16, minJaccard = 0.5)
+          n = 3, k = 64, bands = 16, minJaccard = 0.5,
+          rehashBucketSize = 8)
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }),

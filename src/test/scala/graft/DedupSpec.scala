@@ -96,6 +96,37 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("MinHash-LSH rehash: identity when no bucket is oversized") {
+    val plain = Dedup.minHashPairs(corpus, "doc_id", "text", n = 3, k = 64,
+        bands = 16, minJaccard = 0.5)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    // threshold far above any occupancy here → F = 1 everywhere, the
+    // split is the identity and results must be EXACTLY equal
+    val rehashed = Dedup.minHashPairs(corpus, "doc_id", "text", n = 3, k = 64,
+        bands = 16, minJaccard = 0.5, rehashBucketSize = 10000)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(rehashed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("MinHash-LSH rehash: identical docs always pair, even when split") {
+    // 30 exact copies force every band's bucket to occupancy ≥ 30;
+    // threshold 8 splits each into ceil(30/8) = 4 sub-buckets — but
+    // identical signatures share every sub-bucket, so ALL C(30,2)
+    // pairs must survive (the planted-recall contract d04 rides on)
+    val dups = (0 until 30).map(i => (i.toLong, "the quick brown fox jumps " +
+      "over the lazy dog again and again in every single copy"))
+    val others = Seq((100L, "completely unrelated text about parquet files"),
+      (101L, "another distinct document with its own words entirely"))
+    val df = (dups ++ others).toDF("doc_id", "text")
+    val got = Dedup.minHashPairs(df, "doc_id", "text", n = 3, k = 64,
+        bands = 16, minJaccard = 0.5, rehashBucketSize = 8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val want = (for (a <- 0 until 30; b <- a + 1 until 30)
+      yield (a.toLong, b.toLong)).toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("MinHash-LSH agrees with exact method on the real documents table") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
