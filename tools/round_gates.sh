@@ -27,6 +27,20 @@ run $J graft.ShuffleAudit target/sfdata/sf20 > shuffle_audit_sf20.json
 run $J graft.ScaleCheck audits shuffle_audit_sf1.json shuffle_audit_sf10.json 10 "SCALE_r${N}.json" transition
 run $J graft.ScaleCheck audits shuffle_audit_sf10.json shuffle_audit_sf20.json 2 "SCALE_r${N}_postcap.json" postcap
 
+# 2b. sf40 residue rung: the LSH/pair-mining family, one more doubling
+# (documents+embeddings only — the tables the family reads)
+[ -f target/sfdata/sf40/embeddings.parquet/_SUCCESS ] || \
+  run $J graft.ScaleGen target/sfdata/sf20 target/sfdata/sf40 2 documents,embeddings
+run $J graft.ShuffleAudit target/sfdata/sf40 d03_ngram_jaccard d04_minhash_lsh \
+  d13_semantic_clusters s03_embed_neardup s11_multiprobe_neardup > shuffle_audit_sf40.json
+python3 - <<'PY'
+import json
+full = json.load(open('shuffle_audit_sf20.json'))
+sub = {k: full[k] for k in json.load(open('shuffle_audit_sf40.json'))}
+open('shuffle_audit_sf20_residue.json', 'w').write(json.dumps(sub))
+PY
+run $J graft.ScaleCheck audits shuffle_audit_sf20_residue.json shuffle_audit_sf40.json 2 "SCALE_r${N}_sf40.json" postcap
+
 # 3. skew-stress rung (fixed volume, Zipf-sharpened key heads)
 [ -d target/sfdata/sf10skew ] || run $J graft.ScaleGen target/sfdata/sf10 target/sfdata/sf10skew 1 all skew
 run $J graft.SkewDrill target/sfdata/sf10 target/sfdata/sf10skew "SKEW_r${N}.json"
