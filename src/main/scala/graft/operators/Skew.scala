@@ -91,6 +91,8 @@ object Skew {
                         tieCol: String,
                         rowsPerShard: Long = 500000L): DataFrame = {
     require(rowsPerShard >= 1, s"rowsPerShard=$rowsPerShard must be >= 1")
+    require(!df.columns.contains("rank") && !df.columns.contains("n"),
+      "distributionRanks appends `rank` and `n` — rename the input's columns")
     val v = col(valueCol).cast("double")
     val bounds = df.groupBy(col(partCol))
       .agg(min(v).as("_minv"), max(v).as("_maxv"), count(lit(1)).as("n"))
@@ -98,8 +100,11 @@ object Skew {
         greatest(lit(1L), ceil(col("n").cast("double") / rowsPerShard))
           .cast("int"))
     // prefix-of-order bucket: monotone non-decreasing in valueCol
-    // (the double cast can merge near-ties, never invert them)
-    val shard = when(col("_maxv") <= col("_minv"), lit(0))
+    // (the double cast can merge near-ties, never invert them). NULL
+    // values sort first under the window's default ASC NULLS FIRST,
+    // so they belong in shard 0 — also the branch all-NULL keys take
+    // (min/max skip nulls, leaving _minv/_maxv null).
+    val shard = when(v.isNull || col("_maxv") <= col("_minv"), lit(0))
       .otherwise(least(col("_shards") - 1,
         floor((v - col("_minv")) / (col("_maxv") - col("_minv")) *
           col("_shards")).cast("int")))
@@ -129,6 +134,7 @@ object Skew {
     * branch well-defined under ANSI when n < k (every row then takes
     * the first branch: bucket = rank). */
   def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    require(k >= 1, s"ntile k=$k must be >= 1")
     // exact long floor-division: (a - a%b) is an exact multiple of b,
     // so the double division is exact for quotients < 2^53 (Column
     // has no integral `div` operator)

@@ -106,6 +106,25 @@ class SkewAndBucketingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("distributionRanks: null values rank first, matching the plain window") {
+    import org.apache.spark.sql.expressions.Window
+    // nulls sort NULLS FIRST under the window's ASC default; a key
+    // whose values are ALL null exercises the null-bounds branch
+    val rows: Seq[(String, Option[Double], Long)] =
+      (1 to 60).map(i => ("mixed", if (i % 5 == 0) None else Some((i % 7).toDouble), i.toLong)) ++
+        (1 to 10).map(i => ("allnull", None: Option[Double], 100L + i))
+    val df = rows.toDF("k", "v", "id")
+    val got = Skew.distributionRanks(df, "k", "v", "id", rowsPerShard = 9)
+      .select($"k", $"id", $"rank", $"n")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"v", $"id")
+    val want = df.select($"k", $"id",
+        row_number().over(w).cast("long").as("rank"),
+        count(lit(1)).over(Window.partitionBy($"k")).as("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("distribution windows from (rank, n) equal ntile/percent_rank/cume_dist") {
     import org.apache.spark.sql.expressions.Window
     // ntile's uneven split exercised: n % k != 0 for every key, plus a
