@@ -37,7 +37,10 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * Usage: tools/jrun.sh graft.ShuffleAudit [sfDir] [query...]
   * Prints one JSON line:
   * {"query":{"shuffle_mb":x,"spill_mb":y,"task_shuffle_mb":z,"task_spill_mb":w,
-  *  "max_task_peak_mb":p,"max_task_projected_mb":j},...}.
+  *  "max_task_peak_mb":p,"max_task_projected_mb":j,"rows":n},...}
+  * — `rows` (since the sf80 rung) is the answer cardinality, letting
+  * `ScaleCheck audits … answers` bound shuffle growth against ANSWER
+  * growth on corpora whose true result grows super-linearly.
   */
 object ShuffleAudit {
 
@@ -100,7 +103,7 @@ object ShuffleAudit {
     * micro-batches, subqueries — which the plan view cannot see. */
   private[graft] final case class Measured(wallSec: Double, shuffleMb: Double,
       spillMb: Double, taskShuffleMb: Double, taskSpillMb: Double,
-      maxTaskPeakMb: Double, maxProjectedMb: Double)
+      maxTaskPeakMb: Double, maxProjectedMb: Double, rows: Long)
 
   private[graft] def measure(spark: SparkSession,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -113,8 +116,13 @@ object ShuffleAudit {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       // execute THIS QueryExecution (df.count() would plan a separate
-      // aggregate execution and leave these metrics untouched)
-      df.queryExecution.toRdd.count()
+      // aggregate execution and leave these metrics untouched). The
+      // returned count IS the query's answer cardinality — recorded so
+      // ScaleCheck's `answers` rung can bound shuffle growth against
+      // ANSWER growth (a pair-mining query whose duplicate clusters
+      // double per rung emits ~4x the pairs; no algorithm shuffles
+      // less than its output).
+      val outRows = df.queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val nodes = flatten(df.queryExecution.executedPlan)
       val (tw, ts) = totals.settled()
@@ -123,7 +131,7 @@ object ShuffleAudit {
         mb(sumMetric(nodes, "shuffleBytesWritten")),
         mb(sumMetric(nodes, "spillSize")), mb(tw), mb(ts),
         stats.map(_.maxTaskPeakMb).maxOption.getOrElse(0.0),
-        stats.flatMap(_.projectedMb).maxOption.getOrElse(0.0))
+        stats.flatMap(_.projectedMb).maxOption.getOrElse(0.0), outRows)
     } finally {
       spark.sparkContext.removeSparkListener(totals)
       spark.sparkContext.removeSparkListener(acc)
@@ -174,7 +182,8 @@ object ShuffleAudit {
       .map { case (n, m) =>
         s""""$n":{"shuffle_mb":${m.shuffleMb},"spill_mb":${m.spillMb},""" +
           s""""task_shuffle_mb":${m.taskShuffleMb},"task_spill_mb":${m.taskSpillMb},""" +
-          s""""max_task_peak_mb":${m.maxTaskPeakMb},"max_task_projected_mb":${m.maxProjectedMb}}"""
+          s""""max_task_peak_mb":${m.maxTaskPeakMb},"max_task_projected_mb":${m.maxProjectedMb},""" +
+          s""""rows":${m.rows}}"""
       }
       .mkString("{", ",", "}")
     println(line)

@@ -41,6 +41,17 @@ open('shuffle_audit_sf20_residue.json', 'w').write(json.dumps(sub))
 PY
 run $J graft.ScaleCheck audits shuffle_audit_sf20_residue.json shuffle_audit_sf40.json 2 "SCALE_r${N}_sf40.json" postcap
 
+# 2c. sf80 answers rung: one more doubling; the corpus's duplicate
+# clusters double per rung so the TRUE pair answer quadruples —
+# the gate bounds shuffle growth by max(strict, 1.2x answer growth)
+# using the rows column both audits carry
+[ -f target/sfdata/sf80/embeddings.parquet/_SUCCESS ] || \
+  run $J graft.ScaleGen target/sfdata/sf40 target/sfdata/sf80 2 documents,embeddings
+SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf80 d03_ngram_jaccard \
+  d04_minhash_lsh d13_semantic_clusters s03_embed_neardup s11_multiprobe_neardup \
+  > shuffle_audit_sf80.json
+run $J graft.ScaleCheck audits shuffle_audit_sf40.json shuffle_audit_sf80.json 2 "SCALE_r${N}_sf80.json" answers
+
 # 3. skew-stress rung (fixed volume, Zipf-sharpened key heads)
 [ -d target/sfdata/sf10skew ] || run $J graft.ScaleGen target/sfdata/sf10 target/sfdata/sf10skew 1 all skew
 run $J graft.SkewDrill target/sfdata/sf10 target/sfdata/sf10skew "SKEW_r${N}.json"
