@@ -159,14 +159,24 @@ object Dedup {
     * histogram that derives the cap predicts the output exactly, so
     * the planner — not AQE — sizes that one exchange. */
   final case class MiningBudget(maxDf: Int, predictedPairs: Double) {
-    /** Partitions for the pair join: ~64 B of aggregation state per
-      * candidate pair (16 B key, counter, BytesToBytesMap overhead),
-      * targeting ≤64 MB of state per task; floored at `cores` (an
-      * exchange narrower than the machine is never right) and capped
-      * at 4096 (beyond it, per-task scheduling overhead dominates —
-      * at that width each task already holds ≤64 MB). */
+    /** Partitions for the pair join: ~256 B of effective aggregation
+      * state per PREDICTED candidate pair, targeting ≤32 MB of modeled
+      * state per task; floored at `cores` (an exchange narrower than
+      * the machine is never right) and capped at 4096 (beyond it,
+      * per-task scheduling overhead dominates).
+      *
+      * Calibration history: r9 measured ~48 B/pair at sf10 and the
+      * model shipped as 64 B at a 64 MB/task target. The sf80 rung
+      * measured the pair-stage HashAggregate at 512 MB/task under that
+      * sizing — ~8× the model — because on answer-quadratic corpora
+      * (duplicate clusters double per rung) the DISTINCT pairs a task
+      * must hold outgrow the capped-candidate prediction the histogram
+      * can see. 256 B / 32 MB bakes that measured 8× in, keeping the
+      * real per-task state near 64 MB at sf80 and inside the 512 MB
+      * preventive-gate budget through ~sf320; the per-rung state gate
+      * (`ScaleCheck audits`) remains the backstop past the model. */
     def pairParts(cores: Int): Int = {
-      val byState = math.ceil(predictedPairs * 64.0 / (64L << 20)).toInt
+      val byState = math.ceil(predictedPairs * 256.0 / (32L << 20)).toInt
       math.min(4096, math.max(cores, byState))
     }
   }
@@ -275,8 +285,22 @@ object Dedup {
       else sizesRaw
     val a = sh.select(col(idCol).as("a_id"), col("shingle")).alias("a")
     val b = sh.select(col(idCol).as("b_id"), col("shingle")).alias("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    // The FINAL pair aggregation's exchange is pinned too (sf80 rung:
+    // AQE coalesced it to 252 tasks by compressed bytes while the
+    // distinct-pair hash state those bytes decompress into measured
+    // 512 MB/task — the same blind-spot mechanism as the anchor, one
+    // stage downstream). Pinning costs ~nothing in bytes: the anchor
+    // hashes by SHINGLE, so a pair's occurrences scatter across tasks
+    // and partial aggregation combines ~nothing — the exchange carries
+    // ~the same pair-occurrence rows either way, and hash-partitioning
+    // on exactly the grouping keys lets the aggregate run complete,
+    // with no second exchange.
+    val joined = a.join(b,
+      col("a.shingle") === col("b.shingle") && col("a_id") < col("b_id"))
+    val inter =
+      (if (pairParts > 0) joined.repartition(pairParts, col("a_id"), col("b_id"))
+       else joined)
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sa")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sb")), "b_id")

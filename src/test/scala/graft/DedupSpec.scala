@@ -70,7 +70,7 @@ class DedupSpec extends SparkSpec {
     // pairParts: floored at cores, grows with predicted volume
     assert(un.pairParts(32) === 32)
     assert(Dedup.MiningBudget(16, 1e8).pairParts(32) ===
-      math.ceil(1e8 * 64.0 / (64L << 20)).toInt)
+      math.ceil(1e8 * 256.0 / (32L << 20)).toInt)
     assert(Dedup.MiningBudget(16, 1e12).pairParts(32) === 4096, "upper clamp")
     // starvation budget: cap engages at the floor, prediction matches
     // the brute-force cost AT that cap
