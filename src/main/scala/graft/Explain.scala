@@ -22,8 +22,19 @@ object Explain {
       def timed(): Double = {
         val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
       }
-      val cold = timed(); val warm = timed()
-      println(f"== $name%-28s cold=$cold%7.2fs warm=$warm%7.2fs")
+      // SPARK_GRAFT_EXPLAIN_REPS > 1: extra warm reps with a settle
+      // between them, reporting min/med — enough resolution for
+      // pin-cost A/B attribution (one warm run is hostage to whichever
+      // cleaner pause lands on it)
+      val reps = sys.env.get("SPARK_GRAFT_EXPLAIN_REPS").map(_.toInt).getOrElse(1)
+      val cold = timed()
+      val warms = (1 to reps).map { _ =>
+        Bench.settle(spark, rounds = 1, sleepMs = 150); timed()
+      }.sorted
+      val warm = warms.head
+      val medStr =
+        if (reps > 1) f" med=${warms(warms.size / 2)}%7.2fs (n=$reps)" else ""
+      println(f"== $name%-28s cold=$cold%7.2fs warm=$warm%7.2fs$medStr")
       if (args.length > 1) {
         // execute THIS QueryExecution first, then print its FINAL
         // adaptive plan: ReusedExchange / AQE join rewrites only exist

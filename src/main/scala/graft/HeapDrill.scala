@@ -22,20 +22,57 @@ import org.apache.spark.sql.SparkSession
   *    degrade to external mode). The artifact carries per-query spill
   *    so a rung-over-rung diff can still flag runaway state.
   *
+  * SPILL mode (VERDICT r11 #3): `HeapDrill spill <sfDir> <out.json>
+  * <baseline.json> <query...>` under a budget SMALL ENOUGH that
+  * external mode MUST engage (e.g. 4g / 8 slots at sf20 — half the
+  * standard drill's share). Zero-spill completion at five rungs
+  * proved the pinned exchanges keep state under budget; it never
+  * executed the degradation path itself. This mode gates that the
+  * path DEGRADES instead of dying:
+  *
+  *  - completes (no OOM) — as above;
+  *  - spill is PRESENT across the set (≥ [[MinTotalSpillMb]] summed —
+  *    external sort/agg actually engaged, the drill isn't
+  *    accidentally roomy) and BOUNDED per query
+  *    (≤ [[SpillCapMb]] — degradation, not a disk storm);
+  *  - wall ≤ [[SpillWallFactor]]× the same query's wall in
+  *    `baseline.json` (the standard 8g drill artifact) + 10 s slack.
+  *
   * Usage:
   *   SPARK_DRIVER_MEM=8g SPARK_GRAFT_CPUS=8 \
   *     tools/jrun.sh graft.HeapDrill <sfDir> <out.json> <query...>
+  *   SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 \
+  *     tools/jrun.sh graft.HeapDrill spill <sfDir> <out.json> \
+  *       <baseline.json> <query...>
   */
 object HeapDrill {
 
+  private val MinTotalSpillMb = 1.0
+  private val SpillCapMb = 8192.0
+  private val SpillWallFactor = 3.0
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: HeapDrill <sfDir> <out.json> <query...>")
-    val sfDir = args(0)
-    val outPath = args(1)
-    val names = args.drop(2).toSeq
+    val spillMode = args.headOption.contains("spill")
+    val rest = if (spillMode) args.drop(1) else args
+    val minArgs = if (spillMode) 4 else 3
+    require(rest.length >= minArgs,
+      "usage: HeapDrill <sfDir> <out.json> <query...> | " +
+        "HeapDrill spill <sfDir> <out.json> <baseline.json> <query...>")
+    val sfDir = rest(0)
+    val outPath = rest(1)
+    val baseline: Map[String, Double] = if (!spillMode) Map.empty else {
+      val text = Files.readString(Paths.get(rest(2)))
+      """"(\w+)"\s*:\s*\{"ok":true,"wall_s":([0-9.eE+-]+)""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val names = rest.drop(if (spillMode) 3 else 2).toSeq
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    if (spillMode) {
+      val noBase = names.filterNot(baseline.contains)
+      require(noBase.isEmpty,
+        s"no baseline wall in ${rest(2)} for: ${noBase.mkString(", ")}")
+    }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -53,7 +90,9 @@ object HeapDrill {
     GraftSession.installOptimizations(spark)
 
     val heapMb = Runtime.getRuntime.maxMemory() / 1048576
-    System.err.println(s"[heapdrill] heap ${heapMb} MB, local[$cpus], $sfDir")
+    System.err.println(
+      s"[heapdrill] heap ${heapMb} MB, local[$cpus], $sfDir" +
+        (if (spillMode) " (spill mode)" else ""))
 
     // NO warm pass: the drill wants the cold path too (a warm pass
     // would pre-spill memo fits under the tight heap and muddy
@@ -70,22 +109,45 @@ object HeapDrill {
           (name, None, Some(t.getClass.getSimpleName))
       }
     }
-    val allOk = rows.forall(_._2.isDefined)
     val maxSpill = rows.flatMap(_._2).map(_.taskSpillMb).maxOption.getOrElse(0.0)
+    val totalSpill =
+      math.round(rows.flatMap(_._2).map(_.taskSpillMb).sum * 10) / 10.0
+    def queryOk(name: String, m: ShuffleAudit.Measured): Boolean =
+      if (!spillMode) true
+      else m.taskSpillMb <= SpillCapMb &&
+        m.wallSec <= baseline(name) * SpillWallFactor + 10.0
+    val spillEngaged = !spillMode || totalSpill >= MinTotalSpillMb
+    val allOk = rows.forall {
+      case (n, Some(m), _) => queryOk(n, m)
+      case _ => false
+    } && spillEngaged
     val body = rows.map {
       case (n, Some(m), _) =>
-        s""" "$n":{"ok":true,"wall_s":${m.wallSec},"task_shuffle_mb":${m.taskShuffleMb},""" +
-          s""""task_spill_mb":${m.taskSpillMb}}"""
+        s""" "$n":{"ok":${queryOk(n, m)},"wall_s":${m.wallSec},"task_shuffle_mb":${m.taskShuffleMb},""" +
+          s""""task_spill_mb":${m.taskSpillMb}""" +
+          (if (spillMode)
+            s""","baseline_wall_s":${baseline(n)},"wall_bound_s":${
+              math.round((baseline(n) * SpillWallFactor + 10.0) * 100) / 100.0}"""
+          else "") + "}"
       case (n, None, err) =>
         s""" "$n":{"ok":false,"error":"${err.getOrElse("unknown")}"}"""
     }.mkString(",\n")
+    val note =
+      if (spillMode)
+        s"graft.HeapDrill SPILL drill: the heavy family inside a ${heapMb} MB JVM with $cpus task slots — a budget chosen so external sort/agg MUST engage. Gate: every query completes (no OOM), total task spill >= $MinTotalSpillMb MB across the set (the degradation path actually executed), per-query spill <= $SpillCapMb MB (bounded, not a disk storm), and wall <= ${SpillWallFactor}x the same query's 8g-drill wall + 10 s."
+      else
+        s"graft.HeapDrill constrained-heap degradation drill: the heavy family inside a ${heapMb} MB JVM with $cpus task slots (~${math.round(heapMb * 0.6 / cpus.toInt)} MB execution memory per slot — a cluster-container share, not a 128 GiB workstation). The gate is COMPLETION (no OOM; an OOM kills the JVM and no artifact appears); spill is recorded as the designed degradation path, not forbidden."
     val json =
       s"""{
-         | "note": "graft.HeapDrill constrained-heap degradation drill: the heavy family inside a ${heapMb} MB JVM with $cpus task slots (~${math.round(heapMb * 0.6 / cpus.toInt)} MB execution memory per slot — a cluster-container share, not a 128 GiB workstation). The gate is COMPLETION (no OOM; an OOM kills the JVM and no artifact appears); spill is recorded as the designed degradation path, not forbidden.",
+         | ${RepoStamp.metaJson()},
+         | "note": "$note",
+         | "mode": "${if (spillMode) "spill" else "standard"}",
          | "heap_mb": $heapMb,
          | "cpus": $cpus,
          | "sf_dir": "$sfDir",
          | "max_task_spill_mb": $maxSpill,
+         | "total_task_spill_mb": $totalSpill,
+         | "spill_engaged": $spillEngaged,
          | "all_ok": $allOk,
          |$body
          |}""".stripMargin

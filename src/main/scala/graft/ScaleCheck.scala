@@ -137,19 +137,14 @@ object ScaleCheck {
     * audits carry the `rows` column. */
   private val AnswerSlack = 1.2
 
-  /** The one legitimate `answers`-rung exception shape: a query whose
-    * OUTPUT is linear by construction but which materializes a
-    * super-linear intermediate answer internally. d13 emits one row
-    * per vector (2.0× per rung, QueryCountDiag) yet mines the same
-    * near-dup pair relation s03 emits — measured at 4.05× per 2× at
-    * the sf40→sf80 rung — before collapsing it to components, so its
-    * answer-ratio (from output rows) cannot see the true answer. */
-  private val answersAllow: Map[String, Allow] = Map(
-    "d13_semantic_clusters" -> Allow(4.9,
-      "output linear by construction (one row per vector) but the " +
-        "mined near-dup pair relation inside = s03's answer, measured " +
-        "4.05x per 2x data at this rung (QueryCountDiag); bound = " +
-        "1.2x that internal answer growth"))
+  /** The `answers` rung carries NO hand-pinned exceptions (VERDICT
+    * r11 #8): a query whose output is linear but whose internal answer
+    * is super-linear (d13) declares an internal-answer probe in
+    * [[ShuffleAudit.internalAnswer]] instead, and the audit's
+    * `internal_rows` column drives the bound — derived per corpus at
+    * gate time, never a constant that goes stale when the fixture
+    * changes. */
+  private val answersAllow: Map[String, Allow] = Map.empty
 
   /** The effective shuffle-growth bound for one query on an `answers`
     * rung: the strict default, raised to `AnswerSlack × answerRatio`
@@ -191,11 +186,13 @@ object ScaleCheck {
     val defaultBound = DefaultSlack * dataRatio
 
     // (task_shuffle_mb, task_spill_mb, max_task_peak_mb,
-    // max_task_projected_mb, rows) — the STATE columns (VERDICT r10
-    // #1) and the answer-cardinality `rows` column (sf80 rung) are
-    // optional so the gate still reads older artifacts
+    // max_task_projected_mb, rows, internal_rows) — the STATE columns
+    // (VERDICT r10 #1) and the answer-cardinality columns (sf80 rung;
+    // internal_rows since r12) are optional so the gate still reads
+    // older artifacts
     final case class Entry(shuffleMb: Double, spillMb: Double,
-        peakMb: Option[Double], projMb: Option[Double], rows: Option[Long])
+        peakMb: Option[Double], projMb: Option[Double], rows: Option[Long],
+        internalRows: Option[Long])
     def parse(path: String): Map[String, Entry] = {
       val text = Files.readString(Paths.get(path))
       // tolerate either ShuffleAudit's compact output or a
@@ -204,12 +201,38 @@ object ScaleCheck {
         "\\s*\"task_spill_mb\"\\s*:\\s*([0-9.eE+-]+)" +
         "(?:\\s*,\\s*\"max_task_peak_mb\"\\s*:\\s*([0-9.eE+-]+)\\s*," +
         "\\s*\"max_task_projected_mb\"\\s*:\\s*([0-9.eE+-]+))?" +
-        "(?:\\s*,\\s*\"rows\"\\s*:\\s*([0-9]+))?").r
+        "(?:\\s*,\\s*\"rows\"\\s*:\\s*([0-9]+))?" +
+        "(?:\\s*,\\s*\"internal_rows\"\\s*:\\s*([0-9]+))?").r
       entry.findAllMatchIn(text).map(m =>
         m.group(1) -> Entry(m.group(2).toDouble, m.group(3).toDouble,
           Option(m.group(4)).map(_.toDouble), Option(m.group(5)).map(_.toDouble),
-          Option(m.group(6)).map(_.toLong))).toMap
+          Option(m.group(6)).map(_.toLong),
+          Option(m.group(7)).map(_.toLong))).toMap
     }
+    // artifacts-match-HEAD invariant (VERDICT r11 #1): both audits
+    // must carry a clean src/main tree stamp equal to HEAD's — an
+    // audit from stale or uncommitted code cannot pass a gate that
+    // certifies the SHIPPED plans
+    def stamp(path: String): (String, Boolean) = {
+      val text = Files.readString(Paths.get(path))
+      val re = ("\"_meta\"\\s*:\\s*\\{[^}]*\"src_tree\"\\s*:\\s*\"([0-9a-f]+|unknown)\"" +
+        "\\s*,\\s*\"src_dirty\"\\s*:\\s*(true|false)").r
+      re.findFirstMatchIn(text)
+        .map(m => (m.group(1), m.group(2).toBoolean))
+        .getOrElse(sys.error(s"$path carries no _meta provenance stamp — " +
+          "regenerate it with the current ShuffleAudit"))
+    }
+    val (treeA, dirtyA) = stamp(pathA)
+    val (treeB, dirtyB) = stamp(pathB)
+    val headTree = RepoStamp.srcTree()
+    require(!dirtyA && !dirtyB,
+      s"audit stamped from a DIRTY src/main tree (a=$dirtyA, b=$dirtyB) — " +
+        "commit first, then regenerate the audit")
+    require(treeA == headTree && treeB == headTree,
+      s"audit/HEAD mismatch: a=$treeA b=$treeB HEAD=$headTree — " +
+        "the audits predate the shipped code; regenerate them " +
+        "(VERDICT r11 #1: stale state columns are exactly how a " +
+        "post-audit recalibration ships unmeasured)")
     val a = parse(pathA)
     val b = parse(pathB)
     val names = (a.keySet intersect b.keySet).toSeq.sorted
@@ -221,18 +244,24 @@ object ScaleCheck {
       s"queries present in only one audit: ${missing.mkString(", ")}")
 
     val rows = names.map { n =>
-      val Entry(sa, spillA, peakA, projA, rowsA) = a(n)
-      val Entry(sb, spillB, peakB, projB, rowsB) = b(n)
+      val Entry(sa, spillA, peakA, projA, rowsA, internalA) = a(n)
+      val Entry(sb, spillB, peakB, projB, rowsB, internalB) = b(n)
       val ratio =
         if (sa <= 0.001) (if (sb <= 0.001) 1.0 else Double.PositiveInfinity)
         else math.round(sb / sa * 100) / 100.0
       val allow = allowList.get(n)
       // the `answers` rung bounds shuffle growth by max(default,
       // AnswerSlack x measured answer growth) wherever both audits
-      // carry `rows` — shuffling less than the answer grows is
-      // impossible, so past-default growth that tracks the answer is
-      // the optimal shape, not a regression
-      val answerRatio = (rowsA, rowsB) match {
+      // carry an answer column — shuffling less than the answer grows
+      // is impossible, so past-default growth that tracks the answer
+      // is the optimal shape, not a regression. A declared
+      // internal-answer probe (`internal_rows`, VERDICT r11 #8) takes
+      // precedence over output `rows`: d13's output is linear by
+      // construction while the pair relation it mines is not
+      val internal = internalA.isDefined && internalB.isDefined
+      val (ansA, ansB) =
+        if (internal) (internalA, internalB) else (rowsA, rowsB)
+      val answerRatio = (ansA, ansB) match {
         case (Some(ra), Some(rb)) if ra > 0 && allowName == "answers" =>
           Some(math.round(rb.toDouble / ra * 100) / 100.0)
         case _ => None
@@ -256,7 +285,7 @@ object ScaleCheck {
       val ok = (ratio <= bound || sb <= SpillLimitMb) && spillOk && stateOk
       (n, sa, sb, ratio, bound, allow.map(_.why), ok,
         (peakA, peakB, projA, projB, stateOk, stateAllowE.map(_.why)),
-        answerRatio)
+        answerRatio.map(r => (r, internal)))
     }
     val allOk = rows.forall(_._7)
     val unusedAllow = allowList.keySet -- names.toSet
@@ -272,7 +301,9 @@ object ScaleCheck {
             stateWhy.map(w => s""","state_attribution":"$w"""").getOrElse("")
         case _ => ""
       }
-      val ansStr = ansR.map(r => s""","answer_ratio":$r""").getOrElse("")
+      val ansStr = ansR.map { case (r, internal) =>
+        s""","answer_ratio":$r,"answer_source":"${if (internal) "internal" else "output"}""""
+      }.getOrElse("")
       s""" "$n":{"a_mb":$sa,"b_mb":$sb,"shuffle_ratio":$ratioStr2,"bound":$boundStr,"ok":$ok""" +
         ansStr + stateStr + why.map(w => s""","attribution":"$w"""").getOrElse("") + "}"
     }.mkString(",\n")
@@ -282,6 +313,8 @@ object ScaleCheck {
          | "allowlist": "$allowName",
          | "auditA": "$pathA",
          | "auditB": "$pathB",
+         | "src_tree": "$headTree",
+         | "artifacts_match_head": true,
          | "data_ratio": $dataRatio,
          | "queries_covered": ${names.size},
          | "unused_allowlist_entries": [${unusedAllow.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],

@@ -402,6 +402,24 @@ object ScaleGen {
     // clamp only guards the u→1 float-rounding edge
     least(floor(exp(u * math.log((h + 1).toDouble))).cast("int"), lit(h))
 
+  /** Token-occurrence skew rewrite: each whitespace token of `textCol`
+    * independently rewrites (with probability `frac`, drawn from the
+    * row identity `docId` + position) to the [[zipfRank]]-selected
+    * entry of the `hotCol` array — so the realized token head follows
+    * the same Zipf s=1 shape as the key-redirect branches. Built from
+    * [[unif]]/[[zipfRank]] rather than re-typed SQL so the rank draw
+    * cannot drift from the tested formula (a previous inline-SQL copy
+    * used `floor(exp(u·ln(h)))+1`, which lands in [2,h] — rank 1, the
+    * hottest word, was never drawn). */
+  private[graft] def skewTokenText(textCol: org.apache.spark.sql.Column,
+                                   docId: org.apache.spark.sql.Column,
+                                   hotCol: org.apache.spark.sql.Column,
+                                   frac: Double, h: Int): org.apache.spark.sql.Column =
+    array_join(transform(split(textCol, " "), (w, i) =>
+      when(unif("skew-wsel", docId, i) < frac,
+        element_at(hotCol, zipfRank(unif("skew-wrank", docId, i), h)))
+        .otherwise(w)), " ")
+
   private def skewMain(spark: SparkSession, src: String, dst: String,
                        tables: Seq[String]): Unit = {
     import spark.implicits._
@@ -419,24 +437,38 @@ object ScaleGen {
       typedLit(df.select(col(c).cast("long")).distinct()
         .orderBy(col(c)).limit(h).as[Long].collect().toSeq)
     def redirect(df: DataFrame, keyCol: String, hot: org.apache.spark.sql.Column,
+                 hN: Int, salt: String,
                  id: org.apache.spark.sql.Column*): DataFrame = {
-      val sel = unif("skew-sel", id: _*) < frac
-      val pick = element_at(hot, zipfRank(unif("skew-rank", id: _*), h))
+      val sel = unif(s"$salt-sel", id: _*) < frac
+      val pick = element_at(hot, zipfRank(unif(s"$salt-rank", id: _*), hN))
       df.withColumn(keyCol,
         when(sel, pick.cast(df.schema(keyCol).dataType)).otherwise(col(keyCol)))
     }
 
     for (t <- tables) t match {
       case "orders" =>
-        write(redirect(load("orders"), "o_custkey",
-          hotArr(load("orders"), "o_custkey"), $"o_orderkey"), "orders")
+        // two heads on one table: the o_custkey JOIN head, plus a
+        // WINDOW-key head (VERDICT r11 #4) — o_orderpriority has 5
+        // values, so Zipf-redirecting `frac` of rows onto them makes
+        // the hottest priority carry ~40% of the fact; the adaptive
+        // per-key shard count in Skew.distributionRanks (q32) is the
+        // mechanism this stresses. Distinct salts decorrelate the two
+        // draws.
+        val prio = load("orders")
+          .select($"o_orderpriority".cast("string")).na.drop().distinct()
+          .orderBy($"o_orderpriority").as[String].collect().toSeq
+        write(redirect(
+          redirect(load("orders"), "o_custkey",
+            hotArr(load("orders"), "o_custkey"), h, "skew", $"o_orderkey"),
+          "o_orderpriority", typedLit(prio), prio.size, "skew-prio",
+          $"o_orderkey"), "orders")
       case "lineitem" =>
         write(redirect(load("lineitem"), "l_orderkey",
-          hotArr(load("orders"), "o_orderkey"),
+          hotArr(load("orders"), "o_orderkey"), h, "skew",
           $"l_orderkey", $"l_linenumber", $"l_suppkey"), "lineitem")
       case "events" =>
         write(redirect(load("events"), "user_id",
-          hotArr(load("events"), "user_id"), $"event_id"), "events")
+          hotArr(load("events"), "user_id"), h, "skew", $"event_id"), "events")
       case "documents" =>
         // token-occurrence skew: frac of all token OCCURRENCES rewrite
         // to the corpus's own top-h words — the head the text/dedup
@@ -447,13 +479,8 @@ object ScaleGen {
           .select($"w").as[String].collect().toSeq)
         write(load("documents")
           .withColumn("_hot", hotWords)
-          .withColumn("text", expr(
-            s"""array_join(transform(split(text, ' '), (w, i) ->
-               |  CASE WHEN pmod(xxhash64(doc_id, i, 'skew-wsel'), 1048576) / 1048576.0 < $frac
-               |  THEN element_at(_hot, CAST(least(floor(exp(
-               |         pmod(xxhash64(doc_id, i, 'skew-wrank'), 1048576) / 1048576.0
-               |         * ln(CAST($h AS DOUBLE)))) + 1, $h) AS INT))
-               |  ELSE w END), ' ')""".stripMargin))
+          .withColumn("text",
+            skewTokenText($"text", $"doc_id", $"_hot", frac, h))
           .drop("_hot")
           .withColumn("n_chars", length($"text")), "documents")
       case other =>

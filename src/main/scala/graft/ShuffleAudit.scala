@@ -44,6 +44,21 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   */
 object ShuffleAudit {
 
+  /** Internal-answer probes (VERDICT r11 #8): a query whose OUTPUT is
+    * linear by construction but which materializes a super-linear
+    * answer internally declares a probe here; the audit emits its
+    * count as `internal_rows`, and the `answers` gate bounds shuffle
+    * growth by the measured growth of whichever answer column is
+    * present — a bound DERIVED per corpus instead of a hand-pinned
+    * constant. The probe runs AFTER the measured pass, outside the
+    * listeners, so it never pollutes the metrics. */
+  private val internalAnswer: Map[String, (SparkSession, String) => Long] = Map(
+    // d13 emits one row per vector (linear) but mines s03's near-dup
+    // pair relation before collapsing it to components — THAT is the
+    // answer its shuffle must be allowed to track
+    "d13_semantic_clusters" -> ((s, dir) =>
+      graft.queries.DedupQueries.d13InternalPairs(s, dir).count()))
+
   /** Sums shuffle-write and spill bytes over every task that ends
     * while registered. Spill = memory + disk spill (the pair moves
     * together; zero stays zero). */
@@ -175,18 +190,25 @@ object ShuffleAudit {
     val rows = ordered.flatMap { case (name, fn) =>
       System.err.println(s"[audit] measure $name")
       Bench.settle(spark, rounds = 1, sleepMs = 200)
-      try Some(name -> measure(spark, fn, sfDir))
-      catch { case _: Throwable => None }
+      try {
+        val m = measure(spark, fn, sfDir)
+        // internal-answer probe AFTER the measured pass (never inside
+        // the listeners) — see `internalAnswer`
+        val internal = internalAnswer.get(name).map(f => f(spark, sfDir))
+        Some((name, m, internal))
+      } catch { case _: Throwable => None }
     }
     val line = rows
-      .map { case (n, m) =>
+      .map { case (n, m, internal) =>
         s""""$n":{"shuffle_mb":${m.shuffleMb},"spill_mb":${m.spillMb},""" +
           s""""task_shuffle_mb":${m.taskShuffleMb},"task_spill_mb":${m.taskSpillMb},""" +
           s""""max_task_peak_mb":${m.maxTaskPeakMb},"max_task_projected_mb":${m.maxProjectedMb},""" +
-          s""""rows":${m.rows}}"""
+          s""""rows":${m.rows}""" +
+          internal.map(v => s""","internal_rows":$v""").getOrElse("") + "}"
       }
-      .mkString("{", ",", "}")
-    println(line)
+      .mkString(",")
+    println("{" + RepoStamp.metaJson(s""","sf_dir":"$sfDir"""") +
+      (if (line.nonEmpty) "," else "") + line + "}")
     spark.stop()
   }
 }

@@ -39,14 +39,20 @@ object SkewDrill {
   private val SpillBudgetMb = 1024.0
   private val WallFactor = 3.0
 
-  /** The heaviest consumers of the four skewed key families:
+  /** The heaviest consumers of the five skewed key families:
     * o_custkey (q03/q05), l_orderkey join multiplicity (q21, q33's
     * salted twin), user_id state (e01/e04), token/gram head
-    * (t01/t14/d03/d04). */
+    * (t01/t14/d03/d04), and — VERDICT r11 #4 — the WINDOW key head
+    * (q32/x25: o_orderpriority's hottest value carries ~40% of orders
+    * after the skew redirect, so `Skew.distributionRanks`' adaptive
+    * per-key shard count is under direct test) plus the graph family
+    * whose degree distribution the token head sharpens (g01's wedge
+    * exchanges, g08's k-core rounds). */
   private val DefaultQueries = Seq(
     "q03_top_revenue", "q05_semi_join", "q21_join5", "q33_salted_join",
     "e01_sessionize", "e04_user_profile", "t01_bigram_counts",
-    "t14_heavy_hitters", "d03_ngram_jaccard", "d04_minhash_lsh")
+    "t14_heavy_hitters", "d03_ngram_jaccard", "d04_minhash_lsh",
+    "q32_window_dist", "x25_curriculum", "g01_pagerank", "g08_kcore")
 
   private final case class Allow(peakMb: Double, why: String)
   private val allow: Map[String, Allow] = Map(

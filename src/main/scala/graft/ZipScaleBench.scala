@@ -279,9 +279,53 @@ object ZipScaleBench {
       parTasks == drvTasks && parTasks == predicted &&
         drvWall >= serialFloor * 0.8 &&
         parWall <= drvWall / 3.0
+
+    // READ-path rung (VERDICT r11 #7): the same RTT now charged on
+    // seek-and-inflate DATA reads — one per ranged read. The coalesced
+    // reader pays ONE RTT per split (it fetches the split's whole byte
+    // range at once); the per-entry fallback pays TWO per entry
+    // (local header + payload), which at 200 entries/archive is the
+    // regime where a naive object-store reader dies. The pack-size
+    // sweep measures the greedy-pack trade directly — fewer, larger
+    // packs = fewer total RTTs but fewer tasks to overlap them — and
+    // the gate pins the DEFAULT pack within 1.3x of the sweep optimum.
+    def scanAgg(packBytes: Long, coalesced: Boolean,
+                latency: Long): (Long, Long, Int) = {
+      val df = spark.read.format("zip-entries")
+        .option("maxBytesPerSplit", packBytes.toString)
+        .option("coalescedContentRead", coalesced.toString)
+        .option("simulatedDataLatencyMs", latency.toString)
+        .load(s"$dir/*.zip")
+      val parts = df.rdd.getNumPartitions
+      val r = df.selectExpr("count(*) AS n", "sum(length(content)) AS b")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), parts)
+    }
+    val defaultPack = 128L << 20
+    scanAgg(defaultPack, coalesced = true, 0) // warm page cache + codegen
+    val (perEntryAgg, perEntryWall) =
+      timed(scanAgg(defaultPack, coalesced = false, latencyMs))
+    val packsMb = Seq(0.5, 1.0, 2.0, 8.0, 32.0, 128.0)
+    val sweep = packsMb.map { mb =>
+      val (agg, w) = timed(
+        scanAgg((mb * 1024 * 1024).toLong, coalesced = true, latencyMs))
+      (mb, agg, w)
+    }
+    val readWallDefault = sweep.last._3
+    val readWallBest = sweep.map(_._3).min
+    val aggsAgree =
+      (sweep.map(_._2) :+ perEntryAgg).map(a => (a._1, a._2)).distinct.size == 1
+    val readOk = aggsAgree &&
+      readWallDefault <= readWallBest * 1.3 &&
+      readWallDefault <= perEntryWall / 3.0
+    val allOk = ok && readOk
+    val sweepJson = sweep.map { case (mb, (_, _, tasks), w) =>
+      s"""{"pack_mb":$mb,"tasks":$tasks,"wall_s":$w}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{
-         | "note": "graft.ZipScaleBench latency: each archive's central-directory read pays a simulated ${latencyMs} ms object-store RTT on whichever side plans. The driver loop must measure >= 80% of its nArchives x RTT serial floor (the simulation really bites); the executor-side planning job must overlap those RTTs to <= 1/3 of the driver wall; both branches must plan identical task counts equal to the greedy-pack prediction.",
+         | ${RepoStamp.metaJson()},
+         | "note": "graft.ZipScaleBench latency: each archive's central-directory read pays a simulated ${latencyMs} ms object-store RTT on whichever side plans. The driver loop must measure >= 80% of its nArchives x RTT serial floor (the simulation really bites); the executor-side planning job must overlap those RTTs to <= 1/3 of the driver wall; both branches must plan identical task counts equal to the greedy-pack prediction. READ rung (r12): the same RTT charged per ranged DATA read — the coalesced reader pays one per split, the per-entry fallback two per entry; the sweep measures the greedy-pack size trade and the gate pins the default 128 MB pack within 1.3x of the sweep optimum and >= 3x faster than per-entry reads, with byte-identical aggregates across every mode.",
          | "n_archives": $nArchives,
          | "entries_per_archive": $entriesPer,
          | "latency_ms": $latencyMs,
@@ -292,12 +336,20 @@ object ZipScaleBench {
          | "planning_wall_parallel_s": $parWall,
          | "planning_wall_driver_s": $drvWall,
          | "speedup": ${if (parWall > 0) math.round(drvWall / parWall * 10) / 10.0 else -1},
-         | "all_ok": $ok
+         | "planning_ok": $ok,
+         | "read_wall_perentry_s": $perEntryWall,
+         | "read_sweep": $sweepJson,
+         | "read_wall_default_s": $readWallDefault,
+         | "read_wall_best_s": $readWallBest,
+         | "read_aggregates_agree": $aggsAgree,
+         | "read_speedup_vs_perentry": ${if (readWallDefault > 0) math.round(perEntryWall / readWallDefault * 10) / 10.0 else -1},
+         | "read_ok": $readOk,
+         | "all_ok": $allOk
          |}""".stripMargin
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!allOk) sys.exit(1)
   }
 
   def main(args: Array[String]): Unit = {

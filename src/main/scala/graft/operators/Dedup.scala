@@ -165,6 +165,15 @@ object Dedup {
       * the machine is never right) and capped at 4096 (beyond it,
       * per-task scheduling overhead dominates).
       *
+      * Returns 0 — callers then leave the exchanges to AQE — when the
+      * WHOLE modeled pair state fits in half the 512 MB per-task
+      * budget (VERDICT r11 #5): below that line even the worst AQE
+      * coalescing (every pair in ONE task) is inside budget, so the
+      * pin buys nothing and costs real time on iterating consumers
+      * (g08 measured 1.00 → 1.33 s warm-min at sf0.1 under the pin —
+      * the only pair-chain consumer that pays; d03/d11/g03 measured
+      * free both ways, PLANS.md round-12 attribution).
+      *
       * Calibration history: r9 measured ~48 B/pair at sf10 and the
       * model shipped as 64 B at a 64 MB/task target. The sf80 rung
       * measured the pair-stage HashAggregate at 512 MB/task under that
@@ -176,6 +185,7 @@ object Dedup {
       * preventive-gate budget through ~sf320; the per-rung state gate
       * (`ScaleCheck audits`) remains the backstop past the model. */
     def pairParts(cores: Int): Int = {
+      if (predictedPairs * 256.0 <= (256L << 20).toDouble) return 0
       val byState = math.ceil(predictedPairs * 256.0 / (32L << 20)).toInt
       math.min(4096, math.max(cores, byState))
     }

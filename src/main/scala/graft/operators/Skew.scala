@@ -86,7 +86,9 @@ object Skew {
     * Value skew caveat: range shards split by VALUE, so a single value
     * repeated > rowsPerShard times still lands in one shard; with a
     * unique tie column available, such keys can shard on the tie
-    * instead. */
+    * instead. NULL partition keys are kept and rank as one ordinary
+    * partition, matching `Window.partitionBy` (the internal joins are
+    * null-safe via a struct-wrapped key). */
   def distributionRanks(df: DataFrame, partCol: String, valueCol: String,
                         tieCol: String,
                         rowsPerShard: Long = 500000L): DataFrame = {
@@ -94,7 +96,13 @@ object Skew {
     require(!df.columns.contains("rank") && !df.columns.contains("n"),
       "distributionRanks appends `rank` and `n` — rename the input's columns")
     val v = col(valueCol).cast("double")
-    val bounds = df.groupBy(col(partCol))
+    // NULL-safe internal key: a plain equi-join on partCol would drop
+    // NULL-keyed rows (NULL = NULL is NULL), but Window.partitionBy
+    // keeps them as an ordinary partition. Struct equality compares
+    // null fields as equal, so joining on the wrapped key ranks a
+    // NULL-keyed partition exactly like the plain window would.
+    val kdf = df.withColumn("_pkey", struct(col(partCol)))
+    val bounds = kdf.groupBy(col("_pkey"))
       .agg(min(v).as("_minv"), max(v).as("_maxv"), count(lit(1)).as("n"))
       .withColumn("_shards",
         greatest(lit(1L), ceil(col("n").cast("double") / rowsPerShard))
@@ -108,23 +116,23 @@ object Skew {
       .otherwise(least(col("_shards") - 1,
         floor((v - col("_minv")) / (col("_maxv") - col("_minv")) *
           col("_shards")).cast("int")))
-    val sharded = df.join(broadcast(bounds), Seq(partCol))
+    val sharded = kdf.join(broadcast(bounds), Seq("_pkey"))
       .withColumn("_shard", shard)
-    val w = Window.partitionBy(col(partCol), col("_shard"))
+    val w = Window.partitionBy(col("_pkey"), col("_shard"))
       .orderBy(col(valueCol), col(tieCol))
     val ranked = sharded.withColumn("_lrank", row_number().over(w).cast("long"))
     // (key, shard) counts: ≤ |keys| × ceil(n / rowsPerShard) rows —
     // the cumsum window is trivially cheap and the join broadcasts
-    val offs = sharded.groupBy(col(partCol), col("_shard"))
+    val offs = sharded.groupBy(col("_pkey"), col("_shard"))
       .agg(count(lit(1)).as("_sn"))
       .withColumn("_off",
         coalesce(sum(col("_sn")).over(
-          Window.partitionBy(col(partCol)).orderBy(col("_shard"))
+          Window.partitionBy(col("_pkey")).orderBy(col("_shard"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(partCol), col("_shard"), col("_off"))
-    ranked.join(broadcast(offs), Seq(partCol, "_shard"))
+      .select(col("_pkey"), col("_shard"), col("_off"))
+    ranked.join(broadcast(offs), Seq("_pkey", "_shard"))
       .withColumn("rank", col("_off") + col("_lrank"))
-      .drop("_minv", "_maxv", "_shards", "_shard", "_lrank", "_off")
+      .drop("_pkey", "_minv", "_maxv", "_shards", "_shard", "_lrank", "_off")
   }
 
   /** Exact `ntile(k)` from (rank, n) under a unique total order: the

@@ -23,6 +23,29 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** d13's planted corpus: embeddings plus exact copies (vec_id+1e6
+    * for vec_id<20, +2e6 for vec_id<10 — max organic vec_id is 4e5 at
+    * sf20, no collision). */
+  private def d13Corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    def planted(offset: Long, below: Long) = e.filter($"vec_id" < below)
+      .select(($"vec_id" + offset).as("vec_id"), $"embedding", $"label")
+    e.unionByName(planted(1000000L, 20)).unionByName(planted(2000000L, 10))
+  }
+
+  /** d13's mined INTERNAL pair relation — s03's near-dup answer over
+    * the d13 corpus, the frame its clustering collapses. Exposed so
+    * [[graft.ShuffleAudit]] can record its cardinality as
+    * `internal_rows` (VERDICT r11 #8): d13's OUTPUT is one row per
+    * vector (linear by construction), so the answers-rung shuffle
+    * bound must be derived from THIS answer's measured growth per
+    * corpus, not from a hand-pinned constant. */
+  def d13InternalPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(d13Corpus(s, dir), "vec_id", "embedding",
+      minCosine = 0.99, dim = SimilarityQueries.Dim,
+      bits = DerivedCaps.embBitsFor(s, dir), maxBucketSize = 4096)
+
   private val SqlNorm =
     """array_to_string(list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> ''), ' ')"""
 
@@ -140,14 +163,8 @@ object DedupQueries {
     // (gated via s03); CC iterates over the ~40-edge endpoint set.
     "d13_semantic_clusters" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables.load(s, dir, "embeddings")
-      def planted(offset: Long, below: Long) = e.filter($"vec_id" < below)
-        .select(($"vec_id" + offset).as("vec_id"), $"embedding", $"label")
-      val corpus = e.unionByName(planted(1000000L, 20))
-        .unionByName(planted(2000000L, 10))
-      val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
-        minCosine = 0.99, dim = SimilarityQueries.Dim,
-        bits = DerivedCaps.embBitsFor(s, dir), maxBucketSize = 4096)
+      val corpus = d13Corpus(s, dir)
+      val pairs = d13InternalPairs(s, dir)
       graft.operators.ConnectedComponents.components(pairs, "a_id", "b_id",
           corpus.select($"vec_id"), "vec_id")
         .select($"vec_id", $"component".as("cluster"),
@@ -174,7 +191,11 @@ object DedupQueries {
       // 4–13× per rung — the boilerplate skew the split removes.
       // Planted recall untouched (identical signatures share every
       // sub-bucket); an organic J ≥ 0.9 pair in a split bucket keeps
-      // P(total miss) < 1e-6 via its other 15 bands
+      // P(total miss) < 1e-6 via its other 15 bands. CORPUS-DEPENDENT:
+      // that bound covers the exact oracle only because this corpus
+      // has NO organic 0.5 ≤ J < 0.9 pairs — an invariant Verify
+      // checks per dump (ADVICE r11), so a regenerated fixture that
+      // violates it fails loudly instead of as a flaky d04 mismatch
       Dedup.minHashPairs(d.unionByName(planted), "doc_id", "text",
           n = 3, k = 64, bands = 16, minJaccard = 0.5,
           rehashBucketSize = 8)

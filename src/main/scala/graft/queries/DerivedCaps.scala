@@ -59,9 +59,15 @@ object DerivedCaps {
   def maxDfFor(s: SparkSession, dir: String): Int = budgetFor(s, dir).maxDf
 
   /** Cost-model partition count for the pair join over `dir`'s
-    * documents table (see [[Dedup.MiningBudget.pairParts]]). */
+    * documents table (see [[Dedup.MiningBudget.pairParts]]).
+    * Measurement hook (VERDICT r11 #5): with the session conf
+    * `spark.graft.mining.pinPairParts=false` this returns 0, and the
+    * mining operators then leave their pair exchanges to AQE — making
+    * the pin's local cost A/B-measurable on any consumer (the PLANS.md
+    * round-12 attribution). Production never sets the key. */
   def pairPartsFor(s: SparkSession, dir: String): Int =
-    budgetFor(s, dir).pairParts(s.sparkContext.defaultParallelism)
+    if (s.conf.getOption("spark.graft.mining.pinPairParts").contains("false")) 0
+    else budgetFor(s, dir).pairParts(s.sparkContext.defaultParallelism)
 
   private val embBitsMemo = new BoundedMemo[String, java.lang.Integer](64)
 

@@ -126,7 +126,10 @@ object ZipCentral {
 
   /** Read one entry's bytes: seek to the local header, skip its
     * name/extra fields, read `csize` compressed bytes (positioned read —
-    * safe under concurrent use of the same stream), inflate if deflated. */
+    * safe under concurrent use of the same stream), inflate if deflated.
+    * TWO ranged reads per entry — on an object store that is two RTTs;
+    * [[readEntryFrom]] over a coalesced split buffer is the scale
+    * path. */
   def readEntry(in: FSDataInputStream, e: Entry): Array[Byte] = {
     val hdr = new Array[Byte](30)
     in.readFully(e.offset, hdr)
@@ -136,23 +139,46 @@ object ZipCentral {
     val extraLen = u16(hdr, 28)
     val comp = new Array[Byte](e.csize.toInt)
     in.readFully(e.offset + 30 + nameLen + extraLen, comp)
-    if (e.method == 0) comp
-    else {
-      val inf = new Inflater(true) // raw deflate: ZIP entries carry no zlib header
-      try {
-        inf.setInput(comp)
-        val out = new Array[Byte](e.usize.toInt)
-        var written = 0
-        while (written < out.length && !inf.finished()) {
-          val k = inf.inflate(out, written, out.length - written)
-          if (k == 0 && inf.needsInput())
-            throw new java.io.IOException(s"zip-entries: truncated deflate stream in '${e.name}'")
-          written += k
-        }
-        require(written == out.length,
-          s"zip-entries: '${e.name}' inflated to $written of ${out.length} bytes")
-        out
-      } finally inf.end()
-    }
+    if (e.method == 0) comp else decode(comp, 0, e.csize.toInt, e)
+  }
+
+  /** Read one entry out of an already-fetched buffer covering archive
+    * bytes `[base, base + buf.length)` — the zero-extra-RTT path a
+    * coalesced split read enables. Returns None when the entry's local
+    * header or payload falls outside the buffer (non-monotonic offset
+    * layout, or a range the planner couldn't bound); the caller then
+    * falls back to positioned reads. */
+  def readEntryFrom(buf: Array[Byte], base: Long, e: Entry): Option[Array[Byte]] = {
+    val off = e.offset - base
+    if (off < 0 || off + 30 > buf.length) return None
+    val p = off.toInt
+    require(u32(buf, p) == (LocalSig & 0xFFFFFFFFL),
+      s"zip-entries: bad local header for '${e.name}' at ${e.offset}")
+    val dataOff = p + 30 + u16(buf, p + 26) + u16(buf, p + 28)
+    if (dataOff.toLong + e.csize > buf.length) return None
+    Some(decode(buf, dataOff, e.csize.toInt, e))
+  }
+
+  /** Decode `len` payload bytes at `buf(pos)`: stored entries copy,
+    * deflated entries inflate (raw deflate — ZIP entries carry no
+    * zlib header). */
+  private def decode(buf: Array[Byte], pos: Int, len: Int, e: Entry): Array[Byte] = {
+    if (e.method == 0)
+      return java.util.Arrays.copyOfRange(buf, pos, pos + len)
+    val inf = new Inflater(true)
+    try {
+      inf.setInput(buf, pos, len)
+      val out = new Array[Byte](e.usize.toInt)
+      var written = 0
+      while (written < out.length && !inf.finished()) {
+        val k = inf.inflate(out, written, out.length - written)
+        if (k == 0 && inf.needsInput())
+          throw new java.io.IOException(s"zip-entries: truncated deflate stream in '${e.name}'")
+        written += k
+      }
+      require(written == out.length,
+        s"zip-entries: '${e.name}' inflated to $written of ${out.length} bytes")
+      out
+    } finally inf.end()
   }
 }

@@ -236,11 +236,22 @@ class ZipScan(options: Map[String, String], required: StructType)
             cur += e; curBytes += e.usize; curN += 1
           }
           if (curN > 0) splits += cur.result()
-          splits.result().map { es =>
+          val packs = splits.result()
+          packs.zipWithIndex.map { case (es, i) =>
             val start = es.head.offset
             val end = es.map(e => e.offset + e.csize).max
+            // coalesced-read bound: this pack's bytes end where the
+            // next pack's first LOCAL header begins (local headers
+            // precede their payloads), or at the archive tail for the
+            // last pack (the central directory after the final payload
+            // is a negligible over-read). Exact when entries are laid
+            // out in offset order — the reader verifies per entry and
+            // falls back to positioned reads otherwise.
+            val rangeEnd =
+              if (i + 1 < packs.length) math.max(packs(i + 1).head.offset, end)
+              else m.len
             ZipSlicePartition(m.path, es.toArray,
-              ZipPlanning.hosts(m, start, end - start)): InputPartition
+              ZipPlanning.hosts(m, start, end - start), rangeEnd): InputPartition
           }
         case None =>
           Seq(ZipArchivePartition(m.path,
@@ -252,7 +263,20 @@ class ZipScan(options: Map[String, String], required: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    new ZipReaderFactory(conf, required)
+    // content reads COALESCE by default (one ranged read per split —
+    // one object-store RTT — instead of two positioned reads per
+    // entry); the buffer is bounded by the pack budget plus slack, so
+    // per-slot memory stays ~maxBytesPerSplit. `simulatedDataLatencyMs`
+    // (bench-only) charges an RTT per ranged read on the DATA path,
+    // the read-side twin of `simulatedMetaLatencyMs`.
+    val maxBytes = options.get("maxbytespersplit").map(_.toLong)
+      .getOrElse(ZipEntriesSource.DefaultMaxBytesPerSplit)
+    val coalesced = options.get("coalescedcontentread")
+      .forall(_.toBoolean)
+    val dataLatencyMs = options.get("simulateddatalatencyms")
+      .map(_.toLong).getOrElse(0L)
+    new ZipReaderFactory(conf, required, coalesced,
+      coalesceCap = 2L * maxBytes + (64L << 20), dataLatencyMs)
   }
 }
 
@@ -261,25 +285,41 @@ case class ZipArchivePartition(path: String, hosts: Array[String]) extends Input
   override def preferredLocations(): Array[String] = hosts
 }
 
-/** Entry-granular split: a contiguous run of central-directory entries. */
+/** Entry-granular split: a contiguous run of central-directory entries.
+  * `rangeEnd` bounds the split's bytes (exclusive) so the reader can
+  * fetch the whole pack in ONE ranged read. */
 case class ZipSlicePartition(path: String, entries: Array[ZipCentral.Entry],
-                             hosts: Array[String]) extends InputPartition {
+                             hosts: Array[String], rangeEnd: Long)
+    extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
-class ZipReaderFactory(conf: SerializableConfiguration, required: StructType)
+class ZipReaderFactory(conf: SerializableConfiguration, required: StructType,
+                       coalesced: Boolean = true,
+                       coalesceCap: Long = 2L * ZipEntriesSource.DefaultMaxBytesPerSplit + (64L << 20),
+                       dataLatencyMs: Long = 0L)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: ZipSlicePartition => new ZipSliceReader(p.path, p.entries, conf, required)
-      case p: ZipArchivePartition => new ZipEntryReader(p.path, conf, required)
+      case p: ZipSlicePartition =>
+        new ZipSliceReader(p.path, p.entries, conf, required,
+          coalesced, p.rangeEnd, coalesceCap, dataLatencyMs)
+      case p: ZipArchivePartition =>
+        new ZipEntryReader(p.path, conf, required, dataLatencyMs)
     }
 }
 
-/** Reads its slice of entries by seeking to each local header; inflates
-  * only what the projection needs. */
+/** Reads its slice of entries: by default ONE ranged read fetches the
+  * split's whole byte range (the object-store-scale path — one RTT per
+  * task instead of two per entry), and entries inflate out of the
+  * buffer; positioned per-entry reads remain as the fallback (range
+  * over the cap, entry outside the computed range, or
+  * `coalescedContentRead=false`). Inflates only what the projection
+  * needs — a name-only scan does zero data I/O either way. */
 class ZipSliceReader(path: String, entries: Array[ZipCentral.Entry],
-                     conf: SerializableConfiguration, required: StructType)
+                     conf: SerializableConfiguration, required: StructType,
+                     coalesced: Boolean = true, rangeEnd: Long = -1L,
+                     coalesceCap: Long = Long.MaxValue, dataLatencyMs: Long = 0L)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(path)
@@ -288,9 +328,39 @@ class ZipSliceReader(path: String, entries: Array[ZipCentral.Entry],
   // opened only if the projection actually reads content — a name-only
   // scan over a split does zero data I/O
   private var in: FSDataInputStream = _
+  private def simRtt(): Unit = if (dataLatencyMs > 0) Thread.sleep(dataLatencyMs)
   private def stream: FSDataInputStream = {
     if (in == null) in = hPath.getFileSystem(conf.value).open(hPath)
     in
+  }
+
+  /** The split's bytes, fetched once (one ranged read). None when the
+    * planner couldn't bound the range or it exceeds the cap. */
+  private var bufFetched = false
+  private var buf: Array[Byte] = _
+  private val bufBase: Long = if (entries.nonEmpty) entries.head.offset else 0L
+  private def rangeBuf(): Array[Byte] = {
+    if (!bufFetched) {
+      bufFetched = true
+      val len = rangeEnd - bufBase
+      if (coalesced && len > 0 && len <= coalesceCap) {
+        simRtt()
+        val b = new Array[Byte](len.toInt)
+        stream.readFully(bufBase, b)
+        buf = b
+      }
+    }
+    buf
+  }
+
+  private def content(e: ZipCentral.Entry): Array[Byte] = {
+    val fromBuf = Option(rangeBuf())
+      .flatMap(b => ZipCentral.readEntryFrom(b, bufBase, e))
+    fromBuf.getOrElse {
+      // positioned-read fallback: header + payload = two ranged reads
+      simRtt(); simRtt()
+      ZipCentral.readEntry(stream, e)
+    }
   }
 
   override def next(): Boolean = { idx += 1; idx < entries.length }
@@ -300,7 +370,7 @@ class ZipSliceReader(path: String, entries: Array[ZipCentral.Entry],
     val values = required.fieldNames.map {
       case "entry_name" => UTF8String.fromString(e.name)
       case "archive"    => archiveUtf8
-      case "content"    => ZipCentral.readEntry(stream, e)
+      case "content"    => content(e)
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }
@@ -309,12 +379,15 @@ class ZipSliceReader(path: String, entries: Array[ZipCentral.Entry],
 }
 
 /** Streams one archive's entries forward; materializes content only if
-  * the projection asks for it. */
-class ZipEntryReader(path: String, conf: SerializableConfiguration, required: StructType)
+  * the projection asks for it. One sequential read = one simulated
+  * object-store RTT. */
+class ZipEntryReader(path: String, conf: SerializableConfiguration,
+                     required: StructType, dataLatencyMs: Long = 0L)
     extends PartitionReader[InternalRow] {
 
   private val needContent = required.fieldNames.contains("content")
   private val hPath = new Path(path)
+  if (dataLatencyMs > 0) Thread.sleep(dataLatencyMs)
   private val in = hPath.getFileSystem(conf.value).open(hPath)
   private val zis = new ZipInputStream(in, java.nio.charset.StandardCharsets.UTF_8)
   private val archiveUtf8 = UTF8String.fromString(path)

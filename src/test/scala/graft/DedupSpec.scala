@@ -67,8 +67,15 @@ class DedupSpec extends SparkSpec {
     val un = Dedup.deriveMiningBudget(d, "doc_id", "text", pairBudgetPerOcc = 64.0)
     assert(un.maxDf === Int.MaxValue)
     assert(un.predictedPairs === brute(Long.MaxValue))
-    // pairParts: floored at cores, grows with predicted volume
-    assert(un.pairParts(32) === 32)
+    // pairParts: 0 (leave to AQE) while the WHOLE modeled state fits
+    // half the 512 MB per-task budget, then floored at cores and
+    // growing with predicted volume (r12: the pin is gated by predicted
+    // pair count so tiny corpora keep AQE — VERDICT r11 #5)
+    assert(un.pairParts(32) === 0, "tiny corpus: no pin")
+    assert(Dedup.MiningBudget(16, 1e6).pairParts(32) === 0,
+      "256 MB modeled state = the boundary, still AQE")
+    assert(Dedup.MiningBudget(16, 1.2e6).pairParts(32) === 32,
+      "past the boundary: pinned, floored at cores")
     assert(Dedup.MiningBudget(16, 1e8).pairParts(32) ===
       math.ceil(1e8 * 256.0 / (32L << 20)).toInt)
     assert(Dedup.MiningBudget(16, 1e12).pairParts(32) === 4096, "upper clamp")
@@ -81,7 +88,7 @@ class DedupSpec extends SparkSpec {
     val empty = Dedup.deriveMiningBudget(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
     assert(empty.maxDf === Int.MaxValue && empty.predictedPairs === 0.0)
-    assert(empty.pairParts(32) === 32)
+    assert(empty.pairParts(32) === 0, "zero pairs: nothing to pin")
   }
 
   test("MinHash-LSH recall: finds every pair the exact method finds (small corpus)") {

@@ -31,14 +31,16 @@ class NewQueriesR7Spec extends SparkSpec {
     val p = SparkEntry.queries("q32_window_dist")(spark, sfDir)
       .queryExecution.executedPlan.toString
     // the row_number pass — the only window that sees data-scale rows —
-    // partitions by (o_orderpriority, _shard): a fifth of orders can
-    // never pool in one task's window buffer (the r11 state gate
-    // measured the unsharded plan at 288 MB/task sf10 → 576 MB sf20,
-    // doubling every rung on a 5-value key)
-    assert("row_number\\(\\) windowspecdefinition\\(o_orderpriority#\\d+, _shard#\\d+"
+    // partitions by (_pkey, _shard), the struct-wrapped null-safe key
+    // plus the value-range shard: a fifth of orders can never pool in
+    // one task's window buffer (the r11 state gate measured the
+    // unsharded plan at 288 MB/task sf10 → 576 MB sf20, doubling every
+    // rung on a 5-value key)
+    assert("row_number\\(\\) windowspecdefinition\\(_pkey#\\d+, _shard#\\d+"
       .r.findAllIn(p).size == 1, p)
-    // the plain low-cardinality window must not reappear
-    assert("windowspecdefinition\\(o_orderpriority#\\d+, o_totalprice"
+    // the plain low-cardinality window must not reappear (neither on
+    // the raw key nor on the wrapped one)
+    assert("windowspecdefinition\\((o_orderpriority|_pkey)#\\d+, o_totalprice"
       .r.findAllIn(p).isEmpty, p)
     // bounds and shard offsets come back via broadcast joins — the
     // only non-broadcast exchange the ranks need is the (key, shard)

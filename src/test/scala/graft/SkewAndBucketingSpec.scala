@@ -125,6 +125,27 @@ class SkewAndBucketingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("distributionRanks: NULL partition keys rank as one ordinary partition") {
+    import org.apache.spark.sql.expressions.Window
+    // Window.partitionBy keeps NULL keys as one partition; a plain
+    // equi-join to the bounds frame would silently drop them — the
+    // struct-wrapped null-safe key must not
+    val rows: Seq[(Option[String], Double, Long)] =
+      (1 to 30).map(i => (None: Option[String], (i % 9).toDouble, i.toLong)) ++
+        (1 to 25).map(i => (Some("k1"), (i % 6).toDouble, 100L + i))
+    val df = rows.toDF("k", "v", "id")
+    val got = Skew.distributionRanks(df, "k", "v", "id", rowsPerShard = 7)
+      .select($"k", $"id", $"rank", $"n")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"v", $"id")
+    val want = df.select($"k", $"id",
+        row_number().over(w).cast("long").as("rank"),
+        count(lit(1)).over(Window.partitionBy($"k")).as("n"))
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got.size == 55, s"NULL-keyed rows dropped: ${got.size} of 55")
+    assert(got == want)
+  }
+
   test("distribution windows from (rank, n) equal ntile/percent_rank/cume_dist") {
     import org.apache.spark.sql.expressions.Window
     // ntile's uneven split exercised: n % k != 0 for every key, plus a

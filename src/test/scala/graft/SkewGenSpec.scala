@@ -27,6 +27,29 @@ class SkewGenSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3)) < 0.02, s"corr ${row.getDouble(3)}")
   }
 
+  test("documents token-skew path draws rank 1 (the hottest word)") {
+    // the documents branch previously re-typed the rank formula in SQL
+    // with floor(exp(u·ln(h)))+1 ∈ [2,h] — rank 1 was never drawn; the
+    // shared skewTokenText column must hit the FIRST hot-array entry
+    val h = 8
+    val hot = typedLit((1 to h).map(r => s"hot$r"))
+    val docs = spark.range(2000L).select(
+      $"id".cast("string").as("doc_id"),
+      lit(Seq.fill(20)("w").mkString(" ")).as("text"))
+    val counts = docs
+      .select(ScaleGen.skewTokenText($"text", $"doc_id", hot, 0.9, h).as("t"))
+      .select(explode(split($"t", " ")).as("w"))
+      .filter($"w".startsWith("hot"))
+      .groupBy($"w").count().as[(String, Long)].collect().toMap
+    assert(counts.size == h, s"only ${counts.size} of $h hot ranks drawn: ${counts.keys}")
+    val total = counts.values.sum.toDouble
+    val top = counts("hot1") / total
+    // log-uniform: rank-1 mass ≈ ln(2)/ln(h+1) ≈ 31.5% at h=8
+    assert(top > 0.2 && top < 0.45, s"rank-1 mass $top")
+    assert(counts("hot1") > 3L * counts(s"hot$h"),
+      s"head ${counts("hot1")} vs tail ${counts(s"hot$h")} — not a Zipf head")
+  }
+
   test("zipfRank is 1..H with ~1/r mass decay") {
     val h = 64
     val counts = spark.range(200000L)

@@ -182,6 +182,55 @@ class ZipSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("coalesced range read (default) equals the per-entry positioned path") {
+    // the default content path fetches each split's whole byte range in
+    // ONE ranged read and inflates out of the buffer; forcing
+    // coalescedContentRead=false must produce byte-identical rows
+    val f = new java.io.File(dir, "coal.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(f), UTF_8)
+    val rnd = new scala.util.Random(20260815L)
+    val entries = (0 until 30).map { i =>
+      val payload = new Array[Byte](rnd.nextInt(5000))
+      if (i % 2 == 0) rnd.nextBytes(payload)
+      else java.util.Arrays.fill(payload, ('a' + i % 26).toByte)
+      s"e$i.bin" -> payload
+    }
+    entries.foreach { case (n, p) =>
+      zos.putNextEntry(new ZipEntry(n)); zos.write(p); zos.closeEntry()
+    }
+    zos.close()
+    def readAll(coalesced: Boolean) = spark.read.format("zip-entries")
+      .option("maxBytesPerSplit", "8192")
+      .option("coalescedContentRead", coalesced.toString)
+      .load(f.getAbsolutePath)
+      .select($"entry_name", $"content").as[(String, Array[Byte])]
+      .collect().map { case (n, c) => n -> c.toSeq }.toMap
+    val viaBuffer = readAll(coalesced = true)
+    val viaSeeks = readAll(coalesced = false)
+    assert(viaBuffer.size == 30 && viaBuffer == viaSeeks)
+    assert(viaBuffer == entries.map { case (n, p) => n -> p.toSeq }.toMap)
+  }
+
+  test("readEntryFrom: reads from a covering buffer, None outside it") {
+    import graft.sources.v2.ZipCentral
+    val path = writeZip(dir, "rf.zip",
+      "a.txt" -> "alpha payload", "b.txt" -> "beta payload longer")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    val entries = try ZipCentral.list(in, bytes.length.toLong).get finally in.close()
+    val b = entries.find(_.name == "b.txt").get
+    // full buffer covers everything
+    assert(ZipCentral.readEntryFrom(bytes, 0L, b)
+      .map(new String(_, UTF_8)).contains("beta payload longer"))
+    // buffer starting past the entry's local header → fallback signal
+    assert(ZipCentral.readEntryFrom(bytes.drop((b.offset + 1).toInt),
+      b.offset + 1, b).isEmpty)
+    // buffer truncated mid-payload → fallback signal
+    assert(ZipCentral.readEntryFrom(bytes.take((b.offset + 31).toInt), 0L, b).isEmpty)
+  }
+
   test("ZIP64 central directory (>65535 entries) parses metadata-only") {
     val f = new java.io.File(dir, "big64.zip")
     val zos = new ZipOutputStream(new FileOutputStream(f), UTF_8)

@@ -44,7 +44,8 @@ run $J graft.ScaleCheck audits shuffle_audit_sf20_residue.json shuffle_audit_sf4
 # 2c. sf80 answers rung: one more doubling; the corpus's duplicate
 # clusters double per rung so the TRUE pair answer quadruples —
 # the gate bounds shuffle growth by max(strict, 1.2x answer growth)
-# using the rows column both audits carry
+# using the rows column both audits carry (d13's bound derives from
+# its internal_rows probe — the mined pair relation — since r12)
 [ -f target/sfdata/sf80/embeddings.parquet/_SUCCESS ] || \
   run $J graft.ScaleGen target/sfdata/sf40 target/sfdata/sf80 2 documents,embeddings
 SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf80 d03_ngram_jaccard \
@@ -52,16 +53,43 @@ SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf80 d03_ngram_jacc
   > shuffle_audit_sf80.json
 run $J graft.ScaleCheck audits shuffle_audit_sf40.json shuffle_audit_sf80.json 2 "SCALE_r${N}_sf80.json" answers
 
+# 2d. sf40 HEAVY NON-MINING rung (VERDICT r11 #2): sf20 was the rung
+# where three of these last broke — give them one more doubling.
+# Generates the remaining sf40 tables at K=2 (documents/embeddings
+# already exist from 2b).
+[ -f target/sfdata/sf40/lineitem.parquet/_SUCCESS ] || \
+  run $J graft.ScaleGen target/sfdata/sf20 target/sfdata/sf40 2 \
+    orders,lineitem,customer,supplier,part,nation,region,events
+HEAVY="g01_pagerank g03_bfs_reach a14_gap_fill q21_join5 p01_curate \
+d12_repeated_spans q30_table_profile t23_window_pmi x08_source_overlap \
+d07_dup_components"
+SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf40 $HEAVY \
+  > shuffle_audit_sf40_heavy.json
+python3 - <<'PY'
+import json
+full = json.load(open('shuffle_audit_sf20.json'))
+sub = {k: full[k] for k in json.load(open('shuffle_audit_sf40_heavy.json'))}
+open('shuffle_audit_sf20_heavy.json', 'w').write(json.dumps(sub))
+PY
+run $J graft.ScaleCheck audits shuffle_audit_sf20_heavy.json shuffle_audit_sf40_heavy.json 2 "SCALE_r${N}_sf40_heavy.json" postcap
+
 # 3. skew-stress rung (fixed volume, Zipf-sharpened key heads)
 [ -d target/sfdata/sf10skew ] || run $J graft.ScaleGen target/sfdata/sf10 target/sfdata/sf10skew 1 all skew
 run $J graft.SkewDrill target/sfdata/sf10 target/sfdata/sf10skew "SKEW_r${N}.json"
 
 # 4. constrained-heap degradation drill (cluster-container memory share)
+HEAP_Q="d03_ngram_jaccard d07_dup_components d12_repeated_spans \
+d13_semantic_clusters g01_pagerank g03_bfs_reach g04_link_predict \
+g05_jaccard_predict a14_gap_fill s03_embed_neardup"
 SPARK_DRIVER_MEM=8g SPARK_GRAFT_CPUS=8 \
-  run $J graft.HeapDrill target/sfdata/sf20 "MEMBOUND_r${N}.json" \
-  d03_ngram_jaccard d07_dup_components d12_repeated_spans \
-  d13_semantic_clusters g01_pagerank g03_bfs_reach g04_link_predict \
-  g05_jaccard_predict a14_gap_fill s03_embed_neardup
+  run $J graft.HeapDrill target/sfdata/sf20 "MEMBOUND_r${N}.json" $HEAP_Q
+
+# 4b. SPILL drill (VERDICT r11 #3): half the heap — external mode must
+# ENGAGE and degrade gracefully (spill present + bounded, wall <= 3x
+# the 8g run + 10 s, no OOM). Uses step 4's artifact as the baseline.
+SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 \
+  run $J graft.HeapDrill spill target/sfdata/sf20 "MEMBOUND_r${N}_spill.json" \
+  "MEMBOUND_r${N}.json" $HEAP_Q
 
 # 5. streaming state gates (keys-scaled vs volume-only corpora)
 [ -d target/sfdata/vol10 ] || run $J graft.ScaleGen /root/testdata/sf0.1 target/sfdata/vol10 10 all volume
