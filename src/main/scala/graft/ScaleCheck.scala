@@ -90,12 +90,29 @@ object ScaleCheck {
         "transition window as d03"),
     "d07_dup_components" -> Allow(19,
       "= d03's miner + vertex-sized rounds; same transition window"),
+    "d11_threshold_curve" -> Allow(19,
+      "runs d03's miner once for the whole threshold sweep; same " +
+        "transition window (r12 HEAD-matched re-audit measures 15.5x — " +
+        "the r11 final-agg pin's raw-candidate exchange adds ~27% to " +
+        "the sf10 side, the byte price of 512->36 MB flat task state " +
+        "at sf80)"),
     "g01_pagerank" -> Allow(19, "shared mining core; same transition window"),
-    "g02_triangles" -> Allow(19, "shared mining core; same transition window"),
+    "g02_triangles" -> Allow(31,
+      "shared mining core + the r11 final-agg pin measured at HEAD " +
+        "(r12): the pinned complete-mode pair aggregation exchanges " +
+        "raw candidate rows where the old partial-agg plan exchanged " +
+        "map-combined ones - sf10 side 381->851 MB, ratio 18.1->29.1. " +
+        "Deliberate: bytes are linear and stream; the state those " +
+        "bytes decompress into is what broke sf80 (512 MB/task) " +
+        "before the pin. Postcap/sf40/sf80 rungs bound the post-" +
+        "transition growth of the same exchange"),
     "g06_hits" -> Allow(19, "shared mining core; same transition window"),
     "g07_source_modularity" -> Allow(19,
       "shared mining core; same transition window"),
-    "g08_kcore" -> Allow(19, "shared mining core; same transition window"),
+    "g08_kcore" -> Allow(31,
+      "shared mining core + the r11 final-agg pin measured at HEAD " +
+        "(r12): same raw-candidate exchange as g02 (sf10 side " +
+        "382->852 MB, ratio 18.0->29.0); see g02 attribution"),
     "a18_winsorize" -> Allow(16,
       "per-group percentile frame joins back to the rows; the stats-frame " +
         "side flipped from broadcast between scales — absolute 64 MB at " +
@@ -228,9 +245,21 @@ object ScaleCheck {
     require(!dirtyA && !dirtyB,
       s"audit stamped from a DIRTY src/main tree (a=$dirtyA, b=$dirtyB) — " +
         "commit first, then regenerate the audit")
-    require(treeA == headTree && treeB == headTree,
-      s"audit/HEAD mismatch: a=$treeA b=$treeB HEAD=$headTree — " +
-        "the audits predate the shipped code; regenerate them " +
+    // compare the MEASURED SURFACE of the stamped trees, not the raw
+    // tree hashes: the stamp is a real git tree OID, so the gate can
+    // ask git whether any file a query can EXECUTE differs between the
+    // audit's tree and HEAD's — a gate-tooling or attribution edit
+    // must not invalidate two hours of rungs, a one-line operator edit
+    // must (see RepoStamp.measuredSurface)
+    val headSurface = RepoStamp.measuredSurface(headTree)
+    require(headSurface.isDefined, s"cannot resolve HEAD src/main tree $headTree")
+    def surfaceOf(tree: String, path: String): String =
+      RepoStamp.measuredSurface(tree).getOrElse(
+        sys.error(s"$path stamps unknown tree $tree — not an OID of this repo"))
+    require(surfaceOf(treeA, pathA) == headSurface.get &&
+        surfaceOf(treeB, pathB) == headSurface.get,
+      s"audit/HEAD measured-surface mismatch: a=$treeA b=$treeB HEAD=$headTree — " +
+        "the audits predate the shipped plans; regenerate them " +
         "(VERDICT r11 #1: stale state columns are exactly how a " +
         "post-audit recalibration ships unmeasured)")
     val a = parse(pathA)

@@ -18,10 +18,12 @@ rm -rf /tmp/verify_out
 bash tools/run_verify.sh /root/testdata/sf0.01 /tmp/verify_out 2>/tmp/verify_err.log
 python3 tools/check_oracles.py /root/testdata/sf0.01 /tmp/verify_out | tail -1
 
-# 1. full-surface shuffle+state audits at three rungs
+# 1. full-surface shuffle+state audits at three rungs. sf10/sf20 NEED
+# the bigger driver heap (r12: a 24 g sf20 run spilled g04 682 MB on
+# bit-identical bytes — heap share, not plan; 40 g reproduces r11's 0)
 run $J graft.ShuffleAudit target/sfdata/sf1  > shuffle_audit_sf1.json
-run $J graft.ShuffleAudit target/sfdata/sf10 > shuffle_audit_sf10.json
-run $J graft.ShuffleAudit target/sfdata/sf20 > shuffle_audit_sf20.json
+SPARK_DRIVER_MEM=40g run $J graft.ShuffleAudit target/sfdata/sf10 > shuffle_audit_sf10.json
+SPARK_DRIVER_MEM=40g run $J graft.ShuffleAudit target/sfdata/sf20 > shuffle_audit_sf20.json
 
 # 2. scale gates (shuffle growth + per-task state at both rungs)
 run $J graft.ScaleCheck audits shuffle_audit_sf1.json shuffle_audit_sf10.json 10 "SCALE_r${N}.json" transition
