@@ -329,13 +329,18 @@ object TextQueries {
       // lift in exact integer parts-per-million: window-pair ratios
       // are rationals that DO land on .5 rounding boundaries, where
       // engines' double round() implementations can disagree — floor
-      // division of exact integers cannot. Long headroom holds to
-      // ~sf1 (c12·10⁶·ntok < 2⁶³); beyond that drop the scale to 10⁴.
+      // division of exact integers cannot. The products run in
+      // DECIMAL(38,0): the r12 sf40-heavy rung caught the old pure-long
+      // form overflowing (c12·10⁶·ntok passes 2⁶³ once ntok ~1e8 — an
+      // ANSI ARITHMETIC_OVERFLOW kill, exactly the defect class the
+      // rung exists for). Decimal128 gives headroom past 1e30 while
+      // keeping the division exact; the result is the same BIGINT.
       pairs.join(uni.select($"w".as("w1"), $"cw".as("cw1")), Seq("w1"))
         .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
         .crossJoin(broadcast(ntok))
         .select($"w1", $"w2", $"c12",
-          expr("(c12 * 1000000 * ntok) div (cw1 * cw2)").as("lift_ppm"))
+          expr("CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000 * ntok) div " +
+            "(CAST(cw1 AS DECIMAL(38,0)) * cw2) AS BIGINT)").as("lift_ppm"))
         .orderBy($"lift_ppm".desc, $"w1", $"w2")
     }),
 
@@ -354,8 +359,12 @@ object TextQueries {
         .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
         .crossJoin(broadcast(ntok))
         .select($"w1", $"w2", $"c12",
+          // cw1·cw2 multiplies in DOUBLES (same on the oracle side):
+          // the long product overflows once ntok² passes 2⁶³ — the
+          // same cliff the r12 heavy rung caught in t23's ppm form.
+          // IEEE binary64 multiply is engine-exact, so parity holds.
           round(($"c12".cast("double") * $"ntok") /
-            ($"cw1" * $"cw2").cast("double"), 6).as("lift"))
+            ($"cw1".cast("double") * $"cw2".cast("double")), 6).as("lift"))
         .orderBy($"lift".desc, $"w1", $"w2")
     }),
 
@@ -690,7 +699,8 @@ object TextQueries {
          |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
          |  GROUP BY 1, 2 HAVING count(*) >= 30)
          |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-         |  CAST((c12 * 1000000 * nt.ntok) // (u1.cw * u2.cw) AS BIGINT)
+         |  CAST((CAST(c12 AS HUGEINT) * 1000000 * nt.ntok)
+         |       // (CAST(u1.cw AS HUGEINT) * u2.cw) AS BIGINT)
          |    AS lift_ppm
          |FROM pairs
          |JOIN uni u1 ON u1.w = w1
@@ -710,7 +720,7 @@ object TextQueries {
          |  HAVING count(*) >= 20),
          |l AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12 FROM bi)
          |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-         |  round(CAST(c12 AS DOUBLE) * ntok / CAST(u1.cw * u2.cw AS DOUBLE), 6) AS lift
+         |  round(CAST(c12 AS DOUBLE) * ntok / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE)), 6) AS lift
          |FROM l JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2 CROSS JOIN n
          |ORDER BY lift DESC, w1, w2""".stripMargin,
 
