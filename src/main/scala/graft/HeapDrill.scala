@@ -146,8 +146,12 @@ object HeapDrill {
          | "cpus": $cpus,
          | "sf_dir": "$sfDir",
          | "max_task_spill_mb": $maxSpill,
-         | "total_task_spill_mb": $totalSpill,
-         | "spill_engaged": $spillEngaged,
+         | "total_task_spill_mb": $totalSpill,${
+           // spill_engaged is only a meaningful predicate in spill
+           // mode; in standard mode it was vacuously true and read as
+           // "the spill path ran" (VERDICT r12 "what's wrong" #3)
+           if (spillMode) s"""
+         | "spill_engaged": $spillEngaged,""" else ""}
          | "all_ok": $allOk,
          |$body
          |}""".stripMargin

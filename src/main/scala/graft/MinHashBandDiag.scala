@@ -30,7 +30,7 @@ object MinHashBandDiag {
       val d = Tables.load(spark, dir, "documents")
         .select($"doc_id", $"text")
       val planted = d.filter($"doc_id" < 25)
-        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .withColumn("doc_id", $"doc_id" + graft.queries.Planted.Off)
       val corpus = d.unionByName(planted)
       val banded = graft.operators.Dedup.minHashBanded(
         corpus, "doc_id", "text", n = 3, k = 64, bands = 16, seed = 42L)

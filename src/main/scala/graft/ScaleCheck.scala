@@ -288,6 +288,16 @@ object ScaleCheck {
       // precedence over output `rows`: d13's output is linear by
       // construction while the pair relation it mines is not
       val internal = internalA.isDefined && internalB.isDefined
+      // exactly ONE side carrying internal_rows is a coverage mismatch
+      // (stale or subset artifact, or a probe-only failure upstream) —
+      // silently falling back to output rows would hand a declared
+      // super-linear query a ~linear bound and fail the gate with no
+      // visible cause (ADVICE r12). Fail loudly instead.
+      require(internal || (internalA.isEmpty && internalB.isEmpty),
+        s"$n: internal_rows present in only one audit " +
+          s"(a=${internalA.isDefined}, b=${internalB.isDefined}) — " +
+          "mismatched probe coverage; regenerate the older audit so both " +
+          "rungs carry the internal-answer column")
       val (ansA, ansB) =
         if (internal) (internalA, internalB) else (rowsA, rowsB)
       val answerRatio = (ansA, ansB) match {

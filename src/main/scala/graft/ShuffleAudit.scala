@@ -171,6 +171,21 @@ object ShuffleAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    // Planted-offset invariant (ADVICE r12): the planted-copy corpora
+    // (d04/d13/s/g/p families) shift copies to id + Planted.Off; an
+    // organic id at or past the offset silently gives those corpora
+    // two distinct rows per id and skews every measurement built on
+    // them. One cheap max() per id table, OUTSIDE the measured region.
+    for ((table, idCol) <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
+      val maxId = Option(Tables.load(spark, sfDir, table)
+        .agg(org.apache.spark.sql.functions.max(idCol)).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+      require(maxId < graft.queries.Planted.Off,
+        s"planted-offset invariant violated: max($table.$idCol) = $maxId " +
+          s">= Planted.Off (${graft.queries.Planted.Off}) — planted-copy " +
+          "ids would collide with organic ids; raise Planted.Off (and the " +
+          "oracle literals) before auditing this corpus")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     // one warm pass: codegen, file listing, memo fits. Progress goes
@@ -193,8 +208,20 @@ object ShuffleAudit {
       try {
         val m = measure(spark, fn, sfDir)
         // internal-answer probe AFTER the measured pass (never inside
-        // the listeners) — see `internalAnswer`
-        val internal = internalAnswer.get(name).map(f => f(spark, sfDir))
+        // the listeners) — see `internalAnswer`. Its OWN try (ADVICE
+        // r12): a probe-only failure must not drop the measured row —
+        // that would surface downstream as a misleading "present in
+        // only one audit" ScaleCheck error instead of naming the probe.
+        val internal = internalAnswer.get(name).flatMap { f =>
+          try Some(f(spark, sfDir))
+          catch {
+            case t: Throwable =>
+              System.err.println(s"[audit] internal-answer probe for " +
+                s"$name failed (${t.getClass.getSimpleName}): row emitted " +
+                "without internal_rows")
+              None
+          }
+        }
         Some((name, m, internal))
       } catch { case _: Throwable => None }
     }

@@ -246,7 +246,7 @@ object ZipScaleBench {
     *          [entryKb] [latencyMs]
     */
   private def latencyMain(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("ZIPBENCH_r11_latency.json")
+    val outPath = args.headOption.getOrElse("ZIPBENCH_latency.json")
     val nArchives = if (args.length > 1) args(1).toInt else 256
     val entriesPer = if (args.length > 2) args(2).toInt else 200
     val entryKb = if (args.length > 3) args(3).toInt else 24

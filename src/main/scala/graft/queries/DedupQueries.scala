@@ -23,15 +23,16 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** d13's planted corpus: embeddings plus exact copies (vec_id+1e6
-    * for vec_id<20, +2e6 for vec_id<10 — max organic vec_id is 4e5 at
-    * sf20, no collision). */
+  /** d13's planted corpus: embeddings plus exact copies
+    * (vec_id+[[Planted.Off]] for vec_id<20, +[[Planted.Off2]] for
+    * vec_id<10 — the offset clears every rung's organic ids, see
+    * [[Planted]]). */
   private def d13Corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
     def planted(offset: Long, below: Long) = e.filter($"vec_id" < below)
       .select(($"vec_id" + offset).as("vec_id"), $"embedding", $"label")
-    e.unionByName(planted(1000000L, 20)).unionByName(planted(2000000L, 10))
+    e.unionByName(planted(Planted.Off, 20)).unionByName(planted(Planted.Off2, 10))
   }
 
   /** d13's mined INTERNAL pair relation — s03's near-dup answer over
@@ -153,9 +154,9 @@ object DedupQueries {
     // one representative (min vec_id) kept per cluster. This is the
     // pipeline a semantic-dedup pass actually runs — pairs alone
     // aren't actionable until they're clusters with a keep decision.
-    // Corpus: embeddings plus planted exact copies (vec_id+1e6 for
-    // vec_id<20, vec_id+2e6 for vec_id<10 — max organic vec_id is
-    // 4e5 at sf20, no collision), making the cluster structure
+    // Corpus: embeddings plus planted exact copies (vec_id+Off for
+    // vec_id<20, vec_id+Off2 for vec_id<10 — see Planted for the
+    // collision-free offset choice), making the cluster structure
     // deterministic at every SF: organic max pairwise cosine ≈ 0.51
     // and ScaleGen's per-shard orthogonal transforms keep cross-shard
     // cosines there too, so the 10 triples + 10 pairs planted are the
@@ -173,7 +174,7 @@ object DedupQueries {
     }),
 
     // MinHash-LSH near-dup pairs over the corpus PLUS planted exact
-    // copies of the first 25 docs (doc_id + 1e6). Planted pairs have
+    // copies of the first 25 docs (doc_id + Planted.Off). Planted pairs have
     // identical shingle sets → identical signatures → all 16 bands
     // collide → recall is deterministic; the organic near-dup pairs
     // (jaccard 0.9–0.99 in this corpus) band-collide with
@@ -183,7 +184,7 @@ object DedupQueries {
       import s.implicits._
       val d = docs(s, dir)
       val planted = d.filter($"doc_id" < 25)
-        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .withColumn("doc_id", $"doc_id" + Planted.Off)
       // rehashBucketSize = 8 ≈ 8× the expected bucket occupancy
       // (avgOcc ≈ 1.07 at every rung, MinHashBandDiag): the occupancy
       // histogram shows candidate mass in b ≤ 8 buckets tracking true
@@ -238,10 +239,11 @@ object DedupQueries {
     }),
 
     // The STREAMING twin of d01/d02, under the oracle gate: drain the
-    // documents table through dropDuplicatesWithinWatermark with
-    // AvailableNow. Which representative survives a digest group
-    // depends on arrival order, so the stable output is the surviving
-    // digest SET — exactly the distinct canonical contents.
+    // documents table through the digest-keyed earliest-arrival dedup
+    // (deterministic survivor under any batch granularity — see
+    // StreamingDedup) with AvailableNow. The oracle projection stays
+    // the surviving digest SET — exactly the distinct canonical
+    // contents.
     "d06_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingJobs.dedupAvailableNow(s, dir)),
 
@@ -286,11 +288,11 @@ object DedupQueries {
     "d13_semantic_clusters" ->
       """WITH corpus AS (
         |  SELECT vec_id FROM embeddings
-        |  UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 20
-        |  UNION ALL SELECT vec_id + 2000000 FROM embeddings WHERE vec_id < 10),
+        |  UNION ALL SELECT vec_id + 1000000000000 FROM embeddings WHERE vec_id < 20
+        |  UNION ALL SELECT vec_id + 2000000000000 FROM embeddings WHERE vec_id < 10),
         |lab AS (
         |  SELECT vec_id,
-        |    CASE WHEN vec_id >= 1000000 THEN vec_id % 1000000 ELSE vec_id END AS cluster
+        |    CASE WHEN vec_id >= 1000000000000 THEN vec_id % 1000000000000 ELSE vec_id END AS cluster
         |  FROM corpus)
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |  CAST(cluster AS BIGINT) AS cluster,
@@ -482,7 +484,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+        |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id < 25),
         |toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '') AS t
         |  FROM corpus),

@@ -25,7 +25,7 @@ object GraphQueries {
   private val SqlToks =
     """list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> '')"""
 
-  // g01: the d04 planted corpus (exact copies of docs 0–24 at +1e6)
+  // g01: the d04 planted corpus (exact copies of docs 0–24 at +Planted.Off)
   // plus the organic near-dups; pair threshold matches d03.
   private val PrScale = 1000000000L
   private val PrIters = 5
@@ -74,7 +74,7 @@ object GraphQueries {
       import s.implicits._
       val d = docs(s, dir)
       val planted = d.filter($"doc_id" < 25)
-        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .withColumn("doc_id", $"doc_id" + Planted.Off)
       val corpus = d.unionByName(planted)
       // nDocs counts the MINED corpus, not the base table (ADVICE
       // r10): base + the 25 planted copies
@@ -181,7 +181,7 @@ object GraphQueries {
       import s.implicits._
       val d = docs(s, dir)
       val planted = d.filter($"doc_id" < 25)
-        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .withColumn("doc_id", $"doc_id" + Planted.Off)
       val corpus = d.unionByName(planted)
       // nDocs = mined corpus: base + 25 planted copies (ADVICE r10)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
@@ -218,8 +218,8 @@ object GraphQueries {
       import s.implicits._
       val slice = docs(s, dir).filter(expr(TriPred))
       val corpus = slice
-        .unionByName(slice.withColumn("doc_id", $"doc_id" + 1000000L))
-        .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + Planted.Off))
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + Planted.Off2))
       // nDocs bounds the mined 3x-slice union; 3x the base count is a
       // safe over-count (the slice is a subset) — an under-count could
       // broadcast a sizes frame past the gate (ADVICE r10)
@@ -233,15 +233,15 @@ object GraphQueries {
     }),
 
     // Per-vertex triangle counts over the planted-trio slice: each
-    // (doc, copy+1e6, copy+2e6) trio is a 3-clique; organic near-dups
+    // (doc, copy+Off, copy+Off2) trio is a 3-clique; organic near-dups
     // inside the slice add their own wedges. Degree-ordered
     // orientation bounds wedge generation at the low-degree corner.
     "g02_triangles" -> ((s, dir) => {
       import s.implicits._
       val slice = docs(s, dir).filter(expr(TriPred))
       val corpus = slice
-        .unionByName(slice.withColumn("doc_id", $"doc_id" + 1000000L))
-        .unionByName(slice.withColumn("doc_id", $"doc_id" + 2000000L))
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + Planted.Off))
+        .unionByName(slice.withColumn("doc_id", $"doc_id" + Planted.Off2))
       // same 3x-slice bound as g08 (ADVICE r10)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
@@ -287,7 +287,7 @@ object GraphQueries {
         """WITH corpus AS (
           |  SELECT doc_id, text FROM documents
           |  UNION ALL
-          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25)""".stripMargin
+          |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id < 25)""".stripMargin
       val graphCtes =
         s"""e2 AS (SELECT a_id AS u, b_id AS v FROM pairs
            |       UNION SELECT b_id, a_id FROM pairs),
@@ -320,7 +320,7 @@ object GraphQueries {
         """WITH corpus AS (
           |  SELECT doc_id, text FROM documents
           |  UNION ALL
-          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25)""".stripMargin
+          |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id < 25)""".stripMargin
       val graphCtes =
         """ed AS (SELECT a_id AS u, b_id AS v FROM pairs),
           |verts AS (SELECT DISTINCT u FROM (SELECT u FROM ed UNION ALL SELECT v FROM ed)),
@@ -404,9 +404,9 @@ object GraphQueries {
         s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents WHERE $TriPred
            |  UNION ALL
-           |  SELECT doc_id + 1000000, text FROM documents WHERE $TriPred
+           |  SELECT doc_id + 1000000000000, text FROM documents WHERE $TriPred
            |  UNION ALL
-           |  SELECT doc_id + 2000000, text FROM documents WHERE $TriPred)""".stripMargin
+           |  SELECT doc_id + 2000000000000, text FROM documents WHERE $TriPred)""".stripMargin
       s"""${pairsSql(corpusCte)},
          |e AS (SELECT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM pairs),
          |tri AS (
@@ -425,9 +425,9 @@ object GraphQueries {
         s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents WHERE $TriPred
            |  UNION ALL
-           |  SELECT doc_id + 1000000, text FROM documents WHERE $TriPred
+           |  SELECT doc_id + 1000000000000, text FROM documents WHERE $TriPred
            |  UNION ALL
-           |  SELECT doc_id + 2000000, text FROM documents WHERE $TriPred)""".stripMargin
+           |  SELECT doc_id + 2000000000000, text FROM documents WHERE $TriPred)""".stripMargin
       val peelCtes = (1 to 3).map { i =>
         s"""d$i AS (
            |  SELECT u, count(*) AS d FROM (

@@ -35,7 +35,7 @@ object PipelineQueries {
 
   // The benchmark slice for x01: every 40th doc starting at 7. The
   // PLANTED leaks (benchmark docs re-inserted as corpus members at
-  // doc_id + 2e6) make full containment rows deterministic, same
+  // doc_id + Planted.Off2) make full containment rows deterministic, same
   // convention as d04/d05's planted duplicates.
   private val BenchPred = "doc_id % 40 = 7"
 
@@ -108,7 +108,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val bench = d.filter(expr(BenchPred))
       val corpus = d.filter(!expr(BenchPred))
-        .unionByName(bench.withColumn("doc_id", $"doc_id" + 2000000L))
+        .unionByName(bench.withColumn("doc_id", $"doc_id" + Planted.Off2))
       Decontaminate.overlapScores(corpus, bench.select($"text"), "doc_id", "text", n = 3)
         .filter($"n_hit" > 0)
         .select($"doc_id", $"n_hit", $"n_sh", round($"overlap", 4).as("overlap"))
@@ -536,7 +536,7 @@ object PipelineQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents WHERE NOT ($BenchPred)
          |  UNION ALL
-         |  SELECT doc_id + 2000000, text FROM documents WHERE $BenchPred),
+         |  SELECT doc_id + 2000000000000, text FROM documents WHERE $BenchPred),
          |ctoks AS (SELECT doc_id, $SqlToks AS t FROM corpus),
          |csh AS (
          |  SELECT DISTINCT doc_id, shingle FROM (

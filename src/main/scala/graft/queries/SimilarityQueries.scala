@@ -35,7 +35,7 @@ object SimilarityQueries {
     }),
 
     // LSH-bucketed ANN over the corpus plus 5 planted exact copies of
-    // each query vector (ids q + m·1e6, m = 1..5). Identical vectors
+    // each query vector (ids q + m·Planted.Off, m = 1..5). Identical vectors
     // share every LSH bucket, so the copies are guaranteed candidates;
     // at cos = 1.0 (organic max pairwise ≈ 0.51) they occupy the whole
     // top-5, ranked by the neighbor_id tiebreak — deterministic and
@@ -46,7 +46,7 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val q = e.filter($"vec_id" < 8)
       val copies = (1 to 5).map(m =>
-        q.withColumn("vec_id", $"vec_id" + m * 1000000L)).reduce(_ unionByName _)
+        q.withColumn("vec_id", $"vec_id" + m * Planted.Off)).reduce(_ unionByName _)
       // bits derived from corpus size (constant expected bucket
       // occupancy → candidates ∝ corpus, same mechanism as s03); the
       // planted copies share every bucket under ANY family, so the
@@ -68,7 +68,7 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val q = e.filter($"vec_id" < 8)
       val copies = (1 to 5).map(m =>
-        q.withColumn("vec_id", $"vec_id" + m * 1000000L)).reduce(_ unionByName _)
+        q.withColumn("vec_id", $"vec_id" + m * Planted.Off)).reduce(_ unionByName _)
       Similarity.ivfTopK(e.unionByName(copies), q, "vec_id", "embedding",
           k = 5, nLists = 16, nProbe = 4, cacheKey = Some(s"$dir#s05"))
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rank")
@@ -91,7 +91,7 @@ object SimilarityQueries {
 
     // Embedding near-duplicate pairs via LSH + exact verify. The raw
     // corpus has no near-dups (max pairwise cosine ≈ 0.51), so the
-    // query plants exact duplicates of the first 20 vectors (id+1e6) —
+    // query plants exact duplicates of the first 20 vectors (id+Planted.Off) —
     // the operator must find exactly those; identical vectors share
     // every LSH bucket, so recall here is deterministic and the query
     // is oracle-checkable.
@@ -99,7 +99,7 @@ object SimilarityQueries {
       import s.implicits._
       val e = emb(s, dir)
       val planted = e.filter($"vec_id" < 20)
-        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+        .select(($"vec_id" + Planted.Off).as("vec_id"), $"embedding", $"label")
       // maxBucketSize is opt-in (capping can drop ALL pairs of a
       // duplicate cluster larger than the cap — see the operator's
       // scaladoc); this pipeline caps at 64× the derived expected
@@ -124,7 +124,7 @@ object SimilarityQueries {
       import s.implicits._
       val e = emb(s, dir)
       val planted = e.filter($"vec_id" < 20)
-        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+        .select(($"vec_id" + Planted.Off).as("vec_id"), $"embedding", $"label")
       Similarity.multiProbePairs(e.unionByName(planted), "vec_id", "embedding",
           minCosine = 0.99, dim = Dim, tables = 2,
           bits = 2 * (DerivedCaps.embBitsFor(s, dir) + 1))
@@ -397,15 +397,15 @@ object SimilarityQueries {
          |ORDER BY query_id, rank""".stripMargin
     },
 
-    // Planted-copy top-5: rank m is the copy at id q + m·1e6, cos 1.0.
+    // Planted-copy top-5: rank m is the copy at id q + m·Off, cos 1.0.
     "s02_knn_lsh" ->
-      """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,
+      """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000000000 AS neighbor_id,
         |       CAST(1.0 AS DOUBLE) AS cos, CAST(m AS BIGINT) AS rank
         |FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 6)) AS m)
         |WHERE q.vec_id < 8 ORDER BY query_id, rank""".stripMargin,
 
     "s05_knn_ivf" ->
-      """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000 AS neighbor_id,
+      """SELECT q.vec_id AS query_id, q.vec_id + m * 1000000000000 AS neighbor_id,
         |       CAST(1.0 AS DOUBLE) AS cos, CAST(m AS BIGINT) AS rank
         |FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 6)) AS m)
         |WHERE q.vec_id < 8 ORDER BY query_id, rank""".stripMargin,
@@ -434,7 +434,7 @@ object SimilarityQueries {
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "s03_embed_neardup" ->
-      """SELECT vec_id AS a_id, vec_id + 1000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
+      """SELECT vec_id AS a_id, vec_id + 1000000000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings WHERE vec_id < 20 ORDER BY a_id""".stripMargin,
 
     // same planted construction as s03: the corpus has no organic pair
@@ -442,7 +442,7 @@ object SimilarityQueries {
     // duplicates (cosine 1.0), which share every segment of every
     // table deterministically
     "s11_multiprobe_neardup" ->
-      """SELECT vec_id AS a_id, vec_id + 1000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
+      """SELECT vec_id AS a_id, vec_id + 1000000000000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings WHERE vec_id < 20 ORDER BY a_id""".stripMargin,
 
     "s01_knn_brute" ->

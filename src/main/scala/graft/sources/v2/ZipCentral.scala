@@ -21,6 +21,17 @@ object ZipCentral {
   case class Entry(name: String, offset: Long, csize: Long, usize: Long,
                    method: Int) extends Serializable
 
+  /** A parsed central directory: the entries plus the directory's own
+    * start offset. Every local header + payload (+ data descriptor)
+    * precedes `cdOffset`, so it is the exact upper bound for the LAST
+    * pack's coalesced content read — bounding at the archive tail
+    * instead would systematically over-read the whole directory
+    * (~46+ B/entry; multi-MB on large ZIP64 archives) and can push the
+    * range past the coalesce cap, silently losing coalescing
+    * (ADVICE r12). */
+  case class Directory(entries: Array[Entry], cdOffset: Long)
+      extends Serializable
+
   private val EocdSig = 0x06054b50
   private val Eocd64LocatorSig = 0x07064b50
   private val Eocd64Sig = 0x06064b50
@@ -47,7 +58,7 @@ object ZipCentral {
     * — the caller should fall back to streaming the archive whole.
     * Directory entries (trailing '/') are skipped. Encrypted or
     * non-deflate/store entries fail fast here, at planning time. */
-  def list(in: FSDataInputStream, fileLen: Long): Option[Array[Entry]] = {
+  def list(in: FSDataInputStream, fileLen: Long): Option[Directory] = {
     if (fileLen < 22) return None
     val tailLen = math.min(fileLen, MaxEocdScan.toLong).toInt
     val tailStart = fileLen - tailLen
@@ -121,7 +132,7 @@ object ZipCentral {
       q += 46 + nameLen + extraLen + commentLen
       n += 1
     }
-    if (n < entriesTotal) None else Some(out.result())
+    if (n < entriesTotal) None else Some(Directory(out.result(), cdOffset))
   }
 
   /** Read one entry's bytes: seek to the local header, skip its

@@ -97,10 +97,12 @@ object ZipEntriesSource {
 }
 
 /** Planning metadata for one archive: its central directory (None when
-  * unlocatable → streamed fallback) and its HDFS block map, gathered
-  * either on the driver or by the parallel-planning job. */
+  * unlocatable → streamed fallback), the directory's start offset
+  * (bounds the last pack's coalesced read — see
+  * [[ZipCentral.Directory]]), and its HDFS block map, gathered either
+  * on the driver or by the parallel-planning job. */
 private[v2] case class ArchiveMeta(path: String, len: Long,
-    entries: Option[Vector[ZipCentral.Entry]],
+    entries: Option[Vector[ZipCentral.Entry]], cdOffset: Long,
     blocks: Vector[(Long, Long, Vector[String])])
 
 private[v2] object ZipPlanning {
@@ -123,7 +125,9 @@ private[v2] object ZipPlanning {
       try fs.getFileBlockLocations(st, 0, math.max(st.getLen, 1))
         .map(b => (b.getOffset, b.getLength, b.getHosts.toVector)).toVector
       catch { case _: Exception => Vector.empty[(Long, Long, Vector[String])] }
-    ArchiveMeta(st.getPath.toString, st.getLen, central.map(_.toVector), blocks)
+    ArchiveMeta(st.getPath.toString, st.getLen,
+      central.map(_.entries.toVector),
+      central.map(_.cdOffset).getOrElse(st.getLen), blocks)
   }
 
   /** Hosts of the blocks overlapping `[start, start+len)`. */
@@ -242,14 +246,16 @@ class ZipScan(options: Map[String, String], required: StructType)
             val end = es.map(e => e.offset + e.csize).max
             // coalesced-read bound: this pack's bytes end where the
             // next pack's first LOCAL header begins (local headers
-            // precede their payloads), or at the archive tail for the
-            // last pack (the central directory after the final payload
-            // is a negligible over-read). Exact when entries are laid
-            // out in offset order — the reader verifies per entry and
-            // falls back to positioned reads otherwise.
+            // precede their payloads), or at the CENTRAL DIRECTORY
+            // start for the last pack — every payload precedes it, and
+            // bounding at the archive tail instead would over-read the
+            // whole directory per archive (ADVICE r12). Exact when
+            // entries are laid out in offset order — the reader
+            // verifies per entry and falls back to positioned reads
+            // otherwise.
             val rangeEnd =
               if (i + 1 < packs.length) math.max(packs(i + 1).head.offset, end)
-              else m.len
+              else math.min(math.max(m.cdOffset, end), m.len)
             ZipSlicePartition(m.path, es.toArray,
               ZipPlanning.hosts(m, start, end - start), rangeEnd): InputPartition
           }
@@ -343,7 +349,11 @@ class ZipSliceReader(path: String, entries: Array[ZipCentral.Entry],
     if (!bufFetched) {
       bufFetched = true
       val len = rangeEnd - bufBase
-      if (coalesced && len > 0 && len <= coalesceCap) {
+      // the Int.MaxValue clamp guards the JVM array bound: a user-set
+      // maxBytesPerSplit near 1 GB pushes coalesceCap (2x + 64 MB)
+      // past Int.MaxValue, where len.toInt would wrap (ADVICE r12);
+      // oversized ranges fall back to positioned per-entry reads
+      if (coalesced && len > 0 && len <= math.min(coalesceCap, Int.MaxValue.toLong)) {
         simRtt()
         val b = new Array[Byte](len.toInt)
         stream.readFully(bufBase, b)

@@ -314,12 +314,13 @@ object StreamingJobs {
   }
 
   /** Streaming exact dedup of the documents table, drained with
-    * AvailableNow. `dropDuplicatesWithinWatermark` keeps the FIRST
-    * arrival per digest and arrival order is partition-dependent, so
-    * the oracle-stable projection is the set of surviving content
-    * digests — exactly one per distinct canonical content, whichever
-    * representative won. No sentinel needed: dedup emits survivors
-    * immediately (the watermark only expires state). */
+    * AvailableNow. The operator keeps the EARLIEST event-time arrival
+    * per digest (tie → doc_id — deterministic under any micro-batch
+    * granularity since r13, see [[StreamingDedup]]); the oracle-stable
+    * projection remains the set of surviving content digests —
+    * exactly one per distinct canonical content. No sentinel needed:
+    * dedup emits survivors immediately (the watermark only expires
+    * state). */
   def dedupAvailableNow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = drained(s, "d06", dir, Seq("documents"), "") { _ =>
@@ -327,11 +328,13 @@ object StreamingJobs {
       if (docs.isEmpty) None
       else {
         val stream = tableStream(s, dir, "documents")
-          // synthetic deterministic event time; +1s keeps doc 0 above
-          // the initial watermark (t=0 events are dropped against it)
+          // synthetic deterministic event time (+1s is a holdover from
+          // the dropDuplicatesWithinWatermark path, which dropped t=0
+          // rows against the initial watermark; harmless now)
           .withColumn("ts_micro", timestamp_micros($"doc_id" + 1000000L))
         val survivors = graft.streaming.StreamingDedup
-          .dedupByContent(stream, "text", "ts_micro")
+          .dedupByContent(stream, "text", "ts_micro",
+            tieBreakCol = Some("doc_id"))
         Some(parquetSink(survivors.drop("ts_micro")))
       }
     }

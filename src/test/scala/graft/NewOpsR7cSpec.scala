@@ -42,12 +42,12 @@ class NewOpsR7cSpec extends SparkSpec {
     val rows = SparkEntry.queries("g06_hits")(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val byId = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // planted edge (orig → copy at +1e6) orients a<b, so each COPY is
+    // planted edge (orig → copy at +Planted.Off) orients a<b, so each COPY is
     // an authority fed by its original (a hub); both must be nonzero
-    val copies = byId.keys.filter(_ >= 1000000L)
+    val copies = byId.keys.filter(_ >= graft.queries.Planted.Off)
     assert(copies.nonEmpty)
     assert(copies.exists(c => byId(c)._1 > 0L), "no copy gained authority")
-    assert(copies.map(_ - 1000000L).exists(o => byId(o)._2 > 0L),
+    assert(copies.map(_ - graft.queries.Planted.Off).exists(o => byId(o)._2 > 0L),
       "no original gained hub mass")
   }
 

@@ -62,8 +62,8 @@ class NewOpsR7fSpec extends SparkSpec {
       .filter(expr("doc_id % 20 = 1")).select($"doc_id").as[Long].collect()
     assert(sliceIds.nonEmpty)
     sliceIds.foreach { id =>
-      assert(got.contains(id) && got.contains(id + 1000000L) &&
-        got.contains(id + 2000000L), s"trio of $id missing from 2-core")
+      assert(got.contains(id) && got.contains(id + graft.queries.Planted.Off) &&
+        got.contains(id + graft.queries.Planted.Off2), s"trio of $id missing from 2-core")
     }
   }
 }

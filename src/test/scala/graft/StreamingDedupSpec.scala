@@ -38,9 +38,13 @@ class StreamingDedupSpec extends SparkSpec {
 
     val survivors = spark.table("dedup_test")
       .select($"doc_id").as[Long].collect().toSet
-    // 1-or-2 (same content) → one survives; 3 survives; 5 duplicates 3
-    // cross-batch → dropped; 4 and 6 unique → survive
-    assert(survivors.intersect(Set(1L, 2L)).size == 1)
+    // doc 1 beats its IN-BATCH duplicate doc 2 deterministically (the
+    // keep is min event time, not encounter order — the r13 contract
+    // that makes the survivor independent of batch granularity);
+    // 3 survives; 5 duplicates 3 cross-batch → dropped; 4 and 6
+    // unique → survive
+    assert(survivors.contains(1L) && !survivors.contains(2L),
+      s"in-batch keep must be the earliest event time (got $survivors)")
     assert(survivors.contains(3L) && survivors.contains(4L) && survivors.contains(6L))
     assert(!survivors.contains(5L))
 

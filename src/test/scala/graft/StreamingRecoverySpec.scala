@@ -220,11 +220,15 @@ class StreamingRecoverySpec extends SparkSpec {
   }
 
   /** KV-with-eviction state shape (VERDICT r09 #4): first-arrival
-    * dedup (d06's operator — dropDuplicatesWithinWatermark) keys state
-    * by content digest. Duplicates never share a slice with their
-    * first representative and the batch schedule is pinned, so the
-    * survivor set is fully deterministic; the restart must restore the
-    * seen-digest store or a post-kill duplicate would re-emit. */
+    * dedup (d06's operator) keys state by content digest and keeps the
+    * EARLIEST event-time arrival, so the survivor set is deterministic
+    * even when a restart re-plans the killed batch and COALESCES two
+    * source files into one micro-batch — the exact failure r12's flake
+    * exposed (the torn `offsets/b` entry made the restarted batch span
+    * two slices, and the old dropDuplicatesWithinWatermark path kept
+    * an arbitrary in-batch row; DedupRecoveryLoop reproduced it 15/100
+    * before the r13 operator fix, 0 after). The restart must restore
+    * the seen-digest store or a post-kill duplicate would re-emit. */
   test("streaming first-arrival dedup: kill + restart equals uninterrupted run") {
     val root = Files.createTempDirectory("graft-dedup-recovery").toString
     val SecUs = 1000000L
@@ -248,7 +252,8 @@ class StreamingRecoverySpec extends SparkSpec {
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir)
           .withColumn("tsc", timestamp_micros($"tus"))
-        graft.streaming.StreamingDedup.dedupByContent(stream, "text", "tsc")
+        graft.streaming.StreamingDedup.dedupByContent(stream, "text", "tsc",
+            tieBreakCol = Some("doc_id"))
           .select($"doc_id", $"text")
           .writeStream.format("parquet")
           .option("checkpointLocation", ckpt).option("path", out)

@@ -116,6 +116,32 @@ class ZipSourceV2Spec extends SparkSpec {
     assert(parts.forall(_.preferredLocations().contains("localhost")))
   }
 
+  test("last pack's coalesced range ends at the central directory, not the archive tail") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.v2.{ZipCentral, ZipSlicePartition}
+    val z = writeZip(dir, "cdbound.zip",
+      (1 to 6).map(i => (s"p$i.txt", s"payload $i " * 10)): _*)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(z))
+    val hp = new org.apache.hadoop.fs.Path(z)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    val cd = try ZipCentral.list(in, bytes.length.toLong).get.cdOffset finally in.close()
+    assert(cd > 0 && cd < bytes.length,
+      s"fixture central directory should sit inside the archive (cd=$cd len=${bytes.length})")
+    val df = spark.read.format("zip-entries").option("maxBytesPerSplit", "60").load(z)
+    val scan = df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    val slices = scan.inputPartitions.collect { case p: ZipSlicePartition => p }
+    assert(slices.size > 1, "fixture should plan multiple packs")
+    // every pack's range stops before the central directory (ADVICE
+    // r12: the old tail bound over-read the whole directory on the
+    // last pack), and the content still reads back whole
+    assert(slices.map(_.rangeEnd).max == cd,
+      s"last pack should end at the central directory ($cd), got ${slices.map(_.rangeEnd).max}")
+    val rows = df.select($"entry_name", $"content".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(rows.size == 6 && rows("p3.txt") == "payload 3 " * 10)
+  }
+
   test("multi-path load reads every archive once") {
     val df = spark.read.format("zip-entries").load(zipA, zipB)
     assert(df.count() == 3)
@@ -219,7 +245,7 @@ class ZipSourceV2Spec extends SparkSpec {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(hp)
-    val entries = try ZipCentral.list(in, bytes.length.toLong).get finally in.close()
+    val entries = try ZipCentral.list(in, bytes.length.toLong).get.entries finally in.close()
     val b = entries.find(_.name == "b.txt").get
     // full buffer covers everything
     assert(ZipCentral.readEntryFrom(bytes, 0L, b)

@@ -75,6 +75,19 @@ open('shuffle_audit_sf20_heavy.json', 'w').write(json.dumps(sub))
 PY
 run $J graft.ScaleCheck audits shuffle_audit_sf20_heavy.json shuffle_audit_sf40_heavy.json 2 "SCALE_r${N}_sf40_heavy.json" postcap
 
+# 2e. sf80 HEAVY rung (VERDICT r12 #8): one more doubling for the
+# heavy non-mining family — x08 sat at 320 MB task state (63% of
+# budget) at sf40 and g03's 12.6 GB task-view shuffle deserves one
+# more datapoint. Same query set as 2d, so the two audits compare
+# directly (no subset step). `answers` mode = postcap strictness plus
+# the answer-indexed allowance both audits' rows columns carry.
+[ -f target/sfdata/sf80/lineitem.parquet/_SUCCESS ] || \
+  run $J graft.ScaleGen target/sfdata/sf40 target/sfdata/sf80 2 \
+    orders,lineitem,customer,supplier,part,nation,region,events
+SPARK_DRIVER_MEM=64g run $J graft.ShuffleAudit target/sfdata/sf80 $HEAVY \
+  > shuffle_audit_sf80_heavy.json
+run $J graft.ScaleCheck audits shuffle_audit_sf40_heavy.json shuffle_audit_sf80_heavy.json 2 "SCALE_r${N}_sf80_heavy.json" answers
+
 # 3. skew-stress rung (fixed volume, Zipf-sharpened key heads)
 [ -d target/sfdata/sf10skew ] || run $J graft.ScaleGen target/sfdata/sf10 target/sfdata/sf10skew 1 all skew
 run $J graft.SkewDrill target/sfdata/sf10 target/sfdata/sf10skew "SKEW_r${N}.json"
@@ -107,6 +120,12 @@ run $J graft.StateAudit /root/testdata/sf0.1 target/sfdata/vol10 1.5 "STATE_r${N
 run $J graft.ZipScaleBench "ZIPBENCH_r${N}.json"
 run $J graft.ZipScaleBench multi "ZIPBENCH_r${N}_multi.json"
 run $J graft.ZipScaleBench latency "ZIPBENCH_r${N}_latency.json"
+
+# 7. regenerate README's gate table from the artifacts just written —
+# the "last run" column is DERIVED from the filesystem, never typed
+# (VERDICT r12: the hand-maintained column claimed runs that never
+# happened; GateTableSpec fails `sbt test` if this drifts)
+python3 tools/gate_table.py || FAIL+=("gate_table.py")
 
 echo "[gates] done; failures: ${#FAIL[@]}"
 for f in "${FAIL[@]:-}"; do [ -n "$f" ] && echo "[gates] FAILED: $f"; done
