@@ -38,6 +38,15 @@ SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 \
   run $J graft.HeapDrill spill target/sfdata/sf20 "MEMBOUND_r${N}_spill.json" \
   "MEMBOUND_r${N}.json" $HEAP_Q
 
+# --- BENCH_sf1 refresh on HEAD (VERDICT r12 #5): the pin's sf1
+# justification was one round stale. graft.Bench side-writes
+# bench_out.json in cwd (driver owns it) — save/restore around it ----
+cp bench_out.json /tmp/bench_out_driver_save.json
+SPARK_GRAFT_SF_DIR=target/sfdata/sf1 SPARK_GRAFT_CPUS=32 \
+  run $J graft.Bench
+head -1 bench_out.json > BENCH_sf1.json
+cp /tmp/bench_out_driver_save.json bench_out.json
+
 # --- the scale ladder (planted-offset fix touched the measured surface,
 # so every rung re-runs on HEAD; provenance gate enforces it) --------
 run $J graft.ShuffleAudit target/sfdata/sf1  > shuffle_audit_sf1.json
