@@ -65,24 +65,37 @@ object ShuffleAudit {
   private final class TaskTotals extends SparkListener {
     val shuffleWrite = new AtomicLong
     val spill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val maxTaskDiskSpill = new AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        // `spill` keeps the historical mem+disk sum (both views of the
+        // same spilled data — a DOUBLE COUNT, kept for artifact
+        // continuity); `diskSpill` is the actual I/O written, the
+        // number a degradation bound should be stated in (the r13
+        // spill drill's first execution showed the summed view
+        // tripping an 8 GB cap at ~2.2 GB of real disk writes)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        maxTaskDiskSpill.getAndAccumulate(m.diskBytesSpilled,
+          (a: Long, b: Long) => math.max(a, b))
         ()
       }
     }
+    private def snap() =
+      (shuffleWrite.get, spill.get, diskSpill.get, maxTaskDiskSpill.get)
     /** Event delivery is async; the action returning does not mean the
       * bus has drained. Settle = counters unchanged for two polls. */
-    def settled(): (Long, Long) = {
-      var prev = (-1L, -1L)
-      var cur = (shuffleWrite.get, spill.get)
+    def settled(): (Long, Long, Long, Long) = {
+      var prev = (-1L, -1L, -1L, -1L)
+      var cur = snap()
       var waited = 0
       while (cur != prev && waited < 2000) {
         Thread.sleep(100); waited += 100
         prev = cur
-        cur = (shuffleWrite.get, spill.get)
+        cur = snap()
       }
       cur
     }
@@ -118,6 +131,7 @@ object ShuffleAudit {
     * micro-batches, subqueries — which the plan view cannot see. */
   private[graft] final case class Measured(wallSec: Double, shuffleMb: Double,
       spillMb: Double, taskShuffleMb: Double, taskSpillMb: Double,
+      taskDiskSpillMb: Double, maxTaskDiskSpillMb: Double,
       maxTaskPeakMb: Double, maxProjectedMb: Double, rows: Long)
 
   private[graft] def measure(spark: SparkSession,
@@ -140,11 +154,11 @@ object ShuffleAudit {
       val outRows = df.queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val nodes = flatten(df.queryExecution.executedPlan)
-      val (tw, ts) = totals.settled()
+      val (tw, ts, td, mx) = totals.settled()
       val stats = MemAudit.statsFrom(acc, df.queryExecution.executedPlan)
       Measured(math.round(wall * 1000) / 1000.0,
         mb(sumMetric(nodes, "shuffleBytesWritten")),
-        mb(sumMetric(nodes, "spillSize")), mb(tw), mb(ts),
+        mb(sumMetric(nodes, "spillSize")), mb(tw), mb(ts), mb(td), mb(mx),
         stats.map(_.maxTaskPeakMb).maxOption.getOrElse(0.0),
         stats.flatMap(_.projectedMb).maxOption.getOrElse(0.0), outRows)
     } finally {
