@@ -94,15 +94,33 @@ object Decontaminate {
     * vocabulary). The pair join is the d03-style inverted index at
     * group granularity: cost ∝ Σ_shingle df², with df bounded by the
     * number of GROUPS — and `maxDf` caps ubiquitous-boilerplate
-    * shingles when the group space is large (per-domain runs). */
+    * shingles when the group space is large (per-domain runs).
+    *
+    * `parts` sizes the one wide exchange (hash on shingle) from a
+    * caller-side cost model; 0 leaves it to the session default. The
+    * default is NOT scale-safe: the vocabulary-sized distinct-pair
+    * frame grows with the corpus while `spark.sql.shuffle.partitions`
+    * does not, so the self-join's per-task sort state grows unbounded
+    * (the r13 sf80 rung measured 448 MB peak state and 19.6 GB of
+    * task spill at 32 partitions; sized by corpus token count the
+    * same corpus runs at ~tens of MB per task, zero spill). With
+    * `parts` set the dedup to distinct pairs ALSO rides that one
+    * exchange: HashPartitioning(shingle) satisfies the distinct's
+    * ClusteredDistribution(group, shingle) — shingle is a subset of
+    * the grouping key, so every copy of a pair is already co-located
+    * — and the planner fuses the dedup into the post-exchange stage,
+    * replacing the default path's two wide exchanges (distinct, then
+    * repartition) with one. */
   def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
-                    n: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = docs
+                    n: Int = 3, maxDf: Int = Int.MaxValue,
+                    parts: Int = 0): DataFrame = {
+    val raw = docs
       .select(col(groupCol).as("_g"),
         explode(array_distinct(ngrams(tokenize(col(textCol)), n))).as("shingle"))
-      .distinct()
       .filter(col("_g").isNotNull && col("shingle").isNotNull)
-      .repartition(col("shingle"))
+    val sh =
+      if (parts > 0) raw.repartition(parts, col("shingle")).distinct()
+      else raw.distinct().repartition(col("shingle"))
     // the cap is opt-in (d03 convention): at the default there is
     // nothing to drop, so skip the df aggregation + anti-join pass
     // entirely instead of paying it against a provably-empty hot set

@@ -119,21 +119,30 @@ object AdvancedQueries {
     // growth is span/step per key — explicit and budgetable at 100 TB.
     "a14_gap_fill" -> ((s, dir) => {
       import s.implicits._
+      // Both exchanges are pinned at the derived grid-row count
+      // (~1M grid rows per task; REPARTITION_BY_NUM — AQE's coalescer
+      // skips it), because BOTH stages' real cost is the GRID, which
+      // AQE cannot see from either exchange's bytes:
+      //  - the output-grid range sort: grid rows compress ~10x, so
+      //    byte-based coalescing packs ~10x more sort state per task
+      //    than it sees (2.6 GB spill at sf20);
+      //  - the carry-window hash exchange: its map output is the
+      //    SAMPLES (small), but each window task then EMITS its keys'
+      //    whole grid slice into the range exchange's shuffle write —
+      //    sized by samples, ~30 window tasks at sf80 each buffered
+      //    ~25M grid rows of sorter pages (27.5 GB of task spill);
+      //    sized by the grid, each map task emits ~1M rows and the
+      //    write stays in memory at any SF.
+      val parts = DerivedCaps.gapFillGridPartsFor(s, dir, 3600000000L)
       val v = ev(s, dir).filter($"event_type" === "view")
         .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"value")
-      // The output-grid sort is the one exchange AQE mis-sizes here:
-      // grid rows compress ~10x, so byte-based coalescing packs ~10x
-      // more sort state per task than it sees (2.6 GB spill at sf20).
-      // The grid size is exact from per-key bounds, so the planner
-      // pins the range exchange at ~1M rows/task (REPARTITION_BY_NUM
-      // — AQE's coalescer skips it); range partitions read back in
-      // order, so the total output order is orderBy's.
+        .repartition(parts, $"user_id")
+      // range partitions read back in order, so the total output
+      // order is orderBy's.
       graft.operators.TimeSeries.gapFill(v, Seq("user_id"),
           timeCol = "tus", valueCol = "value", stepUs = 3600000000L,
           tieBreak = Seq("event_id"))
-        .repartitionByRange(
-          DerivedCaps.gapFillGridPartsFor(s, dir, 3600000000L),
-          $"user_id", $"grid_tus")
+        .repartitionByRange(parts, $"user_id", $"grid_tus")
         .sortWithinPartitions($"user_id", $"grid_tus")
     }),
 

@@ -225,10 +225,17 @@ object PipelineQueries {
 
     // Cross-source overlap matrix: distinct shared trigrams and
     // small-side containment per source pair — the corpus-level
-    // mirror/subset diagnostic upstream of doc-level dedup.
+    // mirror/subset diagnostic upstream of doc-level dedup. The one
+    // wide exchange (hash on shingle: distinct-pair dedup + self-join
+    // ride it together) is sized from the corpus token count — the
+    // shingle frame is vocabulary-scale, which the session's fixed
+    // shuffle parallelism cannot track (at 32 partitions the sf80
+    // rung sorted ~5M string rows per task: 448 MB state, 19.6 GB
+    // spill; same corpus under the derived count: zero spill).
     "x08_source_overlap" -> ((s, dir) => {
       import s.implicits._
-      Decontaminate.sourceOverlap(docs(s, dir), "source", "text", n = 3)
+      Decontaminate.sourceOverlap(docs(s, dir), "source", "text", n = 3,
+          parts = DerivedCaps.gramPartsFor(s, dir))
         .select($"source_a", $"source_b", $"n_shared",
           round($"containment", 4).as("containment"))
         .orderBy($"source_a", $"source_b")

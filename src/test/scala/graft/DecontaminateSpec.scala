@@ -72,6 +72,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("sourceOverlap: pinned-exchange path (parts > 0) equals the default path") {
+    // the sized path reorders the dedup (partition-local under the
+    // shingle hash) and drops an exchange — the ANSWER must be
+    // bit-identical on a corpus with real cross-source overlap,
+    // including under maxDf
+    val d = docs.withColumn("source",
+      concat(lit("s"), ($"doc_id" % 7).cast("string")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"source_a", $"source_b", $"n_shared", round($"containment", 9))
+        .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val base = canon(Decontaminate.sourceOverlap(d, "source", "text", n = 3))
+    val pinned = canon(Decontaminate.sourceOverlap(d, "source", "text", n = 3,
+      parts = 7))
+    assert(base.nonEmpty, "corpus produced no overlapping source pairs")
+    assert(pinned === base)
+    val baseCap = canon(Decontaminate.sourceOverlap(d, "source", "text", n = 3,
+      maxDf = 3))
+    val pinnedCap = canon(Decontaminate.sourceOverlap(d, "source", "text", n = 3,
+      maxDf = 3, parts = 5))
+    assert(pinnedCap === baseCap)
+  }
+
   test("short documents (no shingles) are absent from scores and kept by clean()") {
     val tiny = Seq((1L, "only two"), (2L, "a much longer document with many tokens inside"))
       .toDF("doc_id", "text")

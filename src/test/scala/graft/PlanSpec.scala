@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "grid must be generated map-side")
   }
 
+  test("x08: the vocabulary-scale shingle frame shuffles ONCE, pinned; all consumers reuse it") {
+    // the r13 sf80 rung measured the unpinned shape at 448 MB task
+    // state / 19.6 GB spill — the fix is one REPARTITION_BY_NUM hash
+    // exchange on shingle that the distinct, BOTH self-join sides,
+    // and the sizes aggregation all ride (executed plan: the b-side
+    // and sizes branches must be ReusedExchange, not re-shuffles)
+    val df = SparkEntry.queries("x08_source_overlap")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM"), "shingle exchange not pinned:\n" + p.take(800))
+    assert("ReusedExchange".r.findAllIn(p).length >= 2,
+      "a consumer re-shuffled the gram frame instead of reusing it:\n" + p.take(1200))
+  }
+
   test("g01/g02: graph queries stay equi-join only over checkpointed edge lists") {
     for (q <- Seq("g01_pagerank", "g02_triangles")) {
       val p = plan(q)
