@@ -12,6 +12,13 @@ N=13
 J=tools/jrun.sh
 FAIL=()
 run() { echo "[r13b] $(date +%H:%M:%S) $*" >&2; "$@" || FAIL+=("$1 $2 $3"); }
+# Hardened post-ADVICE r13: audits write to a temp file and mv into
+# place only on success — `run ... > out` truncated out before the
+# JVM started, which is how a 0-byte sf80_heavy audit reached HEAD.
+runj() { local out=$1; shift
+  echo "[r13b] $(date +%H:%M:%S) $* > $out" >&2
+  if "$@" > "$out.tmp"; then mv "$out.tmp" "$out"; else
+    rm -f "$out.tmp"; FAIL+=("$out"); return 1; fi; }
 
 # skew + heap drills (a14/x08 are in neither HEAP_Q nor skew's set,
 # but the artifacts stamp the whole measured surface — refresh them)
@@ -28,17 +35,17 @@ SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 \
   "MEMBOUND_r${N}.json" $HEAP_Q
 
 # full-surface ladder on new HEAD
-run $J graft.ShuffleAudit target/sfdata/sf1  > shuffle_audit_sf1.json
-SPARK_DRIVER_MEM=40g run $J graft.ShuffleAudit target/sfdata/sf10 > shuffle_audit_sf10.json
-SPARK_DRIVER_MEM=40g run $J graft.ShuffleAudit target/sfdata/sf20 > shuffle_audit_sf20.json
+runj shuffle_audit_sf1.json $J graft.ShuffleAudit target/sfdata/sf1
+SPARK_DRIVER_MEM=40g runj shuffle_audit_sf10.json $J graft.ShuffleAudit target/sfdata/sf10
+SPARK_DRIVER_MEM=40g runj shuffle_audit_sf20.json $J graft.ShuffleAudit target/sfdata/sf20
 run $J graft.ScaleCheck audits shuffle_audit_sf1.json shuffle_audit_sf10.json 10 "SCALE_r${N}.json" transition
 run $J graft.ScaleCheck audits shuffle_audit_sf10.json shuffle_audit_sf20.json 2 "SCALE_r${N}_postcap.json" postcap
 
 # mining rungs: sf40 residue + sf80 answers
 MINING="d03_ngram_jaccard d04_minhash_lsh d13_semantic_clusters \
 s03_embed_neardup s11_multiprobe_neardup"
-SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf40 $MINING > shuffle_audit_sf40.json
-python3 - <<'PY'
+SPARK_DRIVER_MEM=48g runj shuffle_audit_sf40.json $J graft.ShuffleAudit target/sfdata/sf40 $MINING
+python3 - <<'PY' || FAIL+=("subset step" "" "")
 import json
 full = json.load(open('shuffle_audit_sf20.json'))
 sub = {k: full[k] for k in json.load(open('shuffle_audit_sf40.json')) if not k.startswith('_')}
@@ -46,17 +53,15 @@ sub['_meta'] = full['_meta']
 open('shuffle_audit_sf20_residue.json', 'w').write(json.dumps(sub))
 PY
 run $J graft.ScaleCheck audits shuffle_audit_sf20_residue.json shuffle_audit_sf40.json 2 "SCALE_r${N}_sf40.json" postcap
-SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf80 $MINING \
-  > shuffle_audit_sf80.json
+SPARK_DRIVER_MEM=48g runj shuffle_audit_sf80.json $J graft.ShuffleAudit target/sfdata/sf80 $MINING
 run $J graft.ScaleCheck audits shuffle_audit_sf40.json shuffle_audit_sf80.json 2 "SCALE_r${N}_sf80.json" answers
 
 # sf40 heavy (full 10)
 HEAVY="g01_pagerank g03_bfs_reach a14_gap_fill q21_join5 p01_curate \
 d12_repeated_spans q30_table_profile t23_window_pmi x08_source_overlap \
 d07_dup_components"
-SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf40 $HEAVY \
-  > shuffle_audit_sf40_heavy.json
-python3 - <<'PY'
+SPARK_DRIVER_MEM=48g runj shuffle_audit_sf40_heavy.json $J graft.ShuffleAudit target/sfdata/sf40 $HEAVY
+python3 - <<'PY' || FAIL+=("subset step" "" "")
 import json
 full = json.load(open('shuffle_audit_sf20.json'))
 sub = {k: full[k] for k in json.load(open('shuffle_audit_sf40_heavy.json')) if not k.startswith('_')}
@@ -69,9 +74,8 @@ run $J graft.ScaleCheck audits shuffle_audit_sf20_heavy.json shuffle_audit_sf40_
 # the fixed a14/x08 (the r13a run spilled 27.5/19.6 GB here and the
 # disk-fill aborted g03/q21)
 HEAVY80="g03_bfs_reach a14_gap_fill q21_join5 x08_source_overlap"
-SPARK_DRIVER_MEM=64g run $J graft.ShuffleAudit target/sfdata/sf80 $HEAVY80 \
-  > shuffle_audit_sf80_heavy.json
-python3 - <<'PY'
+SPARK_DRIVER_MEM=64g runj shuffle_audit_sf80_heavy.json $J graft.ShuffleAudit target/sfdata/sf80 $HEAVY80
+python3 - <<'PY' || FAIL+=("subset step" "" "")
 import json
 full = json.load(open('shuffle_audit_sf40_heavy.json'))
 sub = {k: full[k] for k in json.load(open('shuffle_audit_sf80_heavy.json')) if not k.startswith('_')}

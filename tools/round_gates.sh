@@ -1,7 +1,7 @@
 #!/bin/bash
 # The full round-N gate set, in dependency order — every artifact in
 # README.md's "round gate set" table, regenerated on current code.
-# Usage: tools/round_gates.sh <N>     (e.g. 11)
+# Usage: tools/round_gates.sh <N>     (e.g. 14)
 # Runs STRICTLY SERIALLY: two concurrent Spark JVMs corrupt timing
 # and ContextCleaner settling. Individual gate failures don't stop
 # the run (each artifact records its own all_ok); the summary at the
@@ -11,7 +11,31 @@ cd "$(dirname "$0")/.."
 N="${1:?usage: round_gates.sh <round number>}"
 J=tools/jrun.sh
 FAIL=()
-run() { echo "[gates] $*" >&2; "$@" || FAIL+=("$1 $2"); }
+run() { echo "[gates] $(date +%H:%M:%S) $*" >&2; "$@" || FAIL+=("$1 $2"); }
+# Audit-producing runs write to a temp file and mv into place only on
+# success: `run ... > out` truncates out before the JVM starts, so a
+# failed or interrupted audit leaves an empty/stale JSON that the
+# downstream subset/ScaleCheck steps silently consume (ADVICE r13 —
+# the mechanism that committed a 0-byte sf80_heavy audit).
+runj() { local out=$1; shift
+  echo "[gates] $(date +%H:%M:%S) $* > $out" >&2
+  if "$@" > "$out.tmp"; then mv "$out.tmp" "$out"; else
+    rm -f "$out.tmp"; FAIL+=("$out"); return 1; fi; }
+# Subset audit A to the queries audit B covers (carrying _meta), so
+# the two ScaleCheck sides compare the same set. Guarded like runj:
+# a failure records itself instead of leaving downstream consumers a
+# stale file.
+subset() { python3 - "$1" "$2" "$3" <<'PY' || FAIL+=("subset $3")
+import json, sys
+full = json.load(open(sys.argv[1]))
+names = [k for k in json.load(open(sys.argv[2])) if not k.startswith('_')]
+missing = [n for n in names if n not in full]
+assert not missing, f'{sys.argv[1]} lacks {missing}'
+sub = {k: full[k] for k in names}
+sub['_meta'] = full['_meta']
+open(sys.argv[3], 'w').write(json.dumps(sub))
+PY
+}
 
 # 0. correctness (the driver also runs this; here for self-service)
 rm -rf /tmp/verify_out
@@ -21,9 +45,9 @@ python3 tools/check_oracles.py /root/testdata/sf0.01 /tmp/verify_out | tail -1
 # 1. full-surface shuffle+state audits at three rungs. sf10/sf20 NEED
 # the bigger driver heap (r12: a 24 g sf20 run spilled g04 682 MB on
 # bit-identical bytes — heap share, not plan; 40 g reproduces r11's 0)
-run $J graft.ShuffleAudit target/sfdata/sf1  > shuffle_audit_sf1.json
-SPARK_DRIVER_MEM=40g run $J graft.ShuffleAudit target/sfdata/sf10 > shuffle_audit_sf10.json
-SPARK_DRIVER_MEM=40g run $J graft.ShuffleAudit target/sfdata/sf20 > shuffle_audit_sf20.json
+runj shuffle_audit_sf1.json $J graft.ShuffleAudit target/sfdata/sf1
+SPARK_DRIVER_MEM=40g runj shuffle_audit_sf10.json $J graft.ShuffleAudit target/sfdata/sf10
+SPARK_DRIVER_MEM=40g runj shuffle_audit_sf20.json $J graft.ShuffleAudit target/sfdata/sf20
 
 # 2. scale gates (shuffle growth + per-task state at both rungs)
 run $J graft.ScaleCheck audits shuffle_audit_sf1.json shuffle_audit_sf10.json 10 "SCALE_r${N}.json" transition
@@ -33,14 +57,10 @@ run $J graft.ScaleCheck audits shuffle_audit_sf10.json shuffle_audit_sf20.json 2
 # (documents+embeddings only — the tables the family reads)
 [ -f target/sfdata/sf40/embeddings.parquet/_SUCCESS ] || \
   run $J graft.ScaleGen target/sfdata/sf20 target/sfdata/sf40 2 documents,embeddings
-run $J graft.ShuffleAudit target/sfdata/sf40 d03_ngram_jaccard d04_minhash_lsh \
-  d13_semantic_clusters s03_embed_neardup s11_multiprobe_neardup > shuffle_audit_sf40.json
-python3 - <<'PY'
-import json
-full = json.load(open('shuffle_audit_sf20.json'))
-sub = {k: full[k] for k in json.load(open('shuffle_audit_sf40.json'))}
-open('shuffle_audit_sf20_residue.json', 'w').write(json.dumps(sub))
-PY
+MINING="d03_ngram_jaccard d04_minhash_lsh d13_semantic_clusters \
+s03_embed_neardup s11_multiprobe_neardup"
+SPARK_DRIVER_MEM=48g runj shuffle_audit_sf40.json $J graft.ShuffleAudit target/sfdata/sf40 $MINING
+subset shuffle_audit_sf20.json shuffle_audit_sf40.json shuffle_audit_sf20_residue.json
 run $J graft.ScaleCheck audits shuffle_audit_sf20_residue.json shuffle_audit_sf40.json 2 "SCALE_r${N}_sf40.json" postcap
 
 # 2c. sf80 answers rung: one more doubling; the corpus's duplicate
@@ -50,9 +70,7 @@ run $J graft.ScaleCheck audits shuffle_audit_sf20_residue.json shuffle_audit_sf4
 # its internal_rows probe — the mined pair relation — since r12)
 [ -f target/sfdata/sf80/embeddings.parquet/_SUCCESS ] || \
   run $J graft.ScaleGen target/sfdata/sf40 target/sfdata/sf80 2 documents,embeddings
-SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf80 d03_ngram_jaccard \
-  d04_minhash_lsh d13_semantic_clusters s03_embed_neardup s11_multiprobe_neardup \
-  > shuffle_audit_sf80.json
+SPARK_DRIVER_MEM=48g runj shuffle_audit_sf80.json $J graft.ShuffleAudit target/sfdata/sf80 $MINING
 run $J graft.ScaleCheck audits shuffle_audit_sf40.json shuffle_audit_sf80.json 2 "SCALE_r${N}_sf80.json" answers
 
 # 2d. sf40 HEAVY NON-MINING rung (VERDICT r11 #2): sf20 was the rung
@@ -65,28 +83,20 @@ run $J graft.ScaleCheck audits shuffle_audit_sf40.json shuffle_audit_sf80.json 2
 HEAVY="g01_pagerank g03_bfs_reach a14_gap_fill q21_join5 p01_curate \
 d12_repeated_spans q30_table_profile t23_window_pmi x08_source_overlap \
 d07_dup_components"
-SPARK_DRIVER_MEM=48g run $J graft.ShuffleAudit target/sfdata/sf40 $HEAVY \
-  > shuffle_audit_sf40_heavy.json
-python3 - <<'PY'
-import json
-full = json.load(open('shuffle_audit_sf20.json'))
-sub = {k: full[k] for k in json.load(open('shuffle_audit_sf40_heavy.json'))}
-open('shuffle_audit_sf20_heavy.json', 'w').write(json.dumps(sub))
-PY
+SPARK_DRIVER_MEM=48g runj shuffle_audit_sf40_heavy.json $J graft.ShuffleAudit target/sfdata/sf40 $HEAVY
+subset shuffle_audit_sf20.json shuffle_audit_sf40_heavy.json shuffle_audit_sf20_heavy.json
 run $J graft.ScaleCheck audits shuffle_audit_sf20_heavy.json shuffle_audit_sf40_heavy.json 2 "SCALE_r${N}_sf40_heavy.json" postcap
 
 # 2e. sf80 HEAVY rung (VERDICT r12 #8): one more doubling for the
-# heavy non-mining family — x08 sat at 320 MB task state (63% of
-# budget) at sf40 and g03's 12.6 GB task-view shuffle deserves one
-# more datapoint. Same query set as 2d, so the two audits compare
-# directly (no subset step). `answers` mode = postcap strictness plus
-# the answer-indexed allowance both audits' rows columns carry.
+# heavy queries that break one rung after looking clean — including
+# g03 (its r13 sf80 point was aborted by the disk-fill; ADVICE r13).
 [ -f target/sfdata/sf80/lineitem.parquet/_SUCCESS ] || \
   run $J graft.ScaleGen target/sfdata/sf40 target/sfdata/sf80 2 \
     orders,lineitem,customer,supplier,part,nation,region,events
-SPARK_DRIVER_MEM=64g run $J graft.ShuffleAudit target/sfdata/sf80 $HEAVY \
-  > shuffle_audit_sf80_heavy.json
-run $J graft.ScaleCheck audits shuffle_audit_sf40_heavy.json shuffle_audit_sf80_heavy.json 2 "SCALE_r${N}_sf80_heavy.json" answers
+HEAVY80="g03_bfs_reach a14_gap_fill q21_join5 x08_source_overlap"
+SPARK_DRIVER_MEM=64g runj shuffle_audit_sf80_heavy.json $J graft.ShuffleAudit target/sfdata/sf80 $HEAVY80
+subset shuffle_audit_sf40_heavy.json shuffle_audit_sf80_heavy.json shuffle_audit_sf40_heavy4.json
+run $J graft.ScaleCheck audits shuffle_audit_sf40_heavy4.json shuffle_audit_sf80_heavy.json 2 "SCALE_r${N}_sf80_heavy.json" answers
 
 # 3. skew-stress rung (fixed volume, Zipf-sharpened key heads)
 [ -d target/sfdata/sf10skew ] || run $J graft.ScaleGen target/sfdata/sf10 target/sfdata/sf10skew 1 all skew
@@ -121,7 +131,23 @@ run $J graft.ZipScaleBench "ZIPBENCH_r${N}.json"
 run $J graft.ZipScaleBench multi "ZIPBENCH_r${N}_multi.json"
 run $J graft.ZipScaleBench latency "ZIPBENCH_r${N}_latency.json"
 
-# 7. regenerate README's gate table from the artifacts just written —
+# 7. BENCH_sf1 refresh LAST (needs an idle machine) + the
+# round-over-round tripwire (VERDICT r13 #5): the sf1 serial artifact
+# is the only trustworthy wall-clock series — compare the fresh run
+# against the previous round's COMMITTED artifact; a >1.3x move on
+# med-sum or any top-10 query min fails the gate until PLANS.md
+# attributes it. (Replayed r11-vs-r13: catches that round's +33%.)
+git show HEAD:BENCH_sf1.json > /tmp/bench_sf1_prev.json 2>/dev/null || \
+  cp BENCH_sf1.json /tmp/bench_sf1_prev.json
+[ -f bench_out.json ] && cp bench_out.json /tmp/bench_out.driver.bak
+SPARK_GRAFT_SF_DIR=target/sfdata/sf1 SPARK_GRAFT_CPUS=32 \
+  run $J graft.Bench
+head -1 bench_out.json > BENCH_sf1.json
+[ -f /tmp/bench_out.driver.bak ] && mv /tmp/bench_out.driver.bak bench_out.json
+python3 tools/bench_gate.py /tmp/bench_sf1_prev.json BENCH_sf1.json || \
+  FAIL+=("bench_gate (attribute in PLANS.md)")
+
+# 8. regenerate README's gate table from the artifacts just written —
 # the "last run" column is DERIVED from the filesystem, never typed
 # (VERDICT r12: the hand-maintained column claimed runs that never
 # happened; GateTableSpec fails `sbt test` if this drifts)
