@@ -159,34 +159,42 @@ object Dedup {
     * histogram that derives the cap predicts the output exactly, so
     * the planner — not AQE — sizes that one exchange. */
   final case class MiningBudget(maxDf: Int, predictedPairs: Double) {
-    /** Partitions for the pair join: ~256 B of effective aggregation
-      * state per PREDICTED candidate pair, targeting ≤32 MB of modeled
-      * state per task; floored at `cores` (an exchange narrower than
-      * the machine is never right) and capped at 4096 (beyond it,
+    /** Partitions for the pair join: ~48 B of effective aggregation
+      * state per PREDICTED candidate pair, targeting ≤256 MB of
+      * modeled state per task (half the 512 MB preventive-gate
+      * budget); floored at `cores` (an exchange narrower than the
+      * machine is never right) and capped at 4096 (beyond it,
       * per-task scheduling overhead dominates).
       *
       * Returns 0 — callers then leave the exchanges to AQE — when the
-      * WHOLE modeled pair state fits in half the 512 MB per-task
-      * budget (VERDICT r11 #5): below that line even the worst AQE
-      * coalescing (every pair in ONE task) is inside budget, so the
-      * pin buys nothing and costs real time on iterating consumers
-      * (g08 measured 1.00 → 1.33 s warm-min at sf0.1 under the pin —
-      * the only pair-chain consumer that pays; d03/d11/g03 measured
-      * free both ways, PLANS.md round-12 attribution).
+      * WHOLE modeled pair state fits in one task's 256 MB share:
+      * below that line even the worst AQE coalescing (every pair in
+      * ONE task) is inside budget, so the pin buys nothing and costs
+      * real time on iterating consumers.
       *
-      * Calibration history: r9 measured ~48 B/pair at sf10 and the
-      * model shipped as 64 B at a 64 MB/task target. The sf80 rung
-      * measured the pair-stage HashAggregate at 512 MB/task under that
-      * sizing — ~8× the model — because on answer-quadratic corpora
-      * (duplicate clusters double per rung) the DISTINCT pairs a task
-      * must hold outgrow the capped-candidate prediction the histogram
-      * can see. 256 B / 32 MB bakes that measured 8× in, keeping the
-      * real per-task state near 64 MB at sf80 and inside the 512 MB
-      * preventive-gate budget through ~sf320; the per-rung state gate
-      * (`ScaleCheck audits`) remains the backstop past the model. */
+      * Calibration history: r9 measured ~48 B/pair of aggregation
+      * state at sf10 (540 MB/task × 37 tasks over 4.2e8 candidates).
+      * r11 misread one sf80 task's 512 MB execution-memory PEAK as
+      * steady-state and recalibrated to 256 B at a 32 MB/task target —
+      * an 8×-model × 8×-tighter-target double-count that pinned 170
+      * partitions at sf1, 3164 at sf10, 4096 at sf80 for exchanges
+      * whose real state the r13 audits measured at 18–36 MB/task.
+      * The r14 sf1 A/B (PLANS.md round-14) measured that width as the
+      * WHOLE pair-family wall regression: 3.9–9.9× per query, every
+      * consumer back at its r11 time with the pin off, shuffle bytes
+      * flat both ways — pure task-count overhead (a parts² block
+      * matrix per exchange). The steady-state audits agree with r9's
+      * 48 B at BOTH ends of the ladder (sf80: 36 MB/task × 4096 parts
+      * ≈ 44 B over 3.3e9 candidates), so the model is re-anchored
+      * there: 48 B × candidates / 256 MB. Per-task real state is then
+      * ~250 MB FLAT at every engaged scale (parts grow with the
+      * candidate prediction), 2× headroom under the 512 MB gate, and
+      * sf1 pins at the machine floor (32) — measured back at r11
+      * wall times. The per-rung state gate (`ScaleCheck audits`)
+      * remains the backstop past the model. */
     def pairParts(cores: Int): Int = {
-      if (predictedPairs * 256.0 <= (256L << 20).toDouble) return 0
-      val byState = math.ceil(predictedPairs * 256.0 / (32L << 20)).toInt
+      if (predictedPairs * 48.0 <= (256L << 20).toDouble) return 0
+      val byState = math.ceil(predictedPairs * 48.0 / (256L << 20)).toInt
       math.min(4096, math.max(cores, byState))
     }
   }

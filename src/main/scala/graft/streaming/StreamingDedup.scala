@@ -43,10 +43,16 @@ import graft.operators.Dedup
   * watermark filter — empirically `ts <= watermark`, so a t=0 row at
   * the initial watermark 0 loses the keep to the earliest in-horizon
   * duplicate, exactly as the built-in behaved). A
-  * duplicate arriving AFTER the watermark has expired its digest's
-  * state re-emits (exactly-once dedup only within the horizon) —
-  * widen the delay to widen the guarantee. Duplicates EXTEND their
-  * digest's expiry (same refresh rule as the built-in).
+  * duplicate arriving AFTER the watermark has passed its digest's
+  * stored expiry re-emits (exactly-once dedup only within the
+  * horizon) — widen the delay to widen the guarantee. The re-emit
+  * decision compares the stored expiry against the current watermark
+  * directly, NOT against whether the timeout callback has swept the
+  * entry yet: timeouts only fire for groups without data in a batch,
+  * so sweep timing is batch-granularity-dependent (a restart that
+  * coalesces batches skips the sweep) while the watermark comparison
+  * is not. Duplicates inside the horizon EXTEND their digest's expiry
+  * (same refresh rule as the built-in).
   */
 object StreamingDedup {
 
@@ -108,7 +114,21 @@ object StreamingDedup {
             if (minRow == null) Iterator.empty
             else {
               val expiryMs = maxTsMs + delayMs
-              val already = state.exists
+              // A state entry whose stored expiry the watermark has
+              // already passed is EXPIRED even if its timeout callback
+              // hasn't fired yet: EventTimeTimeout only fires for
+              // groups with no data in the batch, so when a restart
+              // coalesces the would-be timeout batch with a later
+              // re-arrival's batch, `state.exists` is still true here
+              // while the split-batch schedule would have removed it —
+              // and the re-arrival's re-emit would depend on batch
+              // granularity (the r13 survivor bug's expiry-boundary
+              // twin; caught by ExpiryRecoveryLoop / the granularity
+              // assertion in StreamingRecoverySpec). Comparing the
+              // stored expiry against the CURRENT watermark makes the
+              // decision batching-independent: expired-but-unswept
+              // state re-emits exactly like swept state.
+              val already = state.exists && state.get > wmMs
               val extended = if (already) math.max(state.get, expiryMs) else expiryMs
               state.update(extended)
               state.setTimeoutTimestamp(extended)

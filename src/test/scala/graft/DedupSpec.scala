@@ -68,16 +68,18 @@ class DedupSpec extends SparkSpec {
     assert(un.maxDf === Int.MaxValue)
     assert(un.predictedPairs === brute(Long.MaxValue))
     // pairParts: 0 (leave to AQE) while the WHOLE modeled state fits
-    // half the 512 MB per-task budget, then floored at cores and
-    // growing with predicted volume (r12: the pin is gated by predicted
-    // pair count so tiny corpora keep AQE — VERDICT r11 #5)
+    // one task's 256 MB share, then floored at cores and growing with
+    // predicted volume (r12: the pin is gated by predicted pair count
+    // so tiny corpora keep AQE — VERDICT r11 #5; the 48 B/pair model
+    // and 256 MB target are the r14 recalibration, PLANS.md round-14)
     assert(un.pairParts(32) === 0, "tiny corpus: no pin")
-    assert(Dedup.MiningBudget(16, 1e6).pairParts(32) === 0,
+    val boundary = (256L << 20) / 48  // modeled state exactly 256 MB
+    assert(Dedup.MiningBudget(16, boundary.toDouble).pairParts(32) === 0,
       "256 MB modeled state = the boundary, still AQE")
-    assert(Dedup.MiningBudget(16, 1.2e6).pairParts(32) === 32,
+    assert(Dedup.MiningBudget(16, boundary * 1.2).pairParts(32) === 32,
       "past the boundary: pinned, floored at cores")
-    assert(Dedup.MiningBudget(16, 1e8).pairParts(32) ===
-      math.ceil(1e8 * 256.0 / (32L << 20)).toInt)
+    assert(Dedup.MiningBudget(16, 1e10).pairParts(32) ===
+      math.ceil(1e10 * 48.0 / (256L << 20)).toInt)
     assert(Dedup.MiningBudget(16, 1e12).pairParts(32) === 4096, "upper clamp")
     // starvation budget: cap engages at the floor, prediction matches
     // the brute-force cost AT that cap

@@ -273,6 +273,71 @@ class StreamingRecoverySpec extends SparkSpec {
       "duplicate survivors in the recovered sink — digest state was lost across restart")
   }
 
+  /** Expiry-boundary twin of the dedup drill (VERDICT r13 #7): a
+    * duplicate that arrives AFTER the watermark passed its digest's
+    * stored expiry must RE-EMIT (dedup is exactly-once only within
+    * the horizon), and that decision must not depend on micro-batch
+    * granularity. The trap: EventTimeTimeout only sweeps a group in a
+    * batch where it has NO data, so when the re-arrival's batch
+    * coalesces with the would-be sweep batch (a restart legally does
+    * this; `maxFilesPerTrigger = 2` forces it deterministically), the
+    * stale entry still `exists` — an exists-based keep would DROP the
+    * re-arrival that the split-batch schedule re-emits. The operator
+    * compares stored expiry against the current watermark instead
+    * (StreamingDedup.scala), so all three drains below must agree. */
+  test("dedup expiry-boundary re-emit: batch-granularity independent and kill-safe") {
+    val root = Files.createTempDirectory("graft-dedup-expiry").toString
+    val SecUs = 1000000L
+    // delay 600 s. "dup body" first arrives at t=100 s (slice 0, kept),
+    // duplicates at t=300 s (slice 1: inside horizon — dropped, expiry
+    // extended to 900 s) and t=2300 s (slice 4: the watermark is
+    // 1600 s ≥ expiry 900 s by then — legal re-emit). Slices 2/3 carry
+    // only fresh content whose event times (2000/2200 s) advance the
+    // watermark past the boundary; under maxFilesPerTrigger=1 the
+    // sweep fires in batch 3 (no dup data), under =2 it never fires
+    // before the re-arrival — the two schedules must still agree.
+    val slices = Seq(
+      Seq((0L, "dup body", 100L), (1L, "y0 body", 110L)),
+      Seq((100L, "dup body", 300L), (101L, "y1 body", 310L)),
+      Seq((200L, "y2 body", 2000L)),
+      Seq((300L, "y3 body", 2200L)),
+      Seq((400L, "dup body", 2300L), (401L, "y4 body", 2310L))
+    ).map(s => s.map { case (id, t, sec) => (id, t, sec * SecUs) }
+      .toDF("doc_id", "text", "tus"))
+    val srcDir = writeSlices(root, "docs", slices)
+    val expected = Set(
+      (0L, "dup body"), (1L, "y0 body"), (101L, "y1 body"),
+      (200L, "y2 body"), (300L, "y3 body"),
+      (400L, "dup body"), (401L, "y4 body"))
+
+    def drain(tag: String, interrupt: Boolean, filesPerTrigger: Int): String =
+      drainWithKill(root, tag, slices.size / filesPerTrigger, interrupt) { (ckpt, out) =>
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING, tus LONG")
+          .option("maxFilesPerTrigger", filesPerTrigger.toString)
+          .parquet(srcDir)
+          .withColumn("tsc", timestamp_micros($"tus"))
+        graft.streaming.StreamingDedup.dedupByContent(stream, "text", "tsc",
+            watermarkDelay = "10 minutes", tieBreakCol = Some("doc_id"))
+          .select($"doc_id", $"text")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+
+    for ((tag, interrupt, fpt) <- Seq(("clean", false, 1),
+                                      ("coalesced", false, 2),
+                                      ("recovered", true, 1))) {
+      val got = spark.read.parquet(drain(tag, interrupt, fpt))
+        .as[(Long, String)].collect().toSeq
+      assert(got.toSet == expected,
+        s"$tag drain survivor set differs: missing=${expected -- got.toSet} " +
+          s"extra=${got.toSet -- expected}")
+      assert(got.size == expected.size,
+        s"$tag drain emitted duplicates: ${got.groupBy(identity).filter(_._2.size > 1).keys}")
+    }
+  }
+
   /** e19's anomaly contract under fault (VERDICT r09 #8): the
     * trailing-baseline verdict runs over the DRAINED windowed-count
     * frame, so it must be bit-stable whether or not the drain was
