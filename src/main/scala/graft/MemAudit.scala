@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec, ShuffleQueryStageExec}
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ReusedExchangeExec, ShuffleExchangeLike}
 
 /** PREVENTIVE detector for the engine's one recurring scale-defect
   * class (VERDICT r10 "what's missing" #1): AQE sizes a post-shuffle
@@ -110,10 +110,9 @@ object MemAudit {
     self ++ p.subqueries.flatMap(flatten)
   }
 
-  /** Total compressed map-output bytes of the nearest descendant
-    * shuffle (BFS through children, descending into AQE wrappers),
-    * or None when the node is scan-fed. */
-  private def feedingShuffleBytes(p: SparkPlan): Option[Long] = {
+  /** The nearest descendant shuffle (BFS through children, descending
+    * into AQE wrappers), or None when the node is scan-fed. */
+  private def feedingShuffle(p: SparkPlan): Option[ShuffleExchangeLike] = {
     def unwrap(n: SparkPlan): SparkPlan = n match {
       case q: QueryStageExec => q.plan
       case r: AQEShuffleReadExec => r.child
@@ -127,8 +126,7 @@ object MemAudit {
         case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeLike] =>
           r.child.asInstanceOf[ShuffleExchangeLike]
       } match {
-        case Some(e) =>
-          return e.metrics.get("shuffleBytesWritten").map(_.value).filter(_ > 0)
+        case Some(e) => return Some(e)
         case None =>
           frontier = frontier.flatMap {
             // a deeper shuffle feeds a DIFFERENT pipeline; stop at
@@ -161,10 +159,25 @@ object MemAudit {
         val tasks = Option(acc.cntUpd.get(m.id)).map(_.longValue).getOrElse(0L)
         if (maxPeak <= 0 || tasks <= 0) None
         else {
-          val inBytes = feedingShuffleBytes(n)
+          val feed = feedingShuffle(n)
+          val inBytes = feed.flatMap(
+            _.metrics.get("shuffleBytesWritten").map(_.value).filter(_ > 0))
           val inPerTask = inBytes.map(_.toDouble / tasks)
           val ampl = inPerTask.filter(_ >= AmplInputFloorBytes).map(maxPeak / _)
-          val proj = ampl.map(a => mb(a * AdvisoryBytes))
+          // The projection extrapolates what AQE's 64 MB advisory
+          // coalescing would do to this node's state — meaningless for
+          // a REPARTITION_BY_NUM-fed node: AQE's coalescer skips that
+          // origin by Spark's own semantics, which is exactly why the
+          // cost-model pins (MiningBudget.pairParts, gramPartsFor,
+          // gapFillGridPartsFor) use explicit-N repartitions. Pinned
+          // nodes stay under the direct peak budget and the per-rung
+          // state gates; only AQE-sizable exchanges get the
+          // counterfactual. (Found in r14: the r13 widths hid the pair
+          // agg's 19.7x amplification under the input floor — 6.5 MB
+          // in / 128 MB peak at the recalibrated width projected
+          // 1261 MB that no schedule can produce.)
+          val pinned = feed.exists(_.shuffleOrigin == REPARTITION_BY_NUM)
+          val proj = if (pinned) None else ampl.map(a => mb(a * AdvisoryBytes))
           val spill = n.metrics.get("spillSize").map(_.value).filter(_ > 0).getOrElse(0L)
           Some(NodeStat(n.nodeName, mb(maxPeak.toDouble), tasks,
             inPerTask.map(mb), ampl.map(a => math.round(a * 100) / 100.0),
@@ -261,7 +274,7 @@ object MemAudit {
     }.mkString(",\n")
     val json =
       s"""{
-         | "note": "graft.MemAudit preventive state-size gate: for every sort/agg/hash-build node, max SINGLE-TASK in-memory state (peakMemory accumulator update, maxed over tasks) must stay <= ${peakBudget} MB, and its projection to AQE's 64 MB advisory coalescing target (ampl x 64 MB, where ampl = max task peak / compressed shuffle input per task) <= ${projBudget} MB — the class that spilled d03/s03/a14/d12/g03/g04 at the NEXT rung while this rung looked clean. Exceptions need an attributed allowlist entry.",
+         | "note": "graft.MemAudit preventive state-size gate: for every sort/agg/hash-build node, max SINGLE-TASK in-memory state (peakMemory accumulator update, maxed over tasks) must stay <= ${peakBudget} MB, and its projection to AQE's 64 MB advisory coalescing target (ampl x 64 MB, where ampl = max task peak / compressed shuffle input per task) <= ${projBudget} MB — the class that spilled d03/s03/a14/d12/g03/g04 at the NEXT rung while this rung looked clean. Nodes fed by a REPARTITION_BY_NUM exchange carry no projection: AQE's coalescer skips that origin, so the counterfactual cannot occur (the direct peak budget and the per-rung state gates still apply). Exceptions need an attributed allowlist entry.",
          | "sf_dir": "$sfDir",
          | "peak_budget_mb": $peakBudget,
          | "projected_budget_mb": $projBudget,

@@ -348,7 +348,7 @@ object ScaleCheck {
     }.mkString(",\n")
     val json =
       s"""{
-         | "note": "graft.ScaleCheck full-surface audit gate: task-view shuffle growth auditA->auditB within ${DefaultSlack}x data ratio (= $defaultBound) unless an ATTRIBUTED allowlist entry raises the bound; on the `answers` rung the bound also rises to ${AnswerSlack}x the measured answer-cardinality growth (rows column) — shuffling less than the answer grows is impossible, so answer-tracking growth is the optimal shape; B-side shuffle <= $SpillLimitMb MB passes as noise; task spill <= $SpillLimitMb MB at both scales always required. Where the audits carry the r11 state columns, max single-task sort/agg/hash-build state <= $StatePeakBudgetMb MB and its projection to AQE's 64 MB advisory target <= $StateProjBudgetMb MB at both rungs (the preventive gate for the class that spilled d03/s03/a14/d12/g03/g04 one rung after looking clean).",
+         | "note": "graft.ScaleCheck full-surface audit gate: task-view shuffle growth auditA->auditB within ${DefaultSlack}x data ratio (= $defaultBound) unless an ATTRIBUTED allowlist entry raises the bound; on the `answers` rung the bound also rises to ${AnswerSlack}x the measured answer-cardinality growth (rows column) — shuffling less than the answer grows is impossible, so answer-tracking growth is the optimal shape; B-side shuffle <= $SpillLimitMb MB passes as noise; task spill <= $SpillLimitMb MB at both scales always required. Where the audits carry the r11 state columns, max single-task sort/agg/hash-build state <= $StatePeakBudgetMb MB and its projection to AQE's 64 MB advisory target <= $StateProjBudgetMb MB at both rungs (the preventive gate for the class that spilled d03/s03/a14/d12/g03/g04 one rung after looking clean); REPARTITION_BY_NUM-fed nodes carry no projection — AQE's coalescer skips that origin, so the counterfactual cannot occur.",
          | "allowlist": "$allowName",
          | "auditA": "$pathA",
          | "auditB": "$pathB",

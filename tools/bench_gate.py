@@ -7,7 +7,7 @@ sailed through unflagged — the sf1 serial artifact is the only
 trustworthy wall-clock series, so IT gets the gate.
 
 Usage: bench_gate.py <baseline BENCH_sf1.json> <fresh BENCH_sf1.json>
-       [--ratio 1.3] [--topn 10]
+       [--ratio 1.3] [--topn 10] [--out BENCHGATE_rN.json]
 
 Fails (exit 1) when the fresh med-sum exceeds ratio x the baseline's,
 or when any of the top-N queries (by fresh min time) regressed more
@@ -53,6 +53,19 @@ def main(argv):
         if bmin > 0 and fmin > bmin * ratio:
             fails.append(f'{n} min {bmin:.2f} -> {fmin:.2f} s '
                          f'({fmin / bmin:.2f}x > {ratio}x)')
+
+    if 'out' in opts:
+        doc = {
+            'note': 'round-over-round tripwire on the serial sf1 bench '
+                    '(VERDICT r13 #5): med-sum and top-%d per-query min '
+                    'times vs the previous round\'s committed BENCH_sf1 '
+                    'within %gx, else attribute in PLANS.md' % (topn, ratio),
+            'baseline': args[0], 'fresh': args[1],
+            'baseline_med_sum_s': bsum, 'fresh_med_sum_s': fsum,
+            'violations': fails, 'all_ok': not fails,
+        }
+        with open(opts['out'], 'w') as f:
+            json.dump(doc, f, indent=1)
 
     if fails:
         print('[bench_gate] REGRESSION vs %s — attribute in PLANS.md '

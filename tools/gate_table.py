@@ -43,6 +43,11 @@ GATES = [
      "`BENCH_r{N}.json`, `BENCH_sf1.json`",
      "≤ 2× reference at same sf",
      ["BENCH_r{n}.json"]),
+    ("sf1 bench round-over-round tripwire",
+     "`tools/bench_gate.py` vs the previous round's committed `BENCH_sf1.json`",
+     "`BENCHGATE_r{N}.json`",
+     "med-sum and top-10 per-query min times ≤ 1.3× prior round, else a PLANS.md attribution (replayed: catches r13's +33%)",
+     ["BENCHGATE_r{n}.json"]),
     ("Artifacts match HEAD (provenance)",
      "`_meta` stamp in every `ShuffleAudit` dump; `ScaleCheck audits` refuses a stale/dirty measured surface (`RepoStamp`)",
      "embedded in every audit + gate artifact",

@@ -126,6 +126,11 @@ run $J graft.StateAudit /root/testdata/sf0.1 target/sfdata/sf1 14.0 "STATE_r${N}
 run $J graft.StateAudit /root/testdata/sf0.1 target/sfdata/vol10 1.5 "STATE_r${N}_volume.json" \
   $(echo $SQ | sed 's/e07_stream_range_join/e07_stream_range_join:15.0/')
 
+# 5b. full-surface per-task state deep-dive at sf10 (peak 512 MB /
+# AQE-projection 1024 MB; REPARTITION_BY_NUM-fed nodes carry no
+# projection — Spark's coalescer skips that origin)
+SPARK_DRIVER_MEM=40g run $J graft.MemAudit target/sfdata/sf10 "MEM_r${N}.json"
+
 # 6. ZIP source rungs (archive scale, planning parity, object-store RTT)
 run $J graft.ZipScaleBench "ZIPBENCH_r${N}.json"
 run $J graft.ZipScaleBench multi "ZIPBENCH_r${N}_multi.json"
@@ -144,8 +149,8 @@ SPARK_GRAFT_SF_DIR=target/sfdata/sf1 SPARK_GRAFT_CPUS=32 \
   run $J graft.Bench
 head -1 bench_out.json > BENCH_sf1.json
 [ -f /tmp/bench_out.driver.bak ] && mv /tmp/bench_out.driver.bak bench_out.json
-python3 tools/bench_gate.py /tmp/bench_sf1_prev.json BENCH_sf1.json || \
-  FAIL+=("bench_gate (attribute in PLANS.md)")
+python3 tools/bench_gate.py /tmp/bench_sf1_prev.json BENCH_sf1.json \
+  --out="BENCHGATE_r${N}.json" || FAIL+=("bench_gate (attribute in PLANS.md)")
 
 # 8. regenerate README's gate table from the artifacts just written —
 # the "last run" column is DERIVED from the filesystem, never typed
