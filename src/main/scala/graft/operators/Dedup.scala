@@ -162,9 +162,16 @@ object Dedup {
     /** Partitions for the pair join: ~48 B of effective aggregation
       * state per PREDICTED candidate pair, targeting ≤256 MB of
       * modeled state per task (half the 512 MB preventive-gate
-      * budget); floored at `cores` (an exchange narrower than the
-      * machine is never right) and capped at 4096 (beyond it,
-      * per-task scheduling overhead dominates).
+      * budget); floored at `cores` and capped at 4096 (beyond it,
+      * per-task scheduling overhead dominates). The cores floor is
+      * LOAD-BEARING for wall, not state: the r14 sf1 A/B measured
+      * d03 at 2.08 s with the floor vs 6.16 s at the model's bare
+      * width (4) — a pinned miner splits the pipeline into more
+      * stages than the fused AQE shape, and the floor's parallelism
+      * is what amortizes them. Queries that mine a SLICE of the
+      * corpus scale the budget first ([[scaled]]) so the floor
+      * doesn't over-pin work that is a fraction of the dir-level
+      * prediction.
       *
       * Returns 0 — callers then leave the exchanges to AQE — when the
       * WHOLE modeled pair state fits in one task's 256 MB share:
@@ -197,6 +204,18 @@ object Dedup {
       val byState = math.ceil(predictedPairs * 48.0 / (256L << 20)).toInt
       math.min(4096, math.max(cores, byState))
     }
+
+    /** The budget's view of a query that mines only a FRACTION of the
+      * corpus's candidate volume (e.g. g02/g08's planted-trio slice:
+      * 3 copies of every 20th doc → per-shingle df scales by 3/20, so
+      * Σ df·min(df, cap) scales by ~(3/20)²). Scaling the prediction —
+      * rather than the resulting width — keeps BOTH decisions honest:
+      * the engage threshold (a slice below one task's share stays on
+      * AQE, which the r14 sf1 bench measured 1.6–2× faster for
+      * g02/g08) and the width at scales where the slice itself is big
+      * enough to pin. */
+    def scaled(fraction: Double): MiningBudget =
+      copy(predictedPairs = predictedPairs * fraction)
   }
 
   def deriveMiningBudget(docs: DataFrame, idCol: String, textCol: String,

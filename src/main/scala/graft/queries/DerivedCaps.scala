@@ -69,6 +69,15 @@ object DerivedCaps {
     if (s.conf.getOption("spark.graft.mining.pinPairParts").contains("false")) 0
     else budgetFor(s, dir).pairParts(s.sparkContext.defaultParallelism)
 
+  /** [[pairPartsFor]] for a query mining a FRACTION of the corpus's
+    * candidate volume ([[Dedup.MiningBudget.scaled]]): the g02/g08
+    * planted-trio slice passes (3/20)² so the dir-level budget's floor
+    * doesn't over-pin a fortieth of the predicted work (measured
+    * 1.6–2× wall at sf1, PLANS.md round-14). */
+  def pairPartsScaledFor(s: SparkSession, dir: String, fraction: Double): Int =
+    if (s.conf.getOption("spark.graft.mining.pinPairParts").contains("false")) 0
+    else budgetFor(s, dir).scaled(fraction).pairParts(s.sparkContext.defaultParallelism)
+
   private val embBitsMemo = new BoundedMemo[String, java.lang.Integer](64)
 
   /** LSH bucket-key width for near-dup mining over `dir`'s embeddings

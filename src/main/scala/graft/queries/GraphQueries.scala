@@ -223,9 +223,14 @@ object GraphQueries {
       // nDocs bounds the mined 3x-slice union; 3x the base count is a
       // safe over-count (the slice is a subset) — an under-count could
       // broadcast a sizes frame past the gate (ADVICE r10)
+      // the mined corpus is a (3/20)-slice: per-shingle df scales by
+      // 3/20 vs the dir-level budget's full-corpus histogram, so the
+      // candidate prediction scales by ~(3/20)² — scaling the budget
+      // keeps the cores floor from over-pinning a fortieth of the
+      // predicted work (r14: 1.6-2x wall on the iterating consumers)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        pairParts = DerivedCaps.pairPartsScaledFor(s, dir, 9.0 / 400),
         nDocs = 3L * DerivedCaps.docCountFor(s, dir))
       Graphs.kCorePeel(pairs, "a_id", "b_id", k = 2L, rounds = 3)
         .select($"vertex".as("doc_id"), $"deg")
@@ -243,9 +248,10 @@ object GraphQueries {
         .unionByName(slice.withColumn("doc_id", $"doc_id" + Planted.Off))
         .unionByName(slice.withColumn("doc_id", $"doc_id" + Planted.Off2))
       // same 3x-slice bound as g08 (ADVICE r10)
+      // same (3/20)²-scaled budget as g08 (the slice-corpus rationale)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsFor(s, dir),
+        pairParts = DerivedCaps.pairPartsScaledFor(s, dir, 9.0 / 400),
         nDocs = 3L * DerivedCaps.docCountFor(s, dir))
       Graphs.triangleCounts(pairs, "a_id", "b_id")
         .orderBy($"vertex")

@@ -28,11 +28,24 @@ object MultimodalQueries {
     * samples — microseconds a row), where the fixed exchange +
     * scheduling cost exceeds everything it parallelizes (measured:
     * m05 0.37 s without vs 0.67 s with at sf0.1). The heavy decodes
-    * (JPEG/PNG/MJPEG/GIF) keep the default. */
+    * (JPEG/PNG/MJPEG/GIF) keep the default.
+    *
+    * The skip is CORPUS-GATED, not absolute (r14): the sf0.1 trade
+    * inverts as the corpus grows while the split count doesn't — at
+    * sf1 the 6.9 MB documents table packs into ~2 scan splits
+    * (32 × 0.2 MB files under the 4 MB open-cost), so a skipped
+    * exchange ran 50k decodes on two threads: wall ∝ work/2 where one
+    * 0.3 s exchange buys work/32. Above [[FanOutMinDocs]] the exchange
+    * is taken regardless; the memoized metadata row count makes the
+    * decision free. */
+  private val FanOutMinDocs = 15000L
+
   private def docIds(s: SparkSession, dir: String, fanOut: Boolean = true) = {
     import s.implicits._
     val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
-    if (fanOut) ids.repartition(s.sparkContext.defaultParallelism) else ids
+    if (fanOut || DerivedCaps.docCountFor(s, dir) > FanOutMinDocs)
+      ids.repartition(s.sparkContext.defaultParallelism)
+    else ids
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

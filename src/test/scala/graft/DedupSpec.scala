@@ -76,17 +76,25 @@ class DedupSpec extends SparkSpec {
     val boundary = (256L << 20) / 48  // modeled state exactly 256 MB
     assert(Dedup.MiningBudget(16, boundary.toDouble).pairParts(32) === 0,
       "256 MB modeled state = the boundary, still AQE")
+    // the floor is a WALL choice, not state: d03 at sf1 measured
+    // 2.08 s with it vs 6.16 s at the model's bare width
     assert(Dedup.MiningBudget(16, boundary * 1.2).pairParts(32) === 32,
       "past the boundary: pinned, floored at cores")
     assert(Dedup.MiningBudget(16, 1e10).pairParts(32) ===
       math.ceil(1e10 * 48.0 / (256L << 20)).toInt)
     assert(Dedup.MiningBudget(16, 1e12).pairParts(32) === 4096, "upper clamp")
+    // the scaled view: the fraction rescales the PREDICTION, so both
+    // the engage threshold and the width see the slice's share
+    assert(Dedup.MiningBudget(16, boundary * 4.0).scaled(0.1).pairParts(32) === 0,
+      "a slice below one task's share stays on AQE")
+    assert(Dedup.MiningBudget(16, 1e10).scaled(0.5).pairParts(32) ===
+      math.ceil(5e9 * 48.0 / (256L << 20)).toInt)
     // starvation budget: cap engages at the floor, prediction matches
     // the brute-force cost AT that cap
     val capped = Dedup.deriveMiningBudget(d, "doc_id", "text", pairBudgetPerOcc = 0.001)
     assert(capped.maxDf === 16, "cap floors at 16")
     assert(capped.predictedPairs === brute(capped.maxDf.toLong))
-    // empty corpus: uncapped, zero pairs, exchange floored at cores
+    // empty corpus: uncapped, zero pairs, no pin
     val empty = Dedup.deriveMiningBudget(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
     assert(empty.maxDf === Int.MaxValue && empty.predictedPairs === 0.0)
