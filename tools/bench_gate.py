@@ -33,6 +33,8 @@ ALLOW = {
     'm08_audio_fingerprint': 'machine-state: see m05 (PLANS.md round-14)',
     'm09_scene_change': 'machine-state: see m05 (PLANS.md round-14)',
     'm10_audio_segments': 'machine-state: see m05 (PLANS.md round-14)',
+    'm02_frame_sample': 'machine-state: codec family; intra-day control '
+        'measured 2.37 -> 3.31 s on identical code (PLANS.md round-14)',
 }
 
 
