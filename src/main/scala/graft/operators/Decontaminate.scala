@@ -122,15 +122,19 @@ object Decontaminate {
       if (parts > 0) raw.repartition(parts, col("shingle")).distinct()
       else raw.distinct().repartition(col("shingle"))
     // the cap is opt-in (d03 convention): at the default there is
-    // nothing to drop, so skip the df aggregation + anti-join pass
-    // entirely instead of paying it against a provably-empty hot set
+    // nothing to drop, so skip the df pass entirely instead of paying
+    // it against a provably-empty hot set. Like d03 the cap is a
+    // WINDOW count riding the shingle exchange, not a df-count branch
+    // + anti-join: the count branch's pruned Project below its copy
+    // of the exchange defeated ReuseExchange and re-scanned the
+    // corpus (Dedup.ngramJaccardPairs has the full mechanism note).
     val kept =
       if (maxDf == Int.MaxValue) sh
-      else {
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxDf).select(col("shingle"))
-        sh.join(hot, Seq("shingle"), "left_anti")
-      }
+      else
+        sh.withColumn("_df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("_df") <= maxDf)
+          .drop("_df")
     val sizes = kept.groupBy(col("_g")).agg(count(lit(1)).as("sz"))
     val a = kept.select(col("_g").as("source_a"), col("shingle"))
     val b = kept.select(col("_g").as("source_b"), col("shingle"))

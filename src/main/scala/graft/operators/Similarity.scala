@@ -392,15 +392,25 @@ object Similarity {
         .as(Seq("table", "bucket")))
       .filter(col(idCol).isNotNull)
       .repartition(col("table"), col("bucket"))
-    // The uncapped path must not pay the hot-bucket count pass.
+    // The uncapped path must not pay the hot-bucket count pass. The
+    // cap is a WINDOW count riding the bucket exchange, not a
+    // count branch + anti-join: the count branch needed only
+    // (table, bucket), so ColumnPruning pushed a Project below its
+    // copy of the anchor, the Exchange subtrees diverged, and the
+    // corpus — WITH its ~2 KB/row embedding vectors — was scanned
+    // and bucket-hashed twice (same mechanism as d03's df cap;
+    // Dedup.ngramJaccardPairs has the full note). The window needs
+    // exactly the anchor's hashpartitioning(table, bucket), so it
+    // adds zero exchanges, and its sort is the sort the a/b
+    // sort-merge self-join pays anyway.
     val pruned =
       if (maxBucketSize == Int.MaxValue) bucketed
-      else {
-        val hot = bucketed.groupBy(col("table"), col("bucket"))
-          .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
-          .select(col("table"), col("bucket"))
-        bucketed.join(hot, Seq("table", "bucket"), "left_anti")
-      }
+      else
+        bucketed.withColumn("_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("table"), col("bucket"))))
+          .filter(col("_n") <= maxBucketSize)
+          .drop("_n")
     val a = pruned.select(col(idCol).as("a_id"), col(vecCol).as("avec"),
       col("table"), col("bucket"))
     val b = pruned.select(col(idCol).as("b_id"), col(vecCol).as("bvec"),

@@ -35,7 +35,19 @@ object GraphQueries {
 
   // g02 slice: every 20th doc, with TWO planted copies each — every
   // trio is an exact-dup 3-clique, so triangles are guaranteed.
-  private val TriPred = "doc_id % 20 = 1"
+  // TriPred / TriCopies / TriSliceFraction are ONE constant family:
+  // the mined corpus is TriCopies stacked copies of a 1/TriMod slice,
+  // so per-shingle df scales by TriCopies/TriMod vs the dir-level
+  // budget's full-corpus histogram and the candidate prediction by
+  // its square — deriving the fraction here (not hard-coding 9/400 at
+  // the call sites) means retuning the modulus or the copy count
+  // cannot silently desync the scaled pair budget from the corpus
+  // actually mined (ADVICE r14).
+  private val TriMod = 20
+  private val TriCopies = 3
+  private val TriPred = s"doc_id % $TriMod = 1"
+  private val TriSliceFraction =
+    (TriCopies.toDouble / TriMod) * (TriCopies.toDouble / TriMod)
 
   // g06: fixed HITS half-step count (see Graphs.hits for the
   // unnormalized-integer overflow bound that keeps this ≤ 6)
@@ -230,7 +242,7 @@ object GraphQueries {
       // predicted work (r14: 1.6-2x wall on the iterating consumers)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsScaledFor(s, dir, 9.0 / 400),
+        pairParts = DerivedCaps.pairPartsScaledFor(s, dir, TriSliceFraction),
         nDocs = 3L * DerivedCaps.docCountFor(s, dir))
       Graphs.kCorePeel(pairs, "a_id", "b_id", k = 2L, rounds = 3)
         .select($"vertex".as("doc_id"), $"deg")
@@ -251,7 +263,7 @@ object GraphQueries {
       // same (3/20)²-scaled budget as g08 (the slice-corpus rationale)
       val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = DerivedCaps.maxDfFor(s, dir),
-        pairParts = DerivedCaps.pairPartsScaledFor(s, dir, 9.0 / 400),
+        pairParts = DerivedCaps.pairPartsScaledFor(s, dir, TriSliceFraction),
         nDocs = 3L * DerivedCaps.docCountFor(s, dir))
       Graphs.triangleCounts(pairs, "a_id", "b_id")
         .orderBy($"vertex")

@@ -80,7 +80,8 @@ object StreamingFunnel {
             }
             if (last != Long.MinValue) {
               state.update(Reach(times.toSeq, last))
-              state.setTimeoutTimestamp(last / 1000 + horizonUs / 1000)
+              // never-early ceiling, not per-term floor (see StreamingSessionize)
+              state.setTimeoutTimestamp((last + horizonUs + 999L) / 1000L)
             }
             Iterator.empty
           }

@@ -87,8 +87,15 @@ object StreamingSessionize {
     }
     cur.foreach { s =>
       state.update(s)
-      // flush when watermark passes the gap after session end
-      state.setTimeoutTimestamp(s.end / 1000 + gapUs / 1000)
+      // flush when watermark passes the gap after session end. The
+      // timestamp is the CEILING of (end+gap) in ms: flooring each
+      // µs term separately (the r14 shape) let the timeout fire up to
+      // ~2 ms before the watermark truly passed end+gap, so an event
+      // in that sliver — which batch semantics would merge into this
+      // session — could find its session already closed and split.
+      // Ceiling guarantees the timeout is never early; at most 1 ms
+      // late, which only delays the flush, never changes a boundary.
+      state.setTimeoutTimestamp((s.end + gapUs + 999L) / 1000L)
     }
     closed.result().iterator
   }

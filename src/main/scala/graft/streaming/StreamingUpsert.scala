@@ -54,7 +54,8 @@ object StreamingUpsert {
                 else cur.copy(lastUs = lastUs)
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.lastUs / 1000 + horizonUs / 1000)
+            // never-early ceiling, not per-term floor (see StreamingSessionize)
+            state.setTimeoutTimestamp((cur.lastUs + horizonUs + 999L) / 1000L)
             Iterator.empty
           }
         })

@@ -52,6 +52,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("capped d03 plan scans the corpus once: window df cap rides the anchor exchange") {
+    // At sf10+ the derived cap engages. r14 shipped it as a
+    // df-count + anti-join branch pair: ColumnPruning pushed a
+    // Project[shingle] below the count branch's copy of the anchor
+    // Repartition, the Exchange subtrees diverged, and ReuseExchange
+    // silently recomputed tokenize+shingle per branch — exactly at the
+    // scales where the scan is the expensive part. The cap is now a
+    // window count over the anchor. Force it here (maxDf=3 with df-4
+    // shingles, so the cap is live and rows are really dropped) and
+    // pin the shape: ONE tokenize+explode subtree, ONE shingle
+    // exchange, every other consumer a ReusedExchange.
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"), (4L, "a b c g"),
+      (5L, "x y z w"), (6L, "x y z w")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.3, maxDf = 3, pairParts = 4, nDocs = 6L)
+    val rows = pairs.collect()
+    // "a b c" (df 4) is capped out, so docs 1-4 cannot pair; 5/6 are
+    // exact dups through uncapped shingles
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 6L)))
+    // adaptive toString appends the pre-reuse "Initial Plan" — count
+    // subtrees in the FINAL plan only
+    val p = pairs.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(p).length >= 2,
+      s"capped plan lost exchange reuse:\n${p.take(1500)}")
+    val scans = "Generate explode".r.findAllIn(p).length
+    assert(scans == 1,
+      s"corpus tokenized/exploded $scans times in the capped plan:\n${p.take(1500)}")
+    // the cap itself must not add an exchange: exactly one shingle
+    // hash exchange (the pinned anchor) in the whole plan —
+    // ReusedExchange lines repeat the referent's text, skip them
+    val shingleEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(shingle") && !l.contains("ReusedExchange"))
+    assert(shingleEx == 1,
+      s"df cap grew $shingleEx shingle exchanges:\n${p.take(1500)}")
+  }
+
   test("deriveMiningBudget: predicted pairs = brute-force join cost; cap binds only over budget") {
     // 4 docs sharing "a b c" (df up to 4 on its shingles) + 1 disjoint
     val d = Seq(

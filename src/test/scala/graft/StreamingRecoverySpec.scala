@@ -338,6 +338,76 @@ class StreamingRecoverySpec extends SparkSpec {
     }
   }
 
+  /** Session-gap twin of the dedup expiry drill (VERDICT r14 #7): an
+    * open session whose `end + gap` the watermark has passed is closed
+    * either by the EventTimeTimeout SWEEP (a batch with no data for
+    * that user) or by the DATA PATH when the user's next event lands
+    * first — which one fires depends on micro-batch granularity, and a
+    * restart legally changes that granularity (`maxFilesPerTrigger=2`
+    * forces the coalesced schedule deterministically: the re-arrival
+    * shares a batch with what would have been the sweep batch). The
+    * emitted session set — boundaries, counts, no duplicates — must be
+    * identical across all three schedules. SessionExpiryRecoveryLoop
+    * is the ≥100-attempt randomized-kill companion. */
+  test("sessionize expiry-boundary close: batch-granularity independent and kill-safe") {
+    val root = Files.createTempDirectory("graft-session-expiry").toString
+    val SecUs = 1000000L
+    val gapUs = 600L * SecUs
+    // gap 600 s: u7's session A [100,200] expires at 800 s; u9@2000
+    // advances the watermark to 1400 s past the boundary, so under
+    // one-file batches the sweep closes A in the next u7-less batch,
+    // while u7's post-expiry re-arrival at 2300 s must open a NEW
+    // session either way. u99 is a far-future sentinel pair that
+    // flushes every real session (filtered from the assertions).
+    val slices = Seq(
+      Seq((7L, 1L, 100L), (7L, 2L, 200L), (8L, 3L, 110L)),
+      Seq((9L, 4L, 2000L)),
+      Seq((9L, 5L, 2100L)),
+      Seq((7L, 6L, 2300L)),
+      Seq((8L, 7L, 2400L)),
+      Seq((99L, -1L, 100000L)),
+      Seq((99L, -2L, 300000L))
+    ).map(s => s.map { case (u, e, sec) => (u, e, sec * SecUs) }
+      .toDF("user_id", "event_id", "tus"))
+    val srcDir = writeSlices(root, "events", slices)
+    val expected = Set(
+      (7L, 100L * SecUs, 200L * SecUs, 2L),
+      (7L, 2300L * SecUs, 2300L * SecUs, 1L),
+      (8L, 110L * SecUs, 110L * SecUs, 1L),
+      (8L, 2400L * SecUs, 2400L * SecUs, 1L),
+      (9L, 2000L * SecUs, 2100L * SecUs, 2L))
+
+    def drain(tag: String, interrupt: Boolean, filesPerTrigger: Int): String =
+      drainWithKill(root, tag, slices.size / filesPerTrigger, interrupt) { (ckpt, out) =>
+        val stream = spark.readStream
+          .schema("user_id LONG, event_id LONG, tus LONG")
+          .option("maxFilesPerTrigger", filesPerTrigger.toString)
+          .parquet(srcDir)
+          .as[graft.streaming.StreamingSessionize.Event]
+        graft.streaming.StreamingSessionize.sessionize(stream, gapUs,
+            watermarkDelay = "10 minutes")
+          .toDF()
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+
+    for ((tag, interrupt, fpt) <- Seq(("clean", false, 1),
+                                      ("coalesced", false, 2),
+                                      ("recovered", true, 1))) {
+      val got = spark.read.parquet(drain(tag, interrupt, fpt))
+        .filter($"user_id" =!= 99L)
+        .select($"user_id", $"session_start_us", $"session_end_us", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got.toSet == expected,
+        s"$tag drain session set differs: missing=${expected -- got.toSet} " +
+          s"extra=${got.toSet -- expected}")
+      assert(got.size == expected.size,
+        s"$tag drain emitted duplicate sessions: " +
+          s"${got.groupBy(identity).filter(_._2.size > 1).keys}")
+    }
+  }
+
   /** e19's anomaly contract under fault (VERDICT r09 #8): the
     * trailing-baseline verdict runs over the DRAINED windowed-count
     * frame, so it must be bit-stable whether or not the drain was

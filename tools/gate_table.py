@@ -44,9 +44,9 @@ GATES = [
      "≤ 2× reference at same sf",
      ["BENCH_r{n}.json"]),
     ("sf1 bench round-over-round tripwire",
-     "`tools/bench_gate.py` vs the previous round's committed `BENCH_sf1.json`",
-     "`BENCHGATE_r{N}.json`",
-     "med-sum and top-10 per-query min times ≤ 1.3× prior round, else a PLANS.md attribution (replayed: catches r13's +33%)",
+     "`tools/bench_gate.py` on the elementwise-min of ≥2 serial runs (`tools/bench_min.py`) vs the previous round's committed sf1 artifact",
+     "`BENCHGATE_r{N}.json`, `BENCH_sf1_min.json`",
+     "med-sum (common queries) and top-10 per-query min times ≤ 1.3× prior round, else a PLANS.md attribution; allowlist entries expire 2 rounds after their stamp",
      ["BENCHGATE_r{n}.json"]),
     ("Artifacts match HEAD (provenance)",
      "`_meta` stamp in every `ShuffleAudit` dump; `ScaleCheck audits` refuses a stale/dirty measured surface (`RepoStamp`)",
@@ -188,6 +188,56 @@ def render():
     return "\n".join(lines)
 
 
+def cell_round(cell):
+    """(round, failed) from a "last run" cell; (None, False) for fixed
+    strings like "never" / "every round (sbt test)"."""
+    m = re.match(r"^r(\d+)( \(FAILED\))?$", cell.strip())
+    return (int(m.group(1)), bool(m.group(2))) if m else (None, False)
+
+
+def check(committed_rows, derived_rows):
+    """One-sided staleness check (VERDICT r14 #3): the driver drops
+    CORRECTNESS_r{N}/BENCH_r{N} AFTER the builder's final commit, so
+    artifacts NEWER than the committed table are the normal end-of-round
+    state, not a lie — the table merely lags, and regenerating would
+    only advance it. The lie this check exists to catch is the other
+    direction: a table cell claiming a round (or a pass) its artifacts
+    don't back. Static columns stay two-sided: a GATES edit without a
+    regen is the table lagging the CODE, which must fail."""
+    if len(committed_rows) != len(derived_rows):
+        return ["row count differs: table %d vs derived %d"
+                % (len(committed_rows), len(derived_rows))]
+    errs = []
+    for c, d in zip(committed_rows, derived_rows):
+        csplit, dsplit = c.split("|"), d.split("|")
+        if len(csplit) != 7 or len(dsplit) != 7:
+            if c != d:
+                errs.append("malformed row: %r" % c)
+            continue
+        if [x.strip() for x in csplit[:5]] != [x.strip() for x in dsplit[:5]]:
+            errs.append("static columns drifted (regenerate): %s"
+                        % csplit[1].strip())
+            continue
+        ccell, dcell = csplit[5].strip(), dsplit[5].strip()
+        if ccell == dcell:
+            continue
+        crnd, cfail = cell_round(ccell)
+        drnd, dfail = cell_round(dcell)
+        if crnd is None or drnd is None:
+            # fixed cells / "never" must match exactly; a round claim
+            # with no artifact round behind it is the lie
+            errs.append("%s: table says %r but artifacts say %r"
+                        % (csplit[1].strip(), ccell, dcell))
+        elif crnd > drnd:
+            errs.append("%s: table claims r%d ahead of artifacts (r%d)"
+                        % (csplit[1].strip(), crnd, drnd))
+        elif crnd == drnd and dfail and not cfail:
+            errs.append("%s: table claims r%d passed but the artifact "
+                        "records all_ok=false" % (csplit[1].strip(), crnd))
+        # else: artifacts advanced past the table — the honest direction
+    return errs
+
+
 def main():
     readme = os.path.join(ROOT, "README.md")
     with open(readme) as f:
@@ -197,12 +247,21 @@ def main():
     new = re.sub(re.escape(BEGIN) + ".*?" + re.escape(END), render(),
                  text, flags=re.S)
     if "--check" in sys.argv:
-        if new != text:
-            sys.stderr.write(
-                "README gate table is stale vs the artifacts on disk — "
-                "run: python3 tools/gate_table.py\n")
+        committed = re.search(
+            re.escape(BEGIN) + "(.*?)" + re.escape(END), text, flags=re.S)
+        derived = re.search(
+            re.escape(BEGIN) + "(.*?)" + re.escape(END), new, flags=re.S)
+        rows = lambda m: [l for l in m.group(1).splitlines()
+                          if l.startswith("|") and not l.startswith("|---")
+                          and not l.startswith("| gate ")]
+        errs = check(rows(committed), rows(derived))
+        if errs:
+            for e in errs:
+                sys.stderr.write("gate table: %s\n" % e)
+            sys.stderr.write("run: python3 tools/gate_table.py\n")
             sys.exit(1)
-        print("gate table matches artifacts on disk")
+        print("gate table is consistent with (or behind) the artifacts "
+              "on disk")
     else:
         with open(readme, "w") as f:
             f.write(new)

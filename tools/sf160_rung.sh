@@ -43,4 +43,4 @@ open('shuffle_audit_sf80_merged.json', 'w').write(json.dumps(merged))
 print(f'merged A side: {len(names)} queries')
 PY
 $J graft.ScaleCheck audits shuffle_audit_sf80_merged.json shuffle_audit_sf160.json 2 \
-  "SCALE_r14_sf160.json" answers
+  "SCALE_r${RUNG_ROUND:-15}_sf160.json" answers
