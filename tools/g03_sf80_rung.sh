@@ -19,4 +19,4 @@ sub = {'_meta': full['_meta'], 'g03_bfs_reach': full['g03_bfs_reach']}
 open('shuffle_audit_sf40_g03.json', 'w').write(json.dumps(sub))
 PY
 $J graft.ScaleCheck audits shuffle_audit_sf40_g03.json shuffle_audit_sf80_g03.json 2 \
-  "SCALE_r14_sf80_g03.json" answers
+  "SCALE_r${RUNG_ROUND:-15}_sf80_g03.json" answers
