@@ -369,6 +369,92 @@ object Similarity {
     math.min(maxBits, math.max(minBits, bits))
   }
 
+  /** Effective in-memory hash-aggregation state per predicted pair for
+    * the mining dedup's fused partial+final aggregate: two
+    * UnsafeFixedWidthAggregationMap entries of ((long, long) key →
+    * double min) at measured load factor. Calibrated from the r15 sf80
+    * MemAudit node attribution: s03's aggregate peaked at 288 MB over
+    * 128 tasks for 8×41.18e6 pair rows (~112 B/row) and s11's at
+    * 320 MB over 57 tasks for 4×41.18e6 (~111 B/row) — the same
+    * constant from two different operators. Post-pin each of the two
+    * fused maps holds (pairs / parts) entries, so the model charges
+    * 2 × 112 B per DISTINCT pair. */
+  private val PairStateBytesPerPair = 224.0
+
+  /** Cost model for the pair-dedup aggregation of [[nearDupPairs]] /
+    * [[multiProbePairs]] — the embedding-family sibling of
+    * [[Dedup.MiningBudget]]. `dupPairs` is the predicted near-dup
+    * answer volume: Σ c·(c−1)/2 over groups of IDENTICAL vectors
+    * ([[deriveEmbPairBudget]]) — exact for this workload because the
+    * verify filter (cos ≥ minCosine at ≥ 0.99) admits ~only identical
+    * vectors, so the aggregate's distinct-key set IS the exact-dup
+    * pair relation (r15 check: predicted 10,166,000 at sf40 vs
+    * 10,166,020 measured answers — the +20 are the planted copies).
+    *
+    * Why the aggregate needs the planner and not AQE (the r15 sf160
+    * rung's red gate): a duplicate pair collides in EVERY table
+    * (identical vectors share all buckets), so the self-join emits
+    * `tables`(×segments) copies of each pair — but each copy lands in
+    * a DIFFERENT (table, bucket) task, so the join-stage partial
+    * aggregate combines NOTHING and its hash state sums to
+    * multiplicity × dupPairs across the stage while the stage's width
+    * is the anchor's — sized by corpus BYTES and saturated at AQE's
+    * initialPartitionNum past sf80. Answers grow quadratically in
+    * dup-cluster size (ScaleGen K-doubling: ×4.01 per rung), width
+    * stalls → per-task state doubles per rung (s03 288→576 MB,
+    * s11 320→576 MB sf80→sf160, through the 512 MB gate); d13's copy
+    * of the same aggregate, squeezed by ConnectedComponents'
+    * checkpoint storage, fell back to sort-based aggregation and
+    * spilled 25.8 GB. The fix is [[Dedup.ngramJaccardPairs]]'s `inter`
+    * shape: repartition the verified survivors by exactly
+    * (a_id, b_id) BEFORE the groupBy (REPARTITION_BY_NUM — AQE's
+    * coalescer skips it). The join stage then carries no aggregate at
+    * all; both fused agg maps run post-exchange holding pairs/parts
+    * entries each; the exchange moves the same slim survivor rows the
+    * partial-agg output exchange moved (bytes unchanged — the partial
+    * agg combined nothing); and (a_id, b_id) hashing is uniform, so
+    * peak ≈ mean with no skew margin needed. */
+  final case class EmbPairBudget(dupPairs: Double) {
+    /** Partitions for the pair-dedup exchange: 224 B of modeled fused
+      * aggregate state per predicted pair at a ≤256 MB/task target
+      * (half the 512 MB preventive gate; the (a_id, b_id) hash is
+      * uniform, so no skew margin beyond that is needed). Returns 0 —
+      * callers leave the aggregate to AQE, keeping the unpinned plan —
+      * when the whole modeled state fits one task's 256 MB share:
+      * sf10 (0.57e6 pairs, 128 MB of state) and below derive 0, so
+      * every oracle-checked SF and the sf1 bench keep byte-identical
+      * plans; the pin engages at sf20+ where the state model says
+      * AQE's byte view goes blind (the r14 over-pinning lesson applied
+      * from the start). Floored at `cores`, capped at 4096. Engaged
+      * widths: sf20 → 32 (floor), sf80 → 35, sf160 → 138
+      * (~230 MB/task modeled, 2× headroom under the gate). */
+    def pairParts(cores: Int): Int = {
+      val state = dupPairs * PairStateBytesPerPair
+      if (state <= (256L << 20).toDouble) return 0
+      val byState = math.ceil(state / (256L << 20).toDouble).toInt
+      math.min(4096, math.max(cores, byState))
+    }
+  }
+
+  /** Derive [[EmbPairBudget]] from a corpus: one aggregation over the
+    * vector column — group identical vectors by `xxhash64` (64-bit,
+    * collision-negligible for a cost model) and sum c·(c−1)/2. The
+    * scan reads only `vecCol`; the exchange carries (hash, count)
+    * rows — corpus STATS, never corpus rows. Callers memoize per data
+    * dir ([[graft.queries.DerivedCaps]]`.embPairBudgetFor`, the same
+    * warm-pass slot the mining budget and IVF quantizer use). Planted
+    * query-side additions (tens of copies) shift the prediction by
+    * ~cluster-size × copies — noise against a ≥1e6-pair engage
+    * threshold, so callers derive from the dir's table and skip the
+    * union. */
+  def deriveEmbPairBudget(corpus: DataFrame, vecCol: String): EmbPairBudget = {
+    val r = corpus.groupBy(xxhash64(col(vecCol)).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("p"))
+      .collect()(0)
+    EmbPairBudget(if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble)
+  }
+
   /** Embedding near-dup mining. The bucket-size cap is OPT-IN (default
     * `Int.MaxValue` = no cap — the repo's maxDf convention: capping
     * changes output semantics, so callers choose it deliberately).
@@ -383,7 +469,8 @@ object Similarity {
     * leave the cap off. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double, dim: Int, tables: Int = 8, bits: Int = 12,
-                   seed: Long = 42L, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   seed: Long = 42L, maxBucketSize: Int = Int.MaxValue,
+                   pairParts: Int = 0): DataFrame = {
     // Anchor the bucketed frame under an exchange on the join key so
     // the hot-bucket count and both self-join sides reuse ONE shuffle
     // (the d03/d04 anchor pattern).
@@ -423,11 +510,15 @@ object Similarity {
     // dropDuplicates BEFORE scoring — exchanged every candidate WITH
     // both full vectors attached (~2 KB/row): 27 GB shuffled, 90 GB
     // spilled at sf10. This shape shuffles kilobytes.
-    a.join(b, Seq("table", "bucket"))
+    // pairParts > 0 moves the dedup aggregate OUT of the join stage
+    // onto its own pinned (a_id, b_id) exchange — see [[EmbPairBudget]]
+    val scored = a.join(b, Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         cosineSim(col("avec"), col("bvec")).as("cos"))
       .filter(col("cos") >= minCosine)
+    (if (pairParts > 0) scored.repartition(pairParts, col("a_id"), col("b_id"))
+     else scored)
       .groupBy(col("a_id"), col("b_id")).agg(min(col("cos")).as("cos"))
   }
 
@@ -464,7 +555,7 @@ object Similarity {
     */
   def multiProbePairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, dim: Int, tables: Int = 2, bits: Int = 26,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, pairParts: Int = 0): DataFrame = {
     require(bits >= 2 && bits <= 62, s"multiProbePairs: bits=$bits out of range")
     val lo = bits / 2
     val loMask = (1L << lo) - 1
@@ -483,7 +574,8 @@ object Similarity {
       col("bucket").as("abucket"), col("table"), col("seg"), col("segcode"))
     val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("bvec"),
       col("bucket").as("bbucket"), col("table"), col("seg"), col("segcode"))
-    a.join(b, Seq("table", "seg", "segcode"))
+    // pairParts > 0: the same pinned-dedup shape as [[nearDupPairs]]
+    val scored = a.join(b, Seq("table", "seg", "segcode"))
       .filter(col("a_id") < col("b_id"))
       // Hamming ≤ 1 over the FULL code, in-stage (cheap long xor
       // before the cosine); a Hamming-0 pair matches in both segments
@@ -492,6 +584,8 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         cosineSim(col("avec"), col("bvec")).as("cos"))
       .filter(col("cos") >= minCosine)
+    (if (pairParts > 0) scored.repartition(pairParts, col("a_id"), col("b_id"))
+     else scored)
       .groupBy(col("a_id"), col("b_id")).agg(min(col("cos")).as("cos"))
   }
 

@@ -45,7 +45,10 @@ object DedupQueries {
   def d13InternalPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(d13Corpus(s, dir), "vec_id", "embedding",
       minCosine = 0.99, dim = SimilarityQueries.Dim,
-      bits = DerivedCaps.embBitsFor(s, dir), maxBucketSize = 4096)
+      bits = DerivedCaps.embBitsFor(s, dir), maxBucketSize = 4096,
+      // the dir-level budget; the planted union adds tens of pairs
+      // against a >=1e6 engage threshold (EmbPairBudget scaladoc)
+      pairParts = DerivedCaps.embPairPartsFor(s, dir))
 
   private val SqlNorm =
     """array_to_string(list_filter(string_split_regex(lower(regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')), '\s+'), x -> x <> ''), ' ')"""

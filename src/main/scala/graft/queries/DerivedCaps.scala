@@ -92,6 +92,30 @@ object DerivedCaps {
       graft.operators.Similarity.deriveBits(
         Tables.load(s, dir, "embeddings").count()))).intValue()
 
+  private val embPairsMemo = new BoundedMemo[String, java.lang.Double](64)
+
+  /** Predicted near-dup pair volume for `dir`'s embeddings table
+    * ([[graft.operators.Similarity.EmbPairBudget]]): Σ c·(c−1)/2 over
+    * identical-vector groups, memoized per file identity — one
+    * stats-only aggregation (r15 check: 10,166,000 predicted vs
+    * 10,166,020 measured answers at sf40; the +20 are planted). */
+  def embPairBudgetFor(s: SparkSession, dir: String): graft.operators.Similarity.EmbPairBudget =
+    graft.operators.Similarity.EmbPairBudget(
+      embPairsMemo.getOrCompute(fileId(s, dir, "embeddings"), _ => Double.box(
+        graft.operators.Similarity.deriveEmbPairBudget(
+          Tables.load(s, dir, "embeddings"), "embedding").dupPairs)).doubleValue())
+
+  /** Cost-model partition count for the embedding pair-dedup exchange
+    * over `dir`'s embeddings (s03/s11 and d13's internal miner) — 0
+    * (leave the aggregate to AQE, the unpinned plan) until the modeled
+    * fused-aggregate state outgrows one task's 256 MB share; see
+    * [[graft.operators.Similarity.EmbPairBudget.pairParts]]. Honors
+    * the same `spark.graft.mining.pinPairParts=false` A/B hook as
+    * [[pairPartsFor]] (VERDICT r11 #5). */
+  def embPairPartsFor(s: SparkSession, dir: String): Int =
+    if (s.conf.getOption("spark.graft.mining.pinPairParts").contains("false")) 0
+    else embPairBudgetFor(s, dir).pairParts(s.sparkContext.defaultParallelism)
+
   private val docCountMemo = new BoundedMemo[String, java.lang.Long](64)
 
   /** Row count of `dir`'s documents table (parquet-metadata count,

@@ -107,7 +107,7 @@ object SimilarityQueries {
       // purely as a hash-collision-mass cost backstop.
       Similarity.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
           minCosine = 0.99, dim = Dim, bits = DerivedCaps.embBitsFor(s, dir),
-          maxBucketSize = 4096)
+          maxBucketSize = 4096, pairParts = DerivedCaps.embPairPartsFor(s, dir))
         .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
         .orderBy($"a_id", $"b_id")
     }),
@@ -127,7 +127,8 @@ object SimilarityQueries {
         .select(($"vec_id" + Planted.Off).as("vec_id"), $"embedding", $"label")
       Similarity.multiProbePairs(e.unionByName(planted), "vec_id", "embedding",
           minCosine = 0.99, dim = Dim, tables = 2,
-          bits = 2 * (DerivedCaps.embBitsFor(s, dir) + 1))
+          bits = 2 * (DerivedCaps.embBitsFor(s, dir) + 1),
+          pairParts = DerivedCaps.embPairPartsFor(s, dir))
         .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
         .orderBy($"a_id", $"b_id")
     }),

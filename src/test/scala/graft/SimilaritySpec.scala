@@ -173,4 +173,58 @@ class SimilaritySpec extends SparkSpec {
     }.toSet
     assert(got.toSet == expected)
   }
+
+  test("EmbPairBudget: engage threshold, floor, cap (r15b pair-dedup pin)") {
+    import graft.operators.Similarity.EmbPairBudget
+    // below one task's 256 MB share -> 0 (leave the aggregate to AQE):
+    // 1e6 pairs x 224 B = 214 MB
+    assert(EmbPairBudget(1e6).pairParts(32) == 0)
+    // sf10's measured 0.57e6 answers stay unpinned — plan unchanged at
+    // every oracle SF and the sf1 bench
+    assert(EmbPairBudget(570020.0).pairParts(32) == 0)
+    // sf20's measured 2.46e6 engage at the cores floor
+    assert(EmbPairBudget(2460020.0).pairParts(32) == 32)
+    // sf160's measured 165.22e6: past the floor, ~230 MB/task modeled
+    val p160 = EmbPairBudget(165220020.0).pairParts(32)
+    assert(p160 > 32 && p160 < 200, s"p160=$p160")
+    // capped where per-task scheduling overhead would dominate
+    assert(EmbPairBudget(1e12).pairParts(32) == 4096)
+  }
+
+  test("deriveEmbPairBudget counts identical-vector pairs exactly") {
+    // 3 copies of A (3 pairs) + 2 of B (1 pair) + 1 of C (0) -> 4
+    val rows = Seq.fill(3)(Array(1f, 2f, 3f)) ++
+      Seq.fill(2)(Array(4f, 5f, 6f)) ++ Seq(Array(7f, 8f, 9f))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    assert(Similarity.deriveEmbPairBudget(df, "embedding").dupPairs == 4.0)
+  }
+
+  test("nearDupPairs pinned pair dedup: identical output, width honored") {
+    val planted = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.filter($"vec_id" < 100).unionByName(planted)
+    val base = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        minCosine = 0.99, dim = 64)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val pinnedDf = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+      minCosine = 0.99, dim = 64, pairParts = 7)
+    assert(pinnedDf.orderBy("a_id", "b_id").collect().toSeq == base)
+    // the pinned aggregate rides a REPARTITION_BY_NUM exchange AQE must
+    // not coalesce: the aggregate's output partitioning is exactly it
+    assert(pinnedDf.rdd.getNumPartitions == 7)
+  }
+
+  test("multiProbePairs pinned pair dedup: identical output, width honored") {
+    val planted = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.filter($"vec_id" < 100).unionByName(planted)
+    val base = Similarity.multiProbePairs(corpus, "vec_id", "embedding",
+        minCosine = 0.99, dim = 64, tables = 2, bits = 18)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val pinnedDf = Similarity.multiProbePairs(corpus, "vec_id", "embedding",
+      minCosine = 0.99, dim = 64, tables = 2, bits = 18, pairParts = 5)
+    assert(pinnedDf.orderBy("a_id", "b_id").collect().toSeq == base)
+    assert(pinnedDf.rdd.getNumPartitions == 5)
+  }
 }
