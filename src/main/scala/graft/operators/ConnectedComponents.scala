@@ -41,28 +41,61 @@ object ConnectedComponents {
   /** Label every vertex of `vertices` with the minimum vertex id
     * reachable through undirected `edges`. Output: `(idCol,
     * component)`; isolated vertices label themselves. Ids must be
-    * orderable (numeric/string). */
+    * orderable (numeric/string).
+    *
+    * `edgeParts` pins the symmetrized edge list's dedup exchange for
+    * FACT-SCALE pair graphs — the same AQE blind spot as
+    * [[Graphs.bfsHops]]: AQE sizes the distinct from compressed map
+    * bytes while the in-memory hash state is ~10× that, and here the
+    * aggregate additionally competes with this operator's own
+    * checkpoint blocks for unified memory, so a denied request drops
+    * it to sort-based aggregation over the full input (the r15 sf160
+    * rung measured d13's copy at 25.8 GB of task spill with the peak
+    * request stuck at 72 MB). Callers derive the width from a
+    * predicted pair count ([[graft.operators.Similarity.EmbPairBudget]]
+    * `.symParts`); None keeps AQE sizing for dimension-scale graphs. */
   def components(edges: DataFrame, aCol: String, bCol: String,
                  vertices: DataFrame, idCol: String,
-                 maxIter: Int = 50): DataFrame = {
+                 maxIter: Int = 50,
+                 edgeParts: Option[Int] = None): DataFrame = {
     require(maxIter >= 1)
-    // Materialize the (possibly expensive) edge subtree ONCE, BEFORE
-    // symmetrizing: the union reads the edge plan twice, so an
-    // un-truncated upstream (e.g. a shingle self-join) would execute
-    // twice here and then again every round.
-    val once = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .transform(Checkpoints.materialize)
-    val sym = once.union(once.select(col("v"), col("u")))
-      .distinct()
-      .transform(Checkpoints.materialize)
-    // `sym` is materialized and lineage-truncated — `once`'s blocks are
-    // dead from here on. Free intermediates EXPLICITLY: localCheckpoint
-    // blocks otherwise live until the GC/ContextCleaner happens to
-    // collect the RDD object, and an iterative operator that leaves
-    // O(rounds) cached frames behind per invocation steals executor
-    // storage memory from everything scheduled after it (the same leak
-    // class the r3 persist() audit evicted from Dedup/Curation).
-    unpersistOf(once)
+    // Symmetrize with a map-side explode, NOT a union of two reads of
+    // the edge subtree (the g01 idiom): one pass over the (possibly
+    // expensive) upstream, so the pre-symmetrization materialization
+    // the r14 shape needed — a full extra checkpoint of the edge list
+    // whose storage blocks squeezed every later memory request in
+    // this operator — disappears outright.
+    // The dedup exchange is keyed on `v` ALONE (hashpartitioning(v)
+    // satisfies the distinct's (u, v) clustering — same-key rows
+    // colocate): that makes the materialized blocks' layout exactly
+    // the distribution every round's neighbor join needs, so at the
+    // scale where the labels side outgrows broadcast and the join
+    // falls to sort-merge, the edge side — the heavy one — is never
+    // re-exchanged (guide §2.4: operations keyed the same way share
+    // one exchange).
+    // A/B hook (same convention as spark.graft.mining.pinPairParts):
+    // `spark.graft.cc.explodeSym=false` restores the r14 two-read
+    // union shape for attribution runs.
+    val explodeSym = !edges.sparkSession.conf
+      .getOption("spark.graft.cc.explodeSym").contains("false")
+    val sym = if (explodeSym) {
+      val doubled = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      edgeParts.fold(doubled)(p => doubled.repartition(p, col("v")))
+        .distinct()
+        .transform(Checkpoints.materialize)
+    } else {
+      val once = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+        .transform(Checkpoints.materialize)
+      val s2 = once.union(once.select(col("v"), col("u")))
+        .distinct()
+        .transform(Checkpoints.materialize)
+      unpersistOf(once)
+      s2
+    }
 
     // Only edge endpoints can ever change label — isolated vertices
     // are their own component by definition. Iterate over the (far

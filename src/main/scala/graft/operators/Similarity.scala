@@ -434,6 +434,25 @@ object Similarity {
       val byState = math.ceil(state / (256L << 20).toDouble).toInt
       math.min(4096, math.max(cores, byState))
     }
+
+    /** Partitions for ConnectedComponents' symmetrized-edge dedup when
+      * the component input IS the near-dup pair answer (d13): the
+      * symmetrization doubles the predicted pairs, and the fused
+      * partial+final distinct maps hold (u, v)-keyed entries at the
+      * same measured ~112 B constant as the pair aggregate (the key
+      * layout is identical; the dropped double buffer is noise against
+      * the map overhead), so the modeled state is
+      * 2 maps × 2·dupPairs × 112 B. Same ≤256 MB/task target, engage
+      * 0 below one task's share (sf10's 0.57e6 pairs model 255 MB —
+      * just under, so every oracle SF and the sf1 bench keep their
+      * unpinned plans), cores floor, 4096 cap. sf160 derives ~276
+      * parts where the unpinned rung spilled 25.8 GB. */
+    def symParts(cores: Int): Int = {
+      val state = 2.0 * dupPairs * PairStateBytesPerPair
+      if (state <= (256L << 20).toDouble) return 0
+      val byState = math.ceil(state / (256L << 20).toDouble).toInt
+      math.min(4096, math.max(cores, byState))
+    }
   }
 
   /** Derive [[EmbPairBudget]] from a corpus: one aggregation over the

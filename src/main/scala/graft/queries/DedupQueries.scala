@@ -169,8 +169,16 @@ object DedupQueries {
       import s.implicits._
       val corpus = d13Corpus(s, dir)
       val pairs = d13InternalPairs(s, dir)
+      // edgeParts: the internal pair relation is fact-scale (answers
+      // grow quadratically in dup-cluster size), so CC's symmetrized
+      // dedup gets the same predicted-pairs width authority as the
+      // miner's own aggregate — the r15 sf160 rung measured the
+      // AQE-sized shape at 25.8 GB of sort-fallback spill under this
+      // operator's checkpoint storage pressure (None below sf20:
+      // every oracle SF and the sf1 bench keep unpinned plans)
       graft.operators.ConnectedComponents.components(pairs, "a_id", "b_id",
-          corpus.select($"vec_id"), "vec_id")
+          corpus.select($"vec_id"), "vec_id",
+          edgeParts = DerivedCaps.embSymPartsFor(s, dir))
         .select($"vec_id", $"component".as("cluster"),
           ($"vec_id" === $"component").cast("long").as("keep"))
         .orderBy($"vec_id")

@@ -116,6 +116,19 @@ object DerivedCaps {
     if (s.conf.getOption("spark.graft.mining.pinPairParts").contains("false")) 0
     else embPairBudgetFor(s, dir).pairParts(s.sparkContext.defaultParallelism)
 
+  /** Cost-model partition count for ConnectedComponents' symmetrized
+    * edge dedup when the edges are `dir`'s predicted embedding
+    * near-dup answers (d13) — None (AQE sizing) until the modeled
+    * distinct state outgrows one task's share; see
+    * [[graft.operators.Similarity.EmbPairBudget.symParts]]. Same
+    * A/B hook as [[embPairPartsFor]]. */
+  def embSymPartsFor(s: SparkSession, dir: String): Option[Int] = {
+    val p =
+      if (s.conf.getOption("spark.graft.mining.pinPairParts").contains("false")) 0
+      else embPairBudgetFor(s, dir).symParts(s.sparkContext.defaultParallelism)
+    if (p > 0) Some(p) else None
+  }
+
   private val docCountMemo = new BoundedMemo[String, java.lang.Long](64)
 
   /** Row count of `dir`'s documents table (parquet-metadata count,

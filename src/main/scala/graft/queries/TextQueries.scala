@@ -313,19 +313,33 @@ object TextQueries {
       // tokens materialize BEFORE the lambdas (TextFunctions PERF
       // note: computed expressions inside HOF lambdas re-evaluate per
       // element)
+      // ONE corpus scan (r15): the unigram counts and the window-pair
+      // counts are emitted from the SAME Generate — each token as a
+      // (w, NULL) row next to the (w1, w2) window rows — and collapse
+      // in one (w1, w2) aggregate, where the NULL-w2 group IS the
+      // unigram histogram. The r14 shape ran the tokenize+explode scan
+      // twice (two branches, no shared exchange — map-side work has
+      // nothing for ReuseExchange to match). The combined counts are
+      // materialized once (the d11 fan-out idiom) because four
+      // consumers read them: uni twice as a join side, ntok, pairs.
       val toks = docs(s, dir).select(tokenize($"text").as("t"))
-      val uni = toks.select(explode($"t").as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("cw"))
-      val ntok = uni.agg(sum($"cw").as("ntok"))
-      val pairs = toks.select(explode(expr(
-          """CASE WHEN size(t) < 2 THEN array()
-            |ELSE flatten(transform(sequence(1, size(t) - 1),
-            |  i -> transform(sequence(i + 1, least(i + 3, size(t))),
-            |    j -> struct(element_at(t, i) AS w1, element_at(t, j) AS w2))))
-            |END""".stripMargin)).as("p"))
+      val counts = graft.operators.Checkpoints.materialize(
+        toks.select(explode(expr(
+          """concat(
+            |  transform(t, w -> struct(w AS w1, CAST(NULL AS STRING) AS w2)),
+            |  CASE WHEN size(t) < 2
+            |  THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+            |  ELSE flatten(transform(sequence(1, size(t) - 1),
+            |    i -> transform(sequence(i + 1, least(i + 3, size(t))),
+            |      j -> struct(element_at(t, i) AS w1, element_at(t, j) AS w2))))
+            |  END)""".stripMargin)).as("p"))
         .select($"p.w1", $"p.w2")
-        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-        .filter($"c12" >= 30)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c")))
+      val uni = counts.filter($"w2".isNull)
+        .select($"w1".as("w"), $"c".as("cw"))
+      val ntok = uni.agg(sum($"cw").as("ntok"))
+      val pairs = counts.filter($"w2".isNotNull && $"c" >= 30)
+        .select($"w1", $"w2", $"c".as("c12"))
       // lift in exact integer parts-per-million: window-pair ratios
       // are rationals that DO land on .5 rounding boundaries, where
       // engines' double round() implementations can disagree — floor

@@ -50,6 +50,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(edges, vertices) == brute(edges, vertices))
   }
 
+  // r15: the symmetrization is a map-side explode over ONE read of the
+  // edge subtree and the dedup exchange can be width-pinned (edgeParts,
+  // the d13 sf160 spill fix). Pin both properties: pinned and unpinned
+  // agree with the oracle on a graph with duplicate, reversed and
+  // self-loop edges (the explode must reproduce union semantics
+  // exactly), and the pinned width really reaches the exchange.
+  test("edgeParts pin preserves semantics on duplicate/reversed/self-loop edges") {
+    val vertices = (1L to 10L).toSeq
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (7L, 8L))
+    val expected = brute(edges, vertices)
+    assert(run(edges, vertices) == expected, "unpinned explode shape")
+    val pinned = ConnectedComponents.components(
+        edges.toDF("a", "b"), "a", "b", vertices.toDF("id"), "id",
+        edgeParts = Some(7))
+      .as[(Long, Long)].collect().toMap
+    assert(pinned == expected, "edgeParts-pinned shape")
+  }
+
+  test("pinned symmetrized-edge exchange runs at the requested width") {
+    // capture the materialized sym frame via the Checkpoints fault hook
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    graft.operators.Checkpoints.faultHook.set { df =>
+      seen += df.rdd.getNumPartitions
+    }
+    try {
+      ConnectedComponents.components(
+          Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b",
+          Seq(1L, 2L, 3L).toDF("id"), "id", edgeParts = Some(7))
+        .count()
+    } finally graft.operators.Checkpoints.faultHook.set((_: org.apache.spark.sql.DataFrame) => ())
+    // the FIRST materialization is the symmetrized edge list: the
+    // REPARTITION_BY_NUM width must survive to its stored blocks
+    // (AQE's coalescer skips that origin)
+    assert(seen.head == 7, s"sym width ${seen.head} != pinned 7 (all: $seen)")
+  }
+
   private def runStar(edges: Seq[(Long, Long)], vertices: Seq[Long],
                       maxIter: Int = 50): (Map[Long, Long], Int) = {
     val (df, rounds) = ConnectedComponents.componentsStarWithRounds(

@@ -24,11 +24,19 @@ class ProfileApproxSpec extends SparkSpec {
     // through Expand
     assert(!p.contains("Expand"), s"Expand in approx profile plan:\n${p.take(800)}")
     assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial+final agg pair")
-    // q30's exact multi-distinct DOES carry the Expand — the contrast
-    // that makes q31 the scale path
+    // q30's exact profile no longer plans through Expand either (r15:
+    // stack-first two-level aggregate — Generate fan-out, one buffer
+    // update per row, 3-column exchange instead of the 17-column
+    // multi-distinct buffers). Pin THAT shape: a Generate and two
+    // aggregation levels (4 HashAggregates: partial+final × 2), no
+    // Expand anywhere.
     val exact = SparkEntry.queries("q30_table_profile")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(exact.contains("Expand"), "q30 lost its exact multi-distinct shape?")
+    assert(!exact.contains("Expand"),
+      s"q30 regressed to the Expand multi-distinct shape:\n${exact.take(800)}")
+    assert(exact.contains("Generate"), "q30 lost its stack Generate")
+    assert("HashAggregate".r.findAllIn(exact).length >= 4,
+      "q30 lost its two-level aggregate shape")
   }
 
   test("a10 ok flags hold and its exact bounds bracket a04's exact quantiles") {
